@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: run named queries from SparkEntry against a sf dir.
+  * Usage: runMain graft.RunQ <sfDir> name1 name2 ...  ("explain" flag
+  * via SPARK_GRAFT_EXPLAIN=1)
+  */
+object RunQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- args.tail) {
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+        val n = df.count()
+        println(f"[runq] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        df.show(5, 80)
+      } catch { case e: Throwable =>
+        println(s"[runq] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        e.getStackTrace.take(10).foreach(f => println(s"   at $f"))
+        Option(e.getCause).foreach(c =>
+          println(s"   cause: ${c.getClass.getName}: ${c.getMessage}"))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: print schemas of every test table (reader sanity check). */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    for (n <- Tables.names) {
+      try {
+        val df = Tables.load(spark, dir, n)
+        println(s"== $n: ${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+        if (n == "events" || n == "embeddings") df.show(3, 60)
+      } catch { case e: Throwable => println(s"== $n FAILED: ${e.getMessage.take(300)}") }
+    }
+    spark.stop()
+  }
+}

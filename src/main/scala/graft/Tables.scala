@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's test tables (TESTDATA.md).
+  *
+  * All readers go through [[Tables.load]] so session-wide scan conf
+  * (pushdown, pruning) is applied uniformly. At cluster scale the same
+  * code reads a directory of many files; nothing here assumes a single
+  * file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read it via the legacy nanos-as-long conf
+    * and normalize: `ts` = microsecond-precision TimestampType (session
+    * TZ is pinned to UTC everywhere, so this behaves like the naive
+    * timestamp DuckDB sees), `ts_ns` = raw nanos since epoch.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // future Spark versions may read NANOS natively
+        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
+}

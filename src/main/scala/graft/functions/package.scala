@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable column functions (kept codegen-friendly: every helper is a
+  * composition of built-in Catalyst expressions, no UDFs).
+  */
+package object functions {
+
+  /** Lower edge of the fixed-width (lo, hi] bin containing `c`
+    * (reference: polars `cut(range(0, 4001, 200))`,
+    * ingester.py:425). `ceil` keeps the right-closed semantics: a
+    * value exactly on a bin edge belongs to the bin below it.
+    */
+  def binLow(c: Column, step: Int): Column =
+    (ceil(c / step) * step - step).cast("long")
+
+  /** Human-readable "(lo, hi]" bin label, the reference's cut() output. */
+  def binLabel(c: Column, step: Int): Column = {
+    val lo = binLow(c, step)
+    concat(lit("("), lo.cast("string"), lit(", "),
+      (lo + step).cast("string"), lit("]"))
+  }
+
+  /** Dot product of two float-array columns via higher-order functions
+    * (zip_with + aggregate) — stays inside Catalyst, no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm of a float-array column. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+}

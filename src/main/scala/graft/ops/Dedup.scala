@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family for a training-data pipeline (SURVEY §2.D1–D5):
+  * exact (content hash), MinHash+LSH, SimHash, exact n-gram Jaccard,
+  * and embedding-cosine near-dup.
+  *
+  * All signature computation is row-local Catalyst expressions (HOFs /
+  * `expr` strings — no UDFs), so the signature stage is a narrow,
+  * codegen-friendly map. The only shuffles are (a) the bucket join on
+  * (band, band_hash) — bounded fan-out: one row per band per doc —
+  * and (b) the final per-doc min-neighbor aggregation. Candidate
+  * verification (exact Jaccard / cosine) runs only on bucket
+  * collisions, which is the standard way this stays tractable at
+  * 100 TB. Skewed buckets (e.g. the empty-document bucket) are handled
+  * by AQE skew-join splitting.
+  *
+  * Near-dup queries return one row per document: `doc_id, keep_id`
+  * where `keep_id` is the smallest doc_id among the doc's near-dup
+  * neighbors (itself if unique) — i.e. "drop rows where keep_id <
+  * doc_id" is the dedup action. This shape is deterministic and
+  * non-empty regardless of how many dups the corpus has.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles (empty for docs shorter than 3 tokens). */
+  def shingles(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array())
+  }
+
+  /** 64-slot MinHash signature: element k = min over shingles of
+    * murmur3(shingle, k). `hash(s, k)` folds k into the hash, giving
+    * 64 independent-enough hash families without custom seeds.
+    */
+  val MinhashK = 64
+  val Bands = 16 // 16 bands x 4 rows
+
+  def minhashSig(shingleCol: Column): Column =
+    transform(sequence(lit(0), lit(MinhashK - 1)),
+      k => array_min(transform(shingleCol, s => hash(s, k))))
+
+  /** (band, band_hash) rows for LSH banding. */
+  def bandStructs(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => struct(b.as("band"), hash(slice(sig, b * (MinhashK / Bands) + 1, lit(MinhashK / Bands))).as("bhash")))
+
+  /** D2: MinHash+LSH near-dup with exact-Jaccard verification. */
+  def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("sig", minhashSig(col("sh")))
+    val banded = docs
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bhash"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    val neighborMin = withSets.select(col("a").as("doc_id"), col("b").as("nbr"))
+      .unionByName(withSets.select(col("b").as("doc_id"), col("a").as("nbr")))
+      .groupBy("doc_id").agg(min(col("nbr")).as("min_nbr"))
+    docs.select(col("doc_id"))
+      .join(neighborMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(coalesce(col("min_nbr"), col("doc_id")), col("doc_id")).as("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  /** 64-bit SimHash from whitespace tokens, entirely inside Catalyst:
+    * per-token xxhash64, per-bit +/-1 vote, sign fold to a Long.
+    */
+  val simhashExpr: Column = expr(
+    """aggregate(
+      |  transform(sequence(0, 63), b ->
+      |    CASE WHEN aggregate(split(text, '\\s+'), 0,
+      |           (acc, w) -> acc + CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1
+      |                             THEN 1 ELSE -1 END) > 0
+      |         THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END),
+      |  cast(0 as bigint),
+      |  (acc, v) -> acc | v)""".stripMargin)
+
+  /** D3: SimHash near-dup — band the 64-bit signature into 4x16-bit
+    * buckets (Hamming-3-safe by pigeonhole for <=3 differing bits ...
+    * across 4 bands at least one band matches exactly), verify with
+    * bit_count(xor) <= 3.
+    */
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), simhashExpr.as("simhash"))
+    val banded = docs.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 16) & 65535 as bhash))")).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("b"), col("y.simhash").as("hb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+    val neighborMin = cand.select(col("a").as("doc_id"), col("b").as("nbr"))
+      .unionByName(cand.select(col("b").as("doc_id"), col("a").as("nbr")))
+      .groupBy("doc_id").agg(min(col("nbr")).as("min_nbr"))
+    docs
+      .join(neighborMin, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        least(coalesce(col("min_nbr"), col("doc_id")), col("doc_id")).as("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  /** D4: exact n-gram Jaccard over an inverted-index join (each pair
+    * is generated once per shared shingle, then grouped — the exact
+    * tier you run on LSH survivors at scale; here run on everything
+    * and reported as the top-50 most similar pairs).
+    */
+  def dedupJaccard(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+    pairs.select(col("a"), col("b"), col("common"), col("jaccard"))
+      .orderBy(desc("jaccard"), col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** D5: embedding-cosine near-dup. Sign-random-projection buckets
+    * (16 planes) prefilter candidates; exact cosine >= threshold
+    * verifies. Random vectors rarely collide on all 16 signs unless
+    * genuinely close, so bucket sizes stay bounded at scale.
+    */
+  def dedupEmbed(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val sig = Similarity.srpSignature(col("embedding"), planes = 16)
+    val withSig = emb.withColumn("bucket", sig)
+    val cand = withSig.as("x").join(withSig.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("x.embedding").as("ea"),
+        col("y.vec_id").as("b"), col("y.embedding").as("eb"))
+      .withColumn("cos", graft.functions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+    val neighborMin = cand.select(col("a").as("vec_id"), col("b").as("nbr"))
+      .unionByName(cand.select(col("b").as("vec_id"), col("a").as("nbr")))
+      .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))
+    emb.select(col("vec_id"))
+      .join(neighborMin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        least(coalesce(col("min_nbr"), col("vec_id")), col("vec_id")).as("keep_id"))
+      .orderBy("vec_id")
+  }
+
+  /** D1: exact dedup — group by content digest, keep smallest id.
+    * At 100 TB you group on the 128-bit digest, never the raw text.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  val queries: Seq[Q] = Seq(
+    Q("dedup_exact", dedupExact, Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+    Q("dedup_minhash", (s, d) => dedupMinhash(s, d), None),
+    Q("dedup_simhash", (s, d) => dedupSimhash(s, d), None),
+    Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), None),
+    Q("dedup_embed", (s, d) => dedupEmbed(s, d), None)
+  )
+}

@@ -1,0 +1,379 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core: the general-purpose engine surface (SURVEY §2.C)
+  * plus the testdata analogs of the reference's stateful ingestion
+  * operators (SURVEY §2.A5–A9 — role doubling, running counters,
+  * running max, binning).
+  *
+  * Determinism-vs-oracle conventions (SURVEY §5):
+  *  - money doubles are cast to DECIMAL before SUM so partial
+  *    aggregation order cannot perturb low bits; final outputs cast
+  *    back to double;
+  *  - averages are exact-sum / exact-count double divisions;
+  *  - every query ends in a total ORDER BY;
+  *  - timestamps leave as DATE or formatted strings.
+  *
+  * Scale notes: dim joins (`nation`, `region`) are `broadcast()`;
+  * fact-fact joins shuffle on join keys and rely on AQE for skew; all
+  * window analogs partition by the entity key (one shuffle) and order
+  * by a monotone id, mirroring how the chess pipeline handles
+  * per-player running state at 100 TB (SURVEY §4).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def dec(c: Column, p: Int = 18, sc: Int = 2) = c.cast(s"decimal($p,$sc)")
+
+  /** C1/C2: TPC-H Q1-shaped scan→filter→hash-aggregate. The shipdate
+    * predicate and the 2-column read schema both push into the parquet
+    * scan.
+    */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") - dec(col("l_discount"), 8, 4))
+    val charge = discPrice * (lit(1).cast("decimal(8,4)") + dec(col("l_tax"), 8, 4))
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** C3: broadcast dim filter join + fact-fact shuffle join, top-10. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") - dec(col("l_discount"), 8, 4))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** C4: 6-way join (region→nation→customer→orders→lineitem→supplier
+    * with the TPC-H local-supplier twist c_nationkey = s_nationkey).
+    */
+  def q5Volume(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") - dec(col("l_discount"), 8, 4))
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** C6: partitioned rank window, top-3 per customer. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** C7: 7-day moving average over daily totals (rows frame). */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("t"), count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.select(
+        col("day"),
+        col("t").cast("double").as("day_total"),
+        (sum(col("t")).over(w).cast("double") / sum(col("n")).over(w).cast("double")).as("ma7"))
+      .orderBy("day")
+  }
+
+  /** C8: left-semi (EXISTS). */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C9: left-anti (NOT EXISTS) — customers with no 400k+ order, so
+    * the result is non-empty on the test data.
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** C11: pivot with a pinned value list (driver-side value discovery
+    * would be a second job at 100 TB).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val p = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("day") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy("day")
+  }
+
+  /** C12: rollup subtotal hierarchy. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** C13: JSON field extraction from a string column, aggregated. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+      .orderBy("event_type")
+
+  /** C15/E2 batch twin: gap-based sessionization (30-min timeout) via
+    * lag + running sum — the classic two-window formulation; state
+    * stays co-partitioned on user_id so it is a single shuffle.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts2"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts2")) - unix_timestamp(lag(col("ts2"), 1).over(byUser)))
+      .withColumn("is_new",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(cum).cast("long"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts2")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** E1 batch twin: tumbling 1-hour event-time window aggregation
+    * (the streaming version in graft.streaming uses the same window
+    * + watermark).
+    */
+  def qTumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 14, 2)).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_start")
+
+  /** A5 analog: role doubling — one input row becomes one row per role
+    * with role-dependent column swaps, exactly the reference's
+    * White/Black player-game-role explosion (ingester.py:365-418).
+    * Narrow op (union of projections): no shuffle.
+    */
+  def roleExplode(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val a = l.select(col("l_orderkey"), col("l_linenumber"),
+      lit("part").as("role"), col("l_partkey").as("member_id"))
+    val b = l.select(col("l_orderkey"), col("l_linenumber"),
+      lit("supplier").as("role"), col("l_suppkey").as("member_id"))
+    a.unionByName(b).orderBy("l_orderkey", "l_linenumber", "role")
+  }
+
+  /** A6 analog: running per-entity cumulative counts, total and
+    * per-type (reference's cum_games_total / cum_games_type,
+    * ingester.py:186-200).
+    */
+  def cumCounts(s: SparkSession, dir: String): DataFrame = {
+    val total = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byType = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        count(lit(1)).over(total).as("cum_total"),
+        count(lit(1)).over(byType).as("cum_type"))
+      .orderBy("event_id")
+  }
+
+  /** A7 analog: running max (reference's Elo_max, ingester.py:203-214). */
+  def runningMax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        max(col("value")).over(w).as("max_so_far"))
+      .orderBy("event_id")
+  }
+
+  /** A9 analog: fixed-width (lo, hi] binning (reference's
+    * PlayerElo_bin = cut(0..4000 by 200), ingester.py:425).
+    */
+  def valueBin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        graft.functions.binLow(col("c_acctbal"), 200).as("bin_lo"))
+      .orderBy("c_custkey")
+
+  val queries: Seq[Q] = Seq(
+    Q("q1_pricing", q1Pricing, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    Q("q3_shipping", q3Shipping, Some(
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+    Q("q5_volume", q5Volume, Some(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+    Q("q_window_rank", qWindowRank, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) x
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)),
+    Q("q_moving_avg", qMovingAvg, Some(
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(t AS DOUBLE) AS day_total,
+        |       CAST(SUM(t) OVER w AS DOUBLE) / CAST(SUM(n) OVER w AS DOUBLE) AS ma7
+        |FROM d
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin)),
+    Q("q_semi_join", qSemiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q_anti_join", qAntiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q_pivot", qPivot, Some(
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+    Q("q_rollup", qRollup, Some(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
+    Q("q_json_extract", qJsonExtract, Some(
+      """SELECT event_type,
+        |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        |       COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("q_sessionize", qSessionize, Some(
+      """WITH b AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2 FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts2,
+        |         lag(ts2) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM b),
+        |f AS (
+        |  SELECT user_id, event_id, ts2,
+        |         CASE WHEN prev IS NULL OR date_diff('second', prev, ts2) > 1800
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts2,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |       strftime(MIN(ts2), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)),
+    Q("q_tumbling_window", qTumblingWindow, Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin)),
+    Q("role_explode", roleExplode, Some(
+      """SELECT l_orderkey, l_linenumber, 'part' AS role, l_partkey AS member_id FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'supplier' AS role, l_suppkey AS member_id FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, role""".stripMargin)),
+    Q("cum_counts", cumCounts, Some(
+      """SELECT event_id, user_id, event_type,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum_total,
+        |  COUNT(*) OVER (PARTITION BY user_id, event_type ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum_type
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("running_max", runningMax, Some(
+      """SELECT event_id, user_id, value,
+        |  MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS max_so_far
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("value_bin", valueBin, Some(
+      """SELECT c_custkey, c_acctbal,
+        |       CAST(CEIL(c_acctbal / 200.0) * 200 - 200 AS BIGINT) AS bin_lo
+        |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+}

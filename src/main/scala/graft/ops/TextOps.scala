@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2.D8–
+  * D11): token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All row-local (narrow) — they scale linearly with no shuffle; every
+  * scoring expression is built from Catalyst built-ins (regexp, HOFs)
+  * so the whole stage stays in WholeStageCodegen. No UDFs.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish pre-tokenization count: letter runs, single digits,
+    * single punctuation marks (GPT-2-style pre-tokenizer shape).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+  val StopPattern: String = "\\b(" + StopWords.mkString("|") + ")\\b"
+
+  /** D10: token counting, whitespace + BPE-ish regex. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** D9: quality scoring from exact integer counts; the composite
+    * score uses only rational double arithmetic (no transcendentals)
+    * so it is bit-identical across engines.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(wsTokens(col("text"))).cast("long")
+    val nStop = regexp_count(col("text"), lit(StopPattern)).cast("long")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nWords.as("n_words"),
+        (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"))
+      .withColumn("quality_score",
+        (lit(1.0) - col("stop_ratio")) * (least(col("n_words"), lit(100L)).cast("double") / 100.0))
+      .orderBy("doc_id")
+  }
+
+  /** D8: language-ID heuristic — score each candidate language by its
+    * stopword-profile hit count (per 1000 chars), plus a CJK-character
+    * override; argmax with alphabetical tie-break. This is the
+    * classic n-gram/profile approach compressed to profiles that fit
+    * in a closed-form expression. Deterministic; rows-only check.
+    */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, String)] = Seq(
+      "de" -> "\\b(der|die|das|und|ist|nicht|ich|mit|ein|zu)\\b",
+      "en" -> "\\b(the|and|is|of|to|in|that|it|for|was)\\b",
+      "es" -> "\\b(el|la|los|las|de|que|y|es|en|un)\\b",
+      "fr" -> "\\b(le|la|les|de|et|est|que|pour|dans|un)\\b")
+    val scores = profiles.map { case (lang, pat) =>
+      struct(regexp_count(col("text"), lit(pat)).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, reverse-alphabetical lang) => greatest struct;
+    // tie on hits picks the alphabetically-last language, so order the
+    // tuple as (hits, lang) and take greatest — deterministic.
+    val best = greatest(scores: _*)
+    val hasCjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        when(hasCjk, "zh").otherwise(best.getField("lang")).as("lang_pred"),
+        best.getField("hits").as("profile_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** D11: rolling polynomial fingerprint over whitespace tokens
+    * (Rabin–Karp-style, base 31 mod 2^31-1), built with array
+    * `aggregate` — codegen-friendly, no UDF. Modular form keeps every
+    * intermediate < 2^36 so it is ANSI-mode safe (no Long overflow).
+    * Fingerprint equality => near-certain content equality; used as a
+    * cheap dedup key.
+    */
+  private val FpMod = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def fingerprint(text: Column): Column =
+    aggregate(wsTokens(text), lit(0L),
+      (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), lit(FpMod)), lit(FpMod)))
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Seq[Q] = Seq(
+    Q("text_tokens", textTokens, Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("text_quality", textQuality, Some(
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+        |  (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    * (CAST(least(n_words, 100) AS DOUBLE) / 100.0) AS quality_score
+        |FROM b ORDER BY doc_id""".stripMargin)),
+    Q("text_langid", textLangId, None),
+    Q("text_fingerprint", textFingerprint, None)
+  )
+}
