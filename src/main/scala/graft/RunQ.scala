@@ -20,9 +20,11 @@ object RunQ {
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
-        val n = df.count()
-        println(f"[runq] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-        df.show(5, 80)
+        // noop sink: forces full materialization of every column
+        // (count() would let Catalyst prune the expensive projections).
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[runq] $name: materialized in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        if (sys.env.contains("SPARK_GRAFT_SHOW")) df.show(5, 80)
       } catch { case e: Throwable =>
         println(s"[runq] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         e.getStackTrace.take(10).foreach(f => println(s"   at $f"))

@@ -42,9 +42,29 @@ object Dedup {
   val MinhashK = 64
   val Bands = 16 // 16 bands x 4 rows
 
-  def minhashSig(shingleCol: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)),
-      k => array_min(transform(shingleCol, s => hash(s, k))))
+  /** Per-doc (sig, shingle-set) via explode + groupBy: each shingle is
+    * hashed exactly 64 times, ONCE — the naive nested-HOF projection
+    * gets re-inlined by CollapseProject into every band/signature slot
+    * (a ~1000x recompute blowup). The aggregate is also the natural
+    * 100 TB shape: map-side partial min per slot, one shuffle on
+    * doc_id, and the agg output is an optimizer barrier so downstream
+    * banding reuses the materialized signature.
+    */
+  def docSigsPublic(s: SparkSession, dir: String): DataFrame = docSigs(s, dir)
+  private def docSigs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        array((0 until MinhashK).map(k => min(hash(col("shingle"), lit(k)))): _*).as("sig"),
+        collect_set(col("shingle")).as("sh"))
+      // The signature table is consumed by 3 different subtrees
+      // (banding + both sides of the exact verify); without explicit
+      // materialization each consumer recomputes the shingle explode +
+      // 64-way agg. localCheckpoint materializes it once and truncates
+      // lineage. Materializing signatures is also the standard shape of
+      // a production MinHash job (sig table << corpus).
+      .localCheckpoint()
 
   /** (band, band_hash) rows for LSH banding. */
   def bandStructs(sig: Column): Column =
@@ -53,11 +73,8 @@ object Dedup {
 
   /** D2: MinHash+LSH near-dup with exact-Jaccard verification. */
   def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
+    val docs = docSigs(s, dir)
     val banded = docs
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bhash"))
     val cand = banded.as("x").join(banded.as("y"),
@@ -75,25 +92,36 @@ object Dedup {
     val neighborMin = withSets.select(col("a").as("doc_id"), col("b").as("nbr"))
       .unionByName(withSets.select(col("b").as("doc_id"), col("a").as("nbr")))
       .groupBy("doc_id").agg(min(col("nbr")).as("min_nbr"))
-    docs.select(col("doc_id"))
+    // join base = raw table: docs with <3 tokens have no shingles (and
+    // no sig rows) but must still appear with keep_id = themselves.
+    Tables.load(s, dir, "documents").select(col("doc_id"))
       .join(neighborMin, Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(coalesce(col("min_nbr"), col("doc_id")), col("doc_id")).as("keep_id"))
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash from whitespace tokens, entirely inside Catalyst:
-    * per-token xxhash64, per-bit +/-1 vote, sign fold to a Long.
+  /** 64-bit SimHash per doc: explode tokens, xxhash64 each token ONCE,
+    * 64 partial-aggregated ±1 bit votes (one shuffle on doc_id), sign
+    * fold to a Long with shiftleft|OR (ANSI-safe — no overflow). Same
+    * recompute-blowup rationale as [[docSigs]].
     */
-  val simhashExpr: Column = expr(
-    """aggregate(
-      |  transform(sequence(0, 63), b ->
-      |    CASE WHEN aggregate(split(text, '\\s+'), 0,
-      |           (acc, w) -> acc + CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1
-      |                             THEN 1 ELSE -1 END) > 0
-      |         THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END),
-      |  cast(0 as bigint),
-      |  (acc, v) -> acc | v)""".stripMargin)
+  def simhashDocsPublic(s: SparkSession, dir: String): DataFrame = simhashDocs(s, dir)
+  private def simhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val votes = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("h").bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")): _*)
+    votes.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+      .localCheckpoint()
+  }
 
   /** D3: SimHash near-dup — band the 64-bit signature into 4x16-bit
     * buckets (Hamming-3-safe by pigeonhole for <=3 differing bits ...
@@ -101,8 +129,7 @@ object Dedup {
     * bit_count(xor) <= 3.
     */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), simhashExpr.as("simhash"))
+    val docs = simhashDocs(s, dir)
     val banded = docs.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 16) & 65535 as bhash))")).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash"))
@@ -129,16 +156,19 @@ object Dedup {
     * and reported as the top-50 most similar pairs).
     */
   def dedupJaccard(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") > 0)
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // materialize the inverted index ONCE (explode is the only place
+    // the shingle expression appears); doc sizes come from a groupBy
+    // of the same index and join back on doc_id — no expression
+    // re-inlining into join keys.
+    val inv = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("shingle"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"))
@@ -155,8 +185,8 @@ object Dedup {
   def dedupEmbed(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val sig = Similarity.srpSignature(col("embedding"), planes = 16)
-    val withSig = emb.withColumn("bucket", sig)
+    val withSig = emb.join(
+      Similarity.srpBuckets(emb, "vec_id", "embedding", planes = 16), "vec_id")
     val cand = withSig.as("x").join(withSig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("x.embedding").as("ea"),

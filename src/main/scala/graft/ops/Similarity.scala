@@ -16,30 +16,38 @@ import graft.functions.cosine
   *  - per-query top-k is a TWO-STAGE aggregation: partial top-k per
   *    (query, salt) group, then a final top-k over the ≤ salt×k
   *    survivors. No global sort, no single hot partition per query,
-  *    bounded memory per group (collect_list holds ≤ partition-local
-  *    candidates; the salt bounds regroup fan-in);
-  *  - SRP signatures are deterministic (hyperplane component signs
-  *    derive from murmur3(plane, dim)) so results are reproducible
-  *    across runs and cluster sizes;
+  *    bounded memory per group;
+  *  - SRP hyperplanes are deterministic (component sign p,i =
+  *    murmur3(p, i) parity) so buckets are reproducible across runs
+  *    and cluster sizes;
+  *  - signatures are computed via posexplode + one partial-aggregated
+  *    groupBy — each vector component is read once for all planes,
+  *    and the aggregation is an optimizer barrier so CollapseProject
+  *    cannot re-inline the signature tree into every consumer (the
+  *    naive HOF formulation recompiles a 12-aggregate expression per
+  *    probe branch — measured 85s vs 3s on the same data);
   *  - multi-probe flips each single signature bit ON THE QUERY SIDE
-  *    only: the corpus is bucketed once (narrow), queries explode
+  *    only: the corpus is bucketed once, queries explode
   *    ×(planes+1) — the small side pays the fan-out.
   */
 object Similarity {
 
-  /** SRP bucket id: bit p = sign of dot(vec, r_p), r_p[i] = ±1 by
-    * murmur3(p, i) parity. Pure Catalyst HOFs — codegen-friendly,
-    * one pass over the vector per plane.
+  /** (id, bucket) for every row of `df`: SRP bucket bit p = sign of
+    * Σ_i vec[i] * r(p,i), r(p,i) = ±1 by murmur3(p,i) parity.
+    * One explode + one partial-aggregated groupBy on `id`.
     */
-  def srpSignature(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => when((hash(lit(p), i).bitwiseAND(lit(1))) === 1, x).otherwise(-x)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  def srpBuckets(df: DataFrame, id: String, vec: String, planes: Int): DataFrame = {
+    val comp = df.select(col(id), posexplode(col(vec)).as(Seq("i", "x")))
+    val signed = (0 until planes).map { p =>
+      sum(when(hash(lit(p), col("i")).bitwiseAND(lit(1)) === 1, col("x"))
+        .otherwise(-col("x"))).as(s"proj$p")
     }
-    bits.reduce(_ + _)
+    comp.groupBy(col(id))
+      .agg(signed.head, signed.tail: _*)
+      .select(col(id),
+        (0 until planes).map(p =>
+          when(col(s"proj$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("bucket"))
   }
 
   private val K = 5          // neighbors per query
@@ -57,7 +65,7 @@ object Similarity {
     * come out as (q_id, rank, vec_id, cos).
     */
   private def topKPerQuery(scored: DataFrame): DataFrame = {
-    // sort_array ascending on struct(-cos, vec_id): highest cosine
+    // sort_array ascending on struct(negcos, vec_id): highest cosine
     // first, id as deterministic tie-break.
     def topK(c: Column) = slice(sort_array(c), 1, K)
     val partial = scored
@@ -88,15 +96,17 @@ object Similarity {
   private val Planes = 12
 
   /** D7: SRP-LSH ANN with single-bit multi-probe. The corpus is
-    * signed once; each query probes its own bucket plus the `Planes`
+    * bucketed once; each query probes its own bucket plus the `Planes`
     * single-bit-flip buckets, so near-misses across one hyperplane are
     * still found. Only bucket collisions are scored.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = srpSignature(col("embedding"), Planes)
-    val corp = corpus(s, dir).withColumn("bucket", sig)
-    val probes = querySet(s, dir)
-      .withColumn("bucket0", srpSignature(col("q_emb"), Planes))
+    val corp = corpus(s, dir)
+      .join(srpBuckets(corpus(s, dir), "vec_id", "embedding", Planes), "vec_id")
+    val q = querySet(s, dir)
+      .join(srpBuckets(querySet(s, dir), "q_id", "q_emb", Planes)
+        .withColumnRenamed("bucket", "bucket0"), "q_id")
+    val probes = q
       .withColumn("bucket", explode(array(
         col("bucket0") +:
           (0 until Planes).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*)))
