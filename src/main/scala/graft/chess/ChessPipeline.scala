@@ -1,0 +1,194 @@
+package graft.chess
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference ingestion pipeline (ingester.py) re-expressed as
+  * declarative Spark transforms over the [[graft.sources.pgn]] source:
+  * tag parsing/cleaning, per-player running statistics, and the
+  * player-game-role doubling, producing the schema of SURVEY §3.
+  *
+  * Semantics faithfully mirror the reference with these documented
+  * divergences:
+  *  - ordering: the reference's running counters follow *file stream
+  *    order* (ingester.py:139); here they follow `(DateTime, ID)` —
+  *    a deterministic total order that agrees with stream order
+  *    whenever the dump is time-sorted (lichess dumps are);
+  *  - randomness: the reference draws `random()` per player / game
+  *    (ingester.py:183,195); here the "random" numbers are stable
+  *    uniform [0,1) hashes of the player name / game ID, so results
+  *    are reproducible and identical across cluster sizes;
+  *  - `Elo_max_faced`: the reference computes it from the player's OWN
+  *    Elo, not the opponent's (ingester.py:210-218 reads
+  *    `game_df[f"{player}Elo"]` in both blocks), making it equal to
+  *    `Elo_max`. Replicated as-is for drop-in compatibility.
+  *
+  * Scale notes (SURVEY §4): one shuffle for the per-player windows
+  * (partition key `name`, and `(name, Event)` — Spark coalesces the
+  * finer partitioning into the same exchange), one shuffle to join
+  * stats back on game ID, then the doubling is a narrow union of two
+  * projections. Player skew (bots with millions of games) is handled
+  * by AQE; the final range-sort mirrors the reference's
+  * sort(DateTime, ID).
+  */
+object ChessPipeline {
+
+  private val ResultRev: Column = {
+    val m = Map("1-0" -> "0-1", "0-1" -> "1-0")
+    val c = col("Result")
+    when(c === "1-0", "0-1").when(c === "0-1", "1-0").otherwise(c)
+  }
+
+  /** Uniform [0,1) from a 53-bit slice of xxhash64 — the stable
+    * stand-in for the reference's `random()`.
+    */
+  private def hashUniform(c: Column): Column =
+    (pmod(xxhash64(c), lit(1L << 53)).cast("double") / lit((1L << 53).toDouble))
+
+  private def tag(name: String): Column = element_at(col("tags"), name)
+
+  /** `?` is the PGN missing marker (ingester.py:334). */
+  private def nullIfMissing(c: Column): Column = when(c =!= "?", c)
+
+  private def eloInt(c: Column): Column =
+    nullIfMissing(c).cast("int")
+
+  private def ratingDiffInt(c: Column): Column =
+    regexp_replace(nullIfMissing(c), "\\+", "").cast("int")
+
+  /** (tags, movetext) rows → one typed row per game (ingester.py
+    * tag handling + _ndjson_to_parquet's cleaning, minus the running
+    * stats which need [[withStats]]).
+    */
+  def parseGames(raw: DataFrame): DataFrame = {
+    val eventRaw = tag("Event")
+    val tournament = eventRaw.contains("tournament")
+    // ingester.py:149: event name = text before "tournament"
+    val eventClean = when(tournament,
+      trim(substring_index(eventRaw, "tournament", 1))).otherwise(eventRaw)
+    // ingester.py:157: keep only the first 3 moves (split at "4.")
+    val moves3 = substring_index(col("movetext"), "4.", 1)
+    raw.select(
+        regexp_replace(tag("Site"), "https://lichess\\.org/", "").as("ID"),
+        nullIfMissing(eventClean).as("Event"),
+        tournament.as("Tournament"),
+        nullIfMissing(tag("ECO")).as("ECO"),
+        nullIfMissing(tag("Opening")).as("Opening"),
+        nullIfMissing(tag("TimeControl")).as("TimeControl"),
+        nullIfMissing(tag("Termination")).as("Termination"),
+        to_timestamp(concat_ws(" ", tag("UTCDate"), tag("UTCTime")),
+          "yyyy.MM.dd HH:mm:ss").as("DateTime"),
+        nullIfMissing(tag("Result")).as("Result"),
+        moves3.as("Moves"),
+        moves3.contains("eval").as("Evaluation_flag"),
+        tag("White").as("White"),
+        tag("Black").as("Black"),
+        eloInt(tag("WhiteElo")).as("WhiteElo"),
+        eloInt(tag("BlackElo")).as("BlackElo"),
+        nullIfMissing(tag("WhiteTitle")).as("WhiteTitle"),
+        nullIfMissing(tag("BlackTitle")).as("BlackTitle"),
+        ratingDiffInt(tag("WhiteRatingDiff")).as("WhiteRatingDiff"),
+        ratingDiffInt(tag("BlackRatingDiff")).as("BlackRatingDiff"))
+      .withColumn("ID_random", hashUniform(col("ID")))
+      .withColumn("White_random", hashUniform(col("White")))
+      .withColumn("Black_random", hashUniform(col("Black")))
+      .withColumn("WhiteTitle_flag", col("WhiteTitle").isNotNull)
+      .withColumn("BlackTitle_flag", col("BlackTitle").isNotNull)
+  }
+
+  /** Adds the running per-player statistics (ingester.py:172-218):
+    * cumulative game counts (total + per event type) and running max
+    * Elo, per role. Long-form explode → windows over (name[, Event])
+    * → join back on (ID, role).
+    */
+  def withStats(games: DataFrame): DataFrame = {
+    val long = games.select(col("ID"), col("DateTime"), col("Event"),
+      explode(array(
+        struct(lit("White").as("role"), col("White").as("name"), col("WhiteElo").as("elo")),
+        struct(lit("Black").as("role"), col("Black").as("name"), col("BlackElo").as("elo")))).as("p"))
+      .select(col("ID"), col("DateTime"), col("Event"),
+        col("p.role"), col("p.name"), col("p.elo"))
+    val ord = Seq(col("DateTime"), col("ID"))
+    val byName = Window.partitionBy("name").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byNameType = Window.partitionBy("name", "Event").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = long.select(col("ID"), col("role"),
+      count(lit(1)).over(byName).cast("int").as("cum_games_total"),
+      count(lit(1)).over(byNameType).cast("int").as("cum_games_type"),
+      // running max of own Elo within event type; 0 before any known
+      // Elo (ingester.py:188 initializes the accumulator to 0)
+      coalesce(max(col("elo")).over(byNameType), lit(0)).cast("int").as("elo_max"),
+      // reference bug replicated: max Elo FACED also reads the
+      // player's own Elo (ingester.py:210-218) => equal to elo_max
+      coalesce(max(col("elo")).over(byNameType), lit(0)).cast("int").as("elo_max_faced"))
+    def side(role: String, prefix: String): DataFrame =
+      stats.filter(col("role") === role).select(
+        col("ID"),
+        col("cum_games_total").as(s"${prefix}_cum_games_total"),
+        col("cum_games_type").as(s"${prefix}_cum_games_type"),
+        col("elo_max").as(s"${prefix}Elo_max"),
+        col("elo_max_faced").as(s"${prefix}Elo_max_faced"))
+    games
+      .join(side("White", "White"), "ID")
+      .join(side("Black", "Black"), "ID")
+  }
+
+  private val gameCols = Seq("ID", "ID_random", "Event", "Tournament", "ECO",
+    "Opening", "TimeControl", "Termination", "DateTime", "Moves", "Evaluation_flag")
+
+  /** Player-game-role doubling (ingester.py:345-399): one row from
+    * White's perspective, one from Black's with every paired column
+    * swapped and the Result reversed. Narrow (union of projections).
+    */
+  def toPlayerGameRole(games: DataFrame): DataFrame = {
+    def perspective(me: String, opp: String, role: String, result: Column): DataFrame =
+      games.select(gameCols.map(col) ++ Seq(
+        result.as("Result"),
+        lit(role).as("Role_player"),
+        col(me).as("Player"),
+        col(opp).as("Opponent"),
+        col(s"${me}Elo").as("PlayerElo"),
+        col(s"${opp}Elo").as("OpponentElo"),
+        col(s"${me}Elo_max").as("PlayerElo_max"),
+        col(s"${opp}Elo_max").as("OpponentElo_max"),
+        col(s"${me}Elo_max_faced").as("PlayerElo_max_faced"),
+        col(s"${opp}Elo_max_faced").as("OpponentElo_max_faced"),
+        col(s"${me}Title").as("PlayerTitle"),
+        col(s"${opp}Title").as("OpponentTitle"),
+        col(s"${me}Title_flag").as("PlayerTitle_flag"),
+        col(s"${opp}Title_flag").as("OpponentTitle_flag"),
+        col(s"${me}RatingDiff").as("PlayerRatingDiff"),
+        col(s"${opp}RatingDiff").as("OpponentRatingDiff"),
+        col(s"${me}_random").as("Player_random"),
+        col(s"${opp}_random").as("Opponent_random"),
+        col(s"${me}_cum_games_total").as("Player_cum_games_total"),
+        col(s"${opp}_cum_games_total").as("Opponent_cum_games_total"),
+        col(s"${me}_cum_games_type").as("Player_cum_games_type"),
+        col(s"${opp}_cum_games_type").as("Opponent_cum_games_type")): _*)
+    perspective("White", "Black", "White", col("Result"))
+      .unionByName(perspective("Black", "White", "Black", ResultRev))
+      .withColumn("PlayerElo_bin", graft.functions.binLabel(col("PlayerElo"), 200))
+      // reference final sort (ingester.py:404); Role desc keeps the
+      // White row first within a game like merge_sorted does
+      .orderBy(col("DateTime"), col("ID"), col("Role_player").desc)
+  }
+
+  /** Full pipeline: raw PGN rows → player-game-role table. */
+  def fromPgn(raw: DataFrame): DataFrame =
+    toPlayerGameRole(withStats(parseGames(raw)))
+
+  /** Sorted, partitioned parquet sink (ingester.py's batched monthly
+    * output re-expressed): partition by month, sort within partitions
+    * by (DateTime, ID) so downstream time-range scans prune files and
+    * read locally-sorted data.
+    */
+  def writePartitioned(df: DataFrame, outDir: String): Unit =
+    df.withColumn("year_month", date_format(col("DateTime"), "yyyy_MM"))
+      .repartition(col("year_month"))
+      .sortWithinPartitions("DateTime", "ID")
+      .write.mode("overwrite")
+      .partitionBy("year_month")
+      .parquet(outDir)
+}

@@ -1,0 +1,83 @@
+package graft.chess
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Deterministic synthetic PGN corpus (seeded RNG) used by the driver
+  * contract queries and the specs — the driver's testdata dirs contain
+  * only parquet tables, so the PGN source demonstrates on generated
+  * files. Shapes mirror the lichess dumps: tag-pair section, movetext
+  * with optional `[%eval ...]` comments, `?` missing markers,
+  * tournament events, multi-game multi-file layout.
+  */
+object SamplePgn {
+
+  val Players = Vector("alice", "bob", "carol", "dave", "erin", "frank",
+    "grace", "heidi", "ivan", "judy")
+  val Events = Vector("Rated Blitz game", "Rated Bullet game",
+    "Rated Classical game", "Rated Blitz tournament https://lichess.org/tournament/abc123")
+  val Openings = Vector(
+    ("A00", "Polish Opening"), ("B20", "Sicilian Defense"),
+    ("C20", "King's Pawn Game"), ("D02", "Queen's Pawn Game"),
+    ("E00", "Catalan Opening"))
+  val Terminations = Vector("Normal", "Time forfeit", "Abandoned")
+  val Results = Vector("1-0", "0-1", "1/2-1/2")
+
+  def game(rng: scala.util.Random, idx: Int): String = {
+    val white = Players(rng.nextInt(Players.size))
+    val black = Players.filter(_ != white)(rng.nextInt(Players.size - 1))
+    val event = Events(rng.nextInt(Events.size))
+    val (eco, opening) = Openings(rng.nextInt(Openings.size))
+    val result = Results(rng.nextInt(Results.size))
+    val whiteElo = if (rng.nextInt(10) == 0) "?" else (800 + rng.nextInt(1800)).toString
+    val blackElo = if (rng.nextInt(10) == 0) "?" else (800 + rng.nextInt(1800)).toString
+    val minute = idx % 60
+    val hour = (idx / 60) % 24
+    val day = 1 + (idx / 1440)
+    val withEval = rng.nextInt(4) == 0
+    val moves =
+      if (withEval)
+        "1. e4 { [%eval 0.2] } e5 { [%eval 0.18] } 2. Nf3 Nc6 3. Bb5 a6 4. Ba4 Nf6 5. O-O " + result
+      else
+        "1. d4 d5 2. c4 e6 3. Nc3 Nf6 4. Bg5 Be7 5. e3 O-O " + result
+    val title = if (rng.nextInt(8) == 0) "\n[WhiteTitle \"GM\"]" else ""
+    f"""[Event "$event"]
+       |[Site "https://lichess.org/game$idx%05d"]
+       |[White "$white"]
+       |[Black "$black"]
+       |[Result "$result"]
+       |[UTCDate "2024.01.$day%02d"]
+       |[UTCTime "$hour%02d:$minute%02d:00"]
+       |[WhiteElo "$whiteElo"]
+       |[BlackElo "$blackElo"]
+       |[WhiteRatingDiff "+${rng.nextInt(20)}"]
+       |[BlackRatingDiff "-${rng.nextInt(20)}"]$title
+       |[ECO "$eco"]
+       |[Opening "$opening"]
+       |[TimeControl "300+0"]
+       |[Termination "${Terminations(rng.nextInt(Terminations.size))}"]
+       |
+       |$moves
+       |""".stripMargin
+  }
+
+  /** Writes `nFiles` PGN files × `gamesPerFile` games; idempotent per
+    * JVM temp dir. Returns the directory path.
+    */
+  def ensureWritten(nFiles: Int = 4, gamesPerFile: Int = 50): String = {
+    val dir: Path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_pgn_sample_${nFiles}x$gamesPerFile")
+    val marker = dir.resolve("_done")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      val rng = new scala.util.Random(42)
+      var idx = 0
+      for (f <- 0 until nFiles) {
+        val sb = new StringBuilder
+        for (_ <- 0 until gamesPerFile) { sb.append(game(rng, idx)).append("\n"); idx += 1 }
+        Files.writeString(dir.resolve(f"games_$f%02d.pgn"), sb.toString)
+      }
+      Files.writeString(marker, "ok")
+    }
+    dir.toString
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators (SURVEY §2.E) over the `events` schema
+  * (event_id, ts, user_id, event_type, value). Each has a batch twin
+  * in [[graft.ops.Relational]] (`q_tumbling_window`, `q_sessionize`)
+  * oracled by the driver; the streaming semantics are spec-tested with
+  * MemoryStream feeds.
+  *
+  * Scale notes: all three shapes keep state partitioned by key
+  * (window start / user_id / dedup key) — one shuffle into the
+  * stateful operator, state store size bounded by the watermark
+  * horizon. That is the standard Structured Streaming recipe that
+  * scales to 1000 executors (state is per-partition RocksDB/HDFS-
+  * backed at scale; nothing here assumes local mode).
+  */
+object EventStreams {
+
+  /** E1: event-time tumbling-window aggregation with a watermark.
+    * Late rows beyond `watermark` are dropped; closed windows become
+    * immutable (Append-mode compatible).
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionAcc(start: Long, last: Long, n: Long, seq: Long)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      session_start: Timestamp, closed: Boolean)
+
+  val GapMs: Long = 30 * 60 * 1000
+
+  /** E2: stateful gap-based sessionization via
+    * `flatMapGroupsWithState` with event-time timeout — same 30-min
+    * gap semantics as the batch `q_sessionize`. Emits a session row
+    * whenever a new event closes the previous session, and on
+    * watermark timeout for idle users.
+    */
+  def sessionize(events: Dataset[Ev], watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.seq, s.n, new Timestamp(s.start), closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var acc = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (acc == null) acc = SessionAcc(t, t, 1, 1)
+              else if (t - acc.last > GapMs) {
+                out += SessionOut(user, acc.seq, acc.n, new Timestamp(acc.start), closed = true)
+                acc = SessionAcc(t, t, 1, acc.seq + 1)
+              } else acc = acc.copy(last = t, n = acc.n + 1)
+            }
+            state.update(acc)
+            // close the open session once the watermark passes last+gap
+            state.setTimeoutTimestamp(acc.last + GapMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** E3: streaming dedup on event_id bounded by the watermark —
+    * duplicates arriving within the horizon are dropped, state is
+    * evicted beyond it (unbounded-state-free, unlike plain
+    * dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,193 @@
+package graft.chess
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ChessPipelineSpec extends SparkSpec {
+
+  /** Four hand-crafted games with known stats. alice plays 3 games
+    * (2 Blitz, 1 Bullet), bob 2, carol 2, dave 1.
+    */
+  private lazy val raw: DataFrame = {
+    val d = Files.createTempDirectory("pgn_pipe")
+    val pgn =
+      """[Event "Rated Blitz game"]
+        |[Site "https://lichess.org/g1"]
+        |[White "alice"]
+        |[Black "bob"]
+        |[Result "1-0"]
+        |[UTCDate "2024.03.01"]
+        |[UTCTime "10:00:00"]
+        |[WhiteElo "1500"]
+        |[BlackElo "1600"]
+        |[WhiteRatingDiff "+8"]
+        |[BlackRatingDiff "-8"]
+        |[ECO "B20"]
+        |[Opening "Sicilian Defense"]
+        |[TimeControl "300+0"]
+        |[Termination "Normal"]
+        |
+        |1. e4 c5 2. Nf3 d6 3. d4 cxd4 4. Nxd4 Nf6 5. Nc3 1-0
+        |
+        |[Event "Rated Blitz tournament https://lichess.org/tournament/xyz"]
+        |[Site "https://lichess.org/g2"]
+        |[White "carol"]
+        |[Black "alice"]
+        |[Result "0-1"]
+        |[UTCDate "2024.03.01"]
+        |[UTCTime "11:00:00"]
+        |[WhiteElo "?"]
+        |[BlackElo "1520"]
+        |[WhiteRatingDiff "?"]
+        |[BlackRatingDiff "+5"]
+        |[ECO "C20"]
+        |[Opening "King's Pawn Game"]
+        |[TimeControl "300+0"]
+        |[Termination "Time forfeit"]
+        |
+        |1. e4 { [%eval 0.3] } e5 { [%eval 0.1] } 2. Nf3 Nc6 3. Bb5 a6 4. Ba4 Nf6 0-1
+        |
+        |[Event "Rated Bullet game"]
+        |[Site "https://lichess.org/g3"]
+        |[White "alice"]
+        |[Black "carol"]
+        |[Result "1/2-1/2"]
+        |[UTCDate "2024.03.02"]
+        |[UTCTime "09:00:00"]
+        |[WhiteElo "1490"]
+        |[BlackElo "1410"]
+        |[WhiteRatingDiff "+0"]
+        |[BlackRatingDiff "+0"]
+        |[WhiteTitle "GM"]
+        |[ECO "A00"]
+        |[Opening "Polish Opening"]
+        |[TimeControl "60+0"]
+        |[Termination "Normal"]
+        |
+        |1. b4 e5 2. Bb2 Bxb4 3. Bxe5 Nf6 1/2-1/2
+        |
+        |[Event "Rated Blitz game"]
+        |[Site "https://lichess.org/g4"]
+        |[White "bob"]
+        |[Black "dave"]
+        |[Result "1-0"]
+        |[UTCDate "2024.03.02"]
+        |[UTCTime "10:30:00"]
+        |[WhiteElo "1650"]
+        |[BlackElo "1700"]
+        |[WhiteRatingDiff "+7"]
+        |[BlackRatingDiff "-7"]
+        |[ECO "B20"]
+        |[Opening "Sicilian Defense"]
+        |[TimeControl "300+0"]
+        |[Termination "Normal"]
+        |
+        |1. e4 c5 2. Nf3 1-0
+        |""".stripMargin
+    Files.writeString(d.resolve("t.pgn"), pgn)
+    spark.read.format("pgn").load(d.toString)
+  }
+
+  private lazy val games = ChessPipeline.parseGames(raw)
+  private lazy val pgr = ChessPipeline.fromPgn(raw)
+
+  test("parses and cleans tags") {
+    val g2 = games.filter(col("ID") === "g2").head()
+    assert(g2.getAs[String]("Event") === "Rated Blitz") // tournament suffix stripped
+    assert(g2.getAs[Boolean]("Tournament"))
+    assert(g2.getAs[Any]("WhiteElo") == null) // "?" -> null
+    assert(g2.getAs[Int]("BlackElo") === 1520)
+    assert(g2.getAs[Any]("WhiteRatingDiff") == null)
+    assert(g2.getAs[Int]("BlackRatingDiff") === 5) // "+5" -> 5
+    assert(g2.getAs[Boolean]("Evaluation_flag"))
+    val g1 = games.filter(col("ID") === "g1").head()
+    assert(!g1.getAs[Boolean]("Tournament"))
+    assert(g1.getAs[String]("Event") === "Rated Blitz game")
+    assert(!g1.getAs[Boolean]("Evaluation_flag"))
+    // moves truncated at "4."
+    assert(g1.getAs[String]("Moves") === "1. e4 c5 2. Nf3 d6 3. d4 cxd4 ")
+    assert(g1.getAs[java.sql.Timestamp]("DateTime").toString === "2024-03-01 10:00:00.0")
+  }
+
+  test("title flag and missing title") {
+    val g3 = games.filter(col("ID") === "g3").head()
+    assert(g3.getAs[String]("WhiteTitle") === "GM")
+    assert(g3.getAs[Boolean]("WhiteTitle_flag"))
+    assert(g3.getAs[Any]("BlackTitle") == null)
+    assert(!g3.getAs[Boolean]("BlackTitle_flag"))
+  }
+
+  test("player-game-role doubling with result reversal") {
+    assert(pgr.count() === 8) // 4 games x 2 roles
+    val g1 = pgr.filter(col("ID") === "g1").orderBy(desc("Role_player")).collect()
+    val w = g1(0); val b = g1(1)
+    assert(w.getAs[String]("Role_player") === "White")
+    assert(w.getAs[String]("Player") === "alice")
+    assert(w.getAs[String]("Opponent") === "bob")
+    assert(w.getAs[String]("Result") === "1-0")
+    assert(b.getAs[String]("Role_player") === "Black")
+    assert(b.getAs[String]("Player") === "bob")
+    assert(b.getAs[String]("Opponent") === "alice")
+    assert(b.getAs[String]("Result") === "0-1") // reversed
+    // draw is not reversed
+    val g3b = pgr.filter(col("ID") === "g3" && col("Role_player") === "Black").head()
+    assert(g3b.getAs[String]("Result") === "1/2-1/2")
+  }
+
+  test("cumulative game counts follow (DateTime, ID) order") {
+    val alice = pgr.filter(col("Player") === "alice")
+      .orderBy("DateTime")
+      .select("ID", "Player_cum_games_total", "Player_cum_games_type")
+      .collect()
+    // g1 (Blitz) -> total 1, type 1; g2 (Blitz tournament, same cleaned
+    // type "Rated Blitz"? no: g1 type is "Rated Blitz game", g2 is
+    // "Rated Blitz") -> total 2, type 1; g3 (Bullet) -> total 3, type 1
+    assert(alice.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+    assert(alice.map(_.getInt(2)).toSeq === Seq(1, 1, 1))
+  }
+
+  test("running max Elo, '?' keeps previous (0 if none)") {
+    // carol: g2 (White, Elo "?", event "Rated Blitz") -> max 0
+    //        g3 (Black, 1410, event "Rated Bullet game") -> max 1410
+    val carol = pgr.filter(col("Player") === "carol").orderBy("DateTime")
+      .select("ID", "PlayerElo_max", "PlayerElo_max_faced").collect()
+    assert(carol.map(_.getInt(1)).toSeq === Seq(0, 1410))
+    // reference bug replicated: max_faced == max (ingester.py:210-218)
+    assert(carol.map(_.getInt(2)).toSeq === Seq(0, 1410))
+  }
+
+  test("stable per-player random is consistent across rows") {
+    val r = pgr.filter(col("Player") === "alice")
+      .select("Player_random").distinct().collect()
+    assert(r.length === 1)
+    val v = r(0).getDouble(0)
+    assert(v >= 0.0 && v < 1.0)
+    // opponent side sees the same number
+    val o = pgr.filter(col("Opponent") === "alice")
+      .select("Opponent_random").distinct().collect()
+    assert(o.length === 1 && o(0).getDouble(0) === v)
+  }
+
+  test("elo bin labels match the reference cut()") {
+    val bins = pgr.select("PlayerElo", "PlayerElo_bin").distinct().collect()
+    bins.foreach { row =>
+      Option(row.get(0)).foreach { elo =>
+        val e = elo.asInstanceOf[Int]
+        val lo = math.ceil(e / 200.0).toInt * 200 - 200
+        assert(row.getString(1) === s"($lo, ${lo + 200}]", s"elo=$e")
+      }
+    }
+  }
+
+  test("partitioned sorted sink writes month partitions") {
+    val out = Files.createTempDirectory("pgr_out").toString
+    ChessPipeline.writePartitioned(pgr, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("year_month="))
+    assert(dirs.toSet === Set("year_month=2024_03"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 8)
+  }
+}

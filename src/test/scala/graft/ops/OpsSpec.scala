@@ -1,0 +1,160 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+case class Doc(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: Long)
+case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+/** Semantic specs for the LLM-training-data operators (SURVEY §2.D)
+  * on crafted corpora with known dup/similarity structure.
+  */
+class OpsSpec extends SparkSpec {
+
+  /** doc 1 == doc 2 (exact dup); doc 3 ~ doc 1 (one word changed);
+    * doc 4 unique; doc 5 too short for shingles; docs 6/7 exact dups
+    * of each other.
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ops_spec").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      Doc(1, base, "en", "s", base.length),
+      Doc(2, base, "en", "s", base.length),
+      Doc(3, base.replace("lazy", "sleepy"), "en", "s", base.length + 2),
+      Doc(4, "completely different content about solar panels and wind turbines efficiency metrics", "en", "s", 80),
+      Doc(5, "too short", "en", "s", 9),
+      Doc(6, "der hund und die katze sind nicht zu hause und das ist gut", "de", "s", 60),
+      Doc(7, "der hund und die katze sind nicht zu hause und das ist gut", "de", "s", 60))
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val e = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0.99f, 0.14f, 0f, 0f) // cos ~ 0.990
+    val o = Array(0f, 1f, 0f, 0f)
+    val embs = Seq(Emb(0, e, 0), Emb(1, e, 0), Emb(2, e2, 0), Emb(3, o, 1),
+      Emb(4, Array(0f, 0f, 1f, 0f), 2), Emb(5, Array(0f, 0f, 0.99f, 0.14f), 2))
+    embs.toDF().write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("dedup_exact groups identical texts, keeps smallest id") {
+    val rows = Dedup.dedupExact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) === 2) // docs 1+2
+    assert(rows(6L) === 2) // docs 6+7
+    assert(rows(3L) === 1)
+  }
+
+  test("dedup_minhash links exact and near dups to the smallest neighbor") {
+    val keep = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep(1L) === 1)
+    assert(keep(2L) === 1) // exact dup of 1
+    assert(keep(3L) === 1) // near dup of 1 (high jaccard)
+    assert(keep(4L) === 4) // unique
+    assert(keep(5L) === 5) // no shingles, still present
+    assert(keep(7L) === 6) // exact dup of 6
+    assert(keep.size === 7)
+  }
+
+  test("dedup_simhash links identical token streams") {
+    val keep = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keep(2L) === 1)
+    assert(keep(7L) === 6)
+    assert(keep(4L) === 4)
+  }
+
+  test("dedup_jaccard ranks the near-dup pair highest") {
+    val top = Dedup.dedupJaccard(spark, dir).head()
+    // top pair must be an exact-dup pair (jaccard 1.0)
+    assert(top.getAs[Double]("jaccard") === 1.0)
+    val pairs = Dedup.dedupJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    // near-dup 1~3 present with 0 < j < 1
+    val nd = pairs.find(p => p._1 == 1 && p._2 == 3).get
+    assert(nd._3 > 0.4 && nd._3 < 1.0)
+  }
+
+  test("dedup_embed groups identical and near-identical vectors") {
+    val keep = Dedup.dedupEmbed(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep(1L) === 0) // identical vector
+    assert(keep(3L) === 3) // orthogonal stays
+    assert(keep.size === 6)
+  }
+
+  test("ann_bruteforce returns self as rank-1 with cosine 1") {
+    val rows = Similarity.annBruteforce(spark, dir).collect()
+    val r1 = rows.filter(r => r.getLong(0) == 0 && r.getInt(1) == 1).head
+    assert(r1.getLong(2) === 0 || r1.getLong(2) === 1) // self or exact twin
+    assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9)
+    // query 3 (orthogonal): nearest non-self must not be vec 0
+    val q3 = rows.filter(_.getLong(0) == 3).sortBy(_.getInt(1))
+    assert(q3.head.getLong(2) === 3)
+  }
+
+  test("ann_lsh finds the exact twin in the same bucket") {
+    val rows = Similarity.annLsh(spark, dir).collect()
+    val q0 = rows.filter(_.getLong(0) == 0).map(_.getLong(2)).toSet
+    assert(q0.contains(1L)) // identical vector must collide
+  }
+
+  test("text token counts are exact") {
+    val r = TextOps.textTokens(spark, dir).filter(col("doc_id") === 5).head()
+    assert(r.getLong(1) === 2) // "too short"
+    assert(r.getLong(2) === 2)
+  }
+
+  test("quality score uses stopword ratio and length") {
+    val r = TextOps.textQuality(spark, dir).filter(col("doc_id") === 1).head()
+    val nWords = r.getLong(2)
+    assert(nWords === 14)
+    val stopRatio = r.getDouble(3)
+    // "the" x3 of 14 words
+    assert(math.abs(stopRatio - 3.0 / 14.0) < 1e-9)
+  }
+
+  test("langid separates en and de") {
+    val rows = TextOps.textLangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows(1L) === "en")
+    assert(rows(6L) === "de")
+  }
+
+  test("fingerprint equal iff token stream equal") {
+    val fp = TextOps.textFingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(6L) === fp(7L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("multimodal: sniffed formats and batched stub decode") {
+    val meta = Multimodal.mmMeta(spark, dir).collect()
+    assert(meta.length === 7)
+    val byId = meta.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc_id % 3: 1->jpeg(idx1), 2->wav, 3->png, ...
+    assert(byId(3L) === "png")
+    assert(byId(1L) === "jpeg")
+    assert(byId(2L) === "wav")
+    val m1 = meta.filter(_.getLong(0) == 1).head
+    assert(m1.getLong(2) > 4) // magic + payload bytes
+    assert(m1.getInt(5) >= 1 && m1.getInt(5) <= 1920)
+  }
+
+  test("binLow/binLabel right-closed semantics") {
+    import spark.implicits._
+    val df = Seq(1.0, 200.0, 201.0, 400.0).toDF("v")
+      .select(graft.functions.binLow(col("v"), 200).as("lo"),
+        graft.functions.binLabel(col("v"), 200).as("lab"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows(0) === (0L, "(0, 200]"))
+    assert(rows(1) === (0L, "(0, 200]"))   // edge value belongs below
+    assert(rows(2) === (200L, "(200, 400]"))
+    assert(rows(3) === (200L, "(200, 400]"))
+  }
+}

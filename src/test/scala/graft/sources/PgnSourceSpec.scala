@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.chess.SamplePgn
+
+class PgnSourceSpec extends SparkSpec {
+
+  private lazy val dir = SamplePgn.ensureWritten() // 4 files x 50 games
+
+  test("reads all games across multiple files") {
+    val df = spark.read.format("pgn").load(dir)
+    assert(df.count() === 200)
+  }
+
+  test("parses tag pairs and movetext") {
+    val df = spark.read.format("pgn").load(dir)
+    val row = df
+      .filter(element_at(col("tags"), "Site") === "https://lichess.org/game00000")
+      .select(element_at(col("tags"), "White"), col("movetext"))
+      .head()
+    assert(row.getString(0).nonEmpty)
+    assert(row.getString(1).startsWith("1."))
+  }
+
+  test("split-invariant: tiny splits give the same games as whole-file") {
+    val whole = spark.read.format("pgn").load(dir)
+      .select(element_at(col("tags"), "Site").as("site")).orderBy("site")
+      .collect().map(_.getString(0)).toSeq
+    for (split <- Seq(100, 237, 1000, 5000)) {
+      val sliced = spark.read.format("pgn")
+        .option("pgn.splitSize", split.toString).load(dir)
+        .select(element_at(col("tags"), "Site").as("site")).orderBy("site")
+        .collect().map(_.getString(0)).toSeq
+      assert(sliced === whole, s"splitSize=$split")
+    }
+  }
+
+  test("tiny splits produce many partitions (scale-out shape)") {
+    val df = spark.read.format("pgn").option("pgn.splitSize", "500").load(dir)
+    assert(df.rdd.getNumPartitions > 10)
+  }
+
+  test("gzip-compressed pgn reads whole-file (one partition per file)") {
+    val gzDir = Files.createTempDirectory("pgn_gz")
+    val src = Files.readAllBytes(Paths.get(dir, "games_00.pgn"))
+    val gz = gzDir.resolve("games.pgn.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(src); out.close()
+    val df = spark.read.format("pgn")
+      .option("pgn.splitSize", "100") // must be ignored for compressed input
+      .load(gzDir.toString)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.count() === 50)
+  }
+
+  test("handles games with comments, missing tags, CRLF") {
+    val d = Files.createTempDirectory("pgn_edge")
+    val pgn =
+      "[Event \"Casual game\"]\r\n" +
+      "[Site \"https://lichess.org/x1\"]\r\n" +
+      "[Result \"*\"]\r\n" +
+      "\r\n" +
+      "1. e4 { best by test } e5 2. Nf3 *\r\n" +
+      "\r\n" +
+      "[Event \"Another\"]\n" +
+      "[Site \"https://lichess.org/x2\"]\n" +
+      "\n" +
+      "1. d4 1-0\n"
+    Files.writeString(d.resolve("edge.pgn"), pgn)
+    val df = spark.read.format("pgn").load(d.toString)
+    assert(df.count() === 2)
+    val first = df.filter(element_at(col("tags"), "Site") === "https://lichess.org/x1").head()
+    assert(first.getAs[Map[String, String]]("tags")("Event") === "Casual game")
+    assert(first.getAs[String]("movetext").contains("best by test"))
+  }
+}

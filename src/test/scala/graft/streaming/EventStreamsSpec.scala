@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.EventStreams.Ev
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, v: Double = 1.0) =
+    Ev(id, ts(minute), user, "click", v)
+
+  test("tumbling window aggregates by event time and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    // window [10:00,10:10): 2 events; [10:10,10:20): 1 event
+    input.addData(ev(1, 1), ev(2, 5), ev(3, 12))
+    q.processAllAvailable()
+    // advance watermark far past 10:20 -> both windows close
+    input.addData(ev(4, 60))
+    q.processAllAvailable()
+    // a very late row for the closed first window must be dropped
+    input.addData(ev(5, 2))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows("10:00") === 2)
+    assert(rows("10:10") === 1)
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // user 1: events at 10:00, 10:10 (one session), then 11:00 (> 30min
+    // gap -> closes session 1, opens session 2)
+    input.addData(ev(1, 0), ev(2, 10))
+    q.processAllAvailable()
+    input.addData(ev(3, 60))
+    q.processAllAvailable()
+    // push the watermark far ahead so session 2 times out
+    input.addData(ev(9, 300, user = 2L))
+    q.processAllAvailable()
+    input.addData(ev(10, 600, user = 2L))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .filter(col("user_id") === 1L)
+      .select("session_seq", "n_events").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows(1L) === 2) // first session: 2 events
+    assert(rows(2L) === 1) // second session closed by timeout
+  }
+
+  test("dropDuplicatesWithinWatermark removes dups inside horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupStream(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    input.addData(ev(1, 0), ev(1, 1), ev(2, 2)) // id 1 duplicated
+    q.processAllAvailable()
+    input.addData(ev(1, 3), ev(3, 4)) // another dup of id 1
+    q.processAllAvailable()
+    val n = spark.table("dedup").select("event_id").distinct().count()
+    val total = spark.table("dedup").count()
+    q.stop()
+    assert(n === 3)
+    assert(total === 3)
+  }
+}
