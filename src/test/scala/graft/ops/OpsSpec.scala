@@ -146,6 +146,26 @@ class OpsSpec extends SparkSpec {
     assert(m1.getInt(5) >= 1 && m1.getInt(5) <= 1920)
   }
 
+  test("native CosineSim matches the HOF formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rng.nextFloat() - 0.5f),
+      Array.fill(64)(rng.nextFloat() - 0.5f)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+        graft.functions.cosine(col("a"), col("b")).as("native"),
+        graft.functions.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+    }
+    // null propagation + zero-norm guard
+    val edge = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(graft.functions.cosine(col("a"), col("b")))
+    assert(edge.head().getDouble(0) === 0.0)
+  }
+
   test("binLow/binLabel right-closed semantics") {
     import spark.implicits._
     val df = Seq(1.0, 200.0, 201.0, 400.0).toDF("v")
