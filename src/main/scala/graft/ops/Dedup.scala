@@ -71,12 +71,28 @@ object Dedup {
     transform(sequence(lit(0), lit(Bands - 1)),
       b => struct(b.as("band"), hash(slice(sig, b * (MinhashK / Bands) + 1, lit(MinhashK / Bands))).as("bhash")))
 
+  /** Skew guard: LSH bucket joins are quadratic in bucket size, and a
+    * degenerate bucket (boilerplate shingles, the all-identical band)
+    * turns one reducer into the whole job. Production dedup pipelines
+    * cap bucket size and skip the overflow (those pairs are caught by
+    * other bands with overwhelming probability). 10k keeps the
+    * worst bucket's pair fan-out bounded at ~5e7 per band.
+    */
+  val MaxBucket = 10000
+
+  private def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("_bn", count(lit(1)).over(w))
+      .filter(col("_bn") <= MaxBucket).drop("_bn")
+  }
+
   /** D2: MinHash+LSH near-dup with exact-Jaccard verification. */
   def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = docSigs(s, dir)
-    val banded = docs
+    val banded = capBuckets(docs
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bhash"))
+      .select(col("doc_id"), col("b.band"), col("b.bhash")),
+      Seq("band", "bhash"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -130,9 +146,10 @@ object Dedup {
     */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = simhashDocs(s, dir)
-    val banded = docs.select(col("doc_id"), col("simhash"),
+    val banded = capBuckets(docs.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 16) & 65535 as bhash))")).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash")),
+      Seq("band", "bhash"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -160,9 +177,12 @@ object Dedup {
     // the shingle expression appears); doc sizes come from a groupBy
     // of the same index and join back on doc_id — no expression
     // re-inlining into join keys.
-    val inv = Tables.load(s, dir, "documents")
+    val invAll = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("shingle"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = invAll.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // doc-frequency cap on the posting lists — a near-universal shingle
+    // would generate df^2 pairs (same skew guard as capBuckets)
+    val inv = capBuckets(invAll, Seq("shingle"))
     val pairs = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -245,7 +245,114 @@ object Relational {
         graft.functions.binLow(col("c_acctbal"), 200).as("bin_lo"))
       .orderBy("c_custkey")
 
+  /** C12b: cube over (region, mktsegment). */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+  }
+
+  /** C10b: EXCEPT — customers with orders but none above 400k. */
+  def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** C10c: INTERSECT — users with both purchases and errors. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "purchase").select("user_id")
+      .intersect(e.filter(col("event_type") === "error").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** C3b: full outer join of two daily aggregates with coalesced key. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def daily(tpe: String, as: String) =
+      e.filter(col("event_type") === tpe)
+        .groupBy(to_date(col("ts")).as(s"day_$as"))
+        .agg(count(lit(1)).as(s"n_$as"))
+    daily("purchase", "p").join(daily("error", "e"),
+        col("day_p") === col("day_e"), "full_outer")
+      .select(coalesce(col("day_p"), col("day_e")).as("day"),
+        coalesce(col("n_p"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_e"), lit(0L)).as("n_error"))
+      .orderBy("day")
+  }
+
+  /** C6b: ntile + percent_rank window. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("c_custkey")
+  }
+
+  /** C2b: exact interpolated percentiles per group (rounded to absorb
+    * engine-specific interpolation op order).
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Seq[Q] = Seq(
+    Q("q_cube", qCube, Some(
+      """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, c_mktsegment)
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
+    Q("q_except", qExcept, Some(
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin)),
+    Q("q_intersect", qIntersect, Some(
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin)),
+    Q("q_full_outer", qFullOuter, Some(
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events
+        |  WHERE event_type = 'error' GROUP BY 1)
+        |SELECT COALESCE(p.day, e.day) AS day,
+        |       COALESCE(p.n, 0) AS n_purchase,
+        |       COALESCE(e.n, 0) AS n_error
+        |FROM p FULL OUTER JOIN e ON p.day = e.day
+        |ORDER BY day""".stripMargin)),
+    Q("q_ntile", qNtile, Some(
+      """SELECT c_custkey, c_acctbal,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q_percentiles", qPercentiles, Some(
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     Q("q1_pricing", q1Pricing, Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
