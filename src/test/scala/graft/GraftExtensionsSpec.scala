@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("cosine_sim is callable from SQL when extensions are configured") {
+    // Build a separate session (sharing the JVM's SparkContext) with
+    // the extension installed; never stop() it — that would kill the
+    // context under the suite-wide shared session.
+    val shared = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions().apply(_))
+        .getOrCreate()
+      val r = spark.sql(
+        """SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+          |                  array(cast(1.0 as float), cast(0.0 as float))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(r - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
