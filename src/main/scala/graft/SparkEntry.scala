@@ -8,9 +8,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * the coverage checklist in SURVEY §2 maps 1:1 to code.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Q1-shaped aggregate: always 6 groups regardless of SF
+    * (q5's region filter can collapse to 1 row at tiny SF).
+    */
   def entry(spark: SparkSession): DataFrame =
-    ops.Relational.q5Volume(spark, "/root/testdata/sf0.001")
+    ops.Relational.q1Pricing(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
