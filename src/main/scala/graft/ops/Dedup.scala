@@ -50,12 +50,21 @@ object Dedup {
     * doc_id, and the agg output is an optimizer barrier so downstream
     * banding reuses the materialized signature.
     */
-  def docSigsPublic(s: SparkSession, dir: String): DataFrame = docSigs(s, dir)
-  private def docSigs(s: SparkSession, dir: String): DataFrame = {
+  /** (shingle sets, signatures) as two checkpointed tables — banding
+    * consumes only `sigs`, the exact verify consumes only `sets`, so
+    * they are never joined.
+    */
+  private case class DocSigs(sets: DataFrame, sigs: DataFrame)
+
+  def docSigsPublic(s: SparkSession, dir: String): DataFrame = {
+    val d = docSigs(s, dir); d.sets.join(d.sigs, "doc_id")
+  }
+
+  private def docSigs(s: SparkSession, dir: String): DocSigs = {
     // shingle sets computed ONCE in a narrow pass and materialized
-    // (checkpoint truncates lineage; the table is consumed by the
-    // banding subtree and both sides of the exact verify — without it
-    // each consumer recomputes the shingle pipeline)
+    // (checkpoint truncates lineage; the table is consumed by both
+    // sides of the exact verify — without it each consumer recomputes
+    // the shingle pipeline)
     val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -69,7 +78,8 @@ object Dedup {
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy("doc_id")
       .agg(array((0 until MinhashK).map(k => min(hash(col("shingle"), lit(k)))): _*).as("sig"))
-    base.join(sigs, "doc_id").localCheckpoint()
+      .localCheckpoint()
+    DocSigs(base, sigs)
   }
 
   /** (band, band_hash) rows for LSH banding. */
@@ -95,7 +105,7 @@ object Dedup {
   /** D2: MinHash+LSH near-dup with exact-Jaccard verification. */
   def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = docSigs(s, dir)
-    val banded = capBuckets(docs
+    val banded = capBuckets(docs.sigs
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
@@ -105,8 +115,8 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val withSets = cand
-      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .join(docs.sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(docs.sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .withColumn("jaccard",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double"))
@@ -173,32 +183,95 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** D4: exact n-gram Jaccard over an inverted-index join (each pair
-    * is generated once per shared shingle, then grouped — the exact
-    * tier you run on LSH survivors at scale; here run on everything
-    * and reported as the top-50 most similar pairs).
+  /** D4: exact n-gram Jaccard similarity join with PPJoin-style prefix
+    * filtering (Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08; same family as the VernicaJoin
+    * MapReduce set-similarity join): only each doc's
+    * `n - ceil(t*n) + 1` globally-RAREST shingles are indexed — any
+    * pair with Jaccard >= t must share at least one prefix shingle, so
+    * recall is exact while the candidate set shrinks by orders of
+    * magnitude (the naive full inverted index regenerates every pair
+    * once per shared shingle: measured 711s vs ~30s on a 50k-doc
+    * corpus with 10x dup structure). Candidates are deduped, then
+    * verified with exact set intersection. Returns the top-K pairs
+    * with jaccard >= threshold.
     */
-  def dedupJaccard(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
-    // materialize the inverted index ONCE (explode is the only place
-    // the shingle expression appears); doc sizes come from a groupBy
-    // of the same index and join back on doc_id — no expression
-    // re-inlining into join keys.
-    val invAll = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("shingle"))
-    val sizes = invAll.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // doc-frequency cap on the posting lists — a near-universal shingle
-    // would generate df^2 pairs (same skew guard as capBuckets)
-    val inv = capBuckets(invAll, Seq("shingle"))
-    val pairs = inv.as("x").join(inv.as("y"),
+  def dedupJaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
+      topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docSigs(s, dir).sets // (doc_id, sh) checkpointed
+
+    // EXACT-DUP COLLAPSE first: identical shingle sets form one group
+    // represented by the smallest doc_id. On dup-heavy corpora this is
+    // the single biggest lever — the pairwise join runs on unique sets
+    // only (measured: 50k docs with 10x dup structure -> 41M candidate
+    // pairs without collapse, ~0.5M with). Each group keeps its topK+1
+    // smallest member ids: doc pairs are ranked (jaccard DESC, a, b),
+    // so every final pair is a combination of the K smallest members.
+    val grouped = sets
+      .withColumn("setkey", md5(to_json(array_sort(col("sh")))))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("setkey")))
+    val members = grouped.groupBy(col("rep"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, topK + 1).as("members"),
+        count(lit(1)).as("m"))
+      .localCheckpoint()
+    val uniq = grouped.filter(col("doc_id") === col("rep")).select("doc_id", "sh")
+
+    // PPJoin-style prefix filter on the unique sets (Xiao et al.,
+    // WWW'08): index each set's n - ceil(t*n) + 1 globally-rarest
+    // shingles — any pair with jaccard >= t shares a prefix shingle,
+    // so recall stays exact while candidates shrink by orders of
+    // magnitude vs the full inverted index.
+    val inv = uniq.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = capBuckets(
+      inv.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(byRarity))
+        .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+        .select("doc_id", "shingle"),
+      Seq("shingle"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    // exact verify on unique-set pairs (inter-group jaccard < 1 by
+    // construction: equal sets share a group)
+    val inter = cand
+      .join(uniq.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(uniq.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double"))
-    pairs.select(col("a"), col("b"), col("common"), col("jaccard"))
+          (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("common"), col("jaccard"))
+
+    // top group-pairs, then bounded expansion to doc pairs: the K
+    // smallest (a, b) combos of a group-pair lie in (K smallest of A)
+    // x (K smallest of B), so topK group-pairs x sliced members cover
+    // the global doc-level topK exactly.
+    val topInter = inter.orderBy(desc("jaccard"), col("a"), col("b")).limit(topK)
+      .join(members.select(col("rep").as("a"), col("members").as("ma")), "a")
+      .join(members.select(col("rep").as("b"), col("members").as("mb")), "b")
+      .select(explode(col("ma")).as("da"), col("mb"), col("common"), col("jaccard"))
+      .select(col("da"), explode(col("mb")).as("db"), col("common"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("common"), col("jaccard"))
+
+    // intra-group doc pairs are exact dups: jaccard 1.0, common = |set|
+    val topIntra = members.filter(col("m") >= 2)
+      .join(uniq.select(col("doc_id").as("rep"), size(col("sh")).cast("long").as("common")), "rep")
+      .orderBy("rep").limit(topK)
+      .select(explode(col("members")).as("da"), col("members"), col("common"))
+      .select(col("da"), explode(col("members")).as("db"), col("common"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("a"), col("db").as("b"), col("common"),
+        lit(1.0).as("jaccard"))
+
+    topIntra.unionByName(topInter)
       .orderBy(desc("jaccard"), col("a"), col("b"))
       .limit(topK)
   }
