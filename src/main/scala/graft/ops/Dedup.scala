@@ -42,44 +42,55 @@ object Dedup {
   val MinhashK = 64
   val Bands = 16 // 16 bands x 4 rows
 
-  /** Per-doc (sig, shingle-set) via explode + groupBy: each shingle is
-    * hashed exactly 64 times, ONCE — the naive nested-HOF projection
-    * gets re-inlined by CollapseProject into every band/signature slot
-    * (a ~1000x recompute blowup). The aggregate is also the natural
-    * 100 TB shape: map-side partial min per slot, one shuffle on
-    * doc_id, and the agg output is an optimizer barrier so downstream
-    * banding reuses the materialized signature.
+  /** Exact-collapsed shingle corpus — the shared front-end of the
+    * near-dup operators:
+    *  - `docToRep`: doc_id -> rep, where rep is the smallest doc_id
+    *    with an IDENTICAL shingle set (exact-dup collapse: on
+    *    dup-heavy corpora this shrinks every pairwise stage
+    *    quadratically, with unchanged semantics — exact dups have the
+    *    same signatures and the same jaccard to everything);
+    *  - `members`: per rep, the topK+1 smallest member ids + group
+    *    size (for bounded doc-level expansion);
+    *  - `sets` / `sigs`: shingle set and MinHash signature PER UNIQUE
+    *    SET only. Signatures come from explode + a pure 64-min
+    *    HashAggregate: each shingle hashed exactly once per slot,
+    *    whole-stage codegen (the naive nested-HOF projection gets
+    *    re-inlined by CollapseProject into every band slot — a
+    *    ~1000x recompute blowup; collect_set alongside the mins
+    *    forces sort-based ObjectHashAggregate — ~4x).
+    * All four are localCheckpoint'ed: they are consumed by multiple
+    * subtrees, and the checkpoint truncates lineage. At cluster scale
+    * the same tables would be persisted to reliable storage instead
+    * (executor loss invalidates local checkpoints).
     */
-  /** (shingle sets, signatures) as two checkpointed tables — banding
-    * consumes only `sigs`, the exact verify consumes only `sets`, so
-    * they are never joined.
-    */
-  private case class DocSigs(sets: DataFrame, sigs: DataFrame)
+  private case class ShingleCorpus(docToRep: DataFrame, members: DataFrame,
+      sets: DataFrame, sigs: DataFrame)
 
   def docSigsPublic(s: SparkSession, dir: String): DataFrame = {
-    val d = docSigs(s, dir); d.sets.join(d.sigs, "doc_id")
+    val c = shingleCorpus(s, dir); c.sets.join(c.sigs, "doc_id")
   }
 
-  private def docSigs(s: SparkSession, dir: String): DocSigs = {
-    // shingle sets computed ONCE in a narrow pass and materialized
-    // (checkpoint truncates lineage; the table is consumed by both
-    // sides of the exact verify — without it each consumer recomputes
-    // the shingle pipeline)
-    val base = Tables.load(s, dir, "documents")
+  private def shingleCorpus(s: SparkSession, dir: String, topK: Int = 50): ShingleCorpus = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("setkey")
+    val grouped = Tables.load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("setkey", md5(to_json(array_sort(col("sh")))))
+      .withColumn("rep", min(col("doc_id")).over(w))
       .localCheckpoint()
-    // signatures via explode + pure 64-min HashAggregate: every
-    // shingle hashed exactly once per slot, whole-stage codegen.
-    // (Carrying the set through the agg with collect_set instead
-    // forces ObjectHashAggregate with 65 buffers, which falls back to
-    // sort-based aggregation — measured ~4x slower end-to-end.)
-    val sigs = base
+    val docToRep = grouped.select("doc_id", "rep")
+    val members = grouped.groupBy(col("rep"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, topK + 1).as("members"),
+        count(lit(1)).as("m"))
+      .localCheckpoint()
+    val sets = grouped.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sh")).localCheckpoint()
+    val sigs = sets
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy("doc_id")
       .agg(array((0 until MinhashK).map(k => min(hash(col("shingle"), lit(k)))): _*).as("sig"))
       .localCheckpoint()
-    DocSigs(base, sigs)
+    ShingleCorpus(docToRep, members, sets, sigs)
   }
 
   /** (band, band_hash) rows for LSH banding. */
@@ -102,10 +113,16 @@ object Dedup {
       .filter(col("_bn") <= MaxBucket).drop("_bn")
   }
 
-  /** D2: MinHash+LSH near-dup with exact-Jaccard verification. */
+  /** D2: MinHash+LSH near-dup with exact-Jaccard verification, on the
+    * exact-collapsed corpus. A doc's smallest near-dup neighbor equals
+    * its group's keep_rep (rep = min member, and every member has the
+    * same jaccard to everything), so the doc-level answer is a join of
+    * docToRep with the rep-level result — no pairwise work at doc
+    * granularity.
+    */
   def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = docSigs(s, dir)
-    val banded = capBuckets(docs.sigs
+    val c = shingleCorpus(s, dir)
+    val banded = capBuckets(c.sigs
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
@@ -115,21 +132,25 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val withSets = cand
-      .join(docs.sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(docs.sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .join(c.sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(c.sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .withColumn("jaccard",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-    val neighborMin = withSets.select(col("a").as("doc_id"), col("b").as("nbr"))
-      .unionByName(withSets.select(col("b").as("doc_id"), col("a").as("nbr")))
-      .groupBy("doc_id").agg(min(col("nbr")).as("min_nbr"))
+    val neighborMin = withSets.select(col("a").as("rep"), col("b").as("nbr"))
+      .unionByName(withSets.select(col("b").as("rep"), col("a").as("nbr")))
+      .groupBy("rep").agg(min(col("nbr")).as("min_nbr"))
+    val repKeep = c.sets.select(col("doc_id").as("rep"))
+      .join(neighborMin, Seq("rep"), "left")
+      .select(col("rep"),
+        least(coalesce(col("min_nbr"), col("rep")), col("rep")).as("keep_rep"))
     // join base = raw table: docs with <3 tokens have no shingles (and
-    // no sig rows) but must still appear with keep_id = themselves.
+    // no rep) but must still appear with keep_id = themselves.
     Tables.load(s, dir, "documents").select(col("doc_id"))
-      .join(neighborMin, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(coalesce(col("min_nbr"), col("doc_id")), col("doc_id")).as("keep_id"))
+      .join(c.docToRep, Seq("doc_id"), "left")
+      .join(repKeep, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("keep_rep"), col("doc_id")).as("keep_id"))
       .orderBy("doc_id")
   }
 
@@ -138,9 +159,33 @@ object Dedup {
     * fold to a Long with shiftleft|OR (ANSI-safe — no overflow). Same
     * recompute-blowup rationale as [[docSigs]].
     */
-  def simhashDocsPublic(s: SparkSession, dir: String): DataFrame = simhashDocs(s, dir)
-  private def simhashDocs(s: SparkSession, dir: String): DataFrame = {
-    val votes = Tables.load(s, dir, "documents")
+  def simhashDocsPublic(s: SparkSession, dir: String): DataFrame = {
+    val c = simhashCorpus(s, dir)
+    c.docToRep.join(c.uniq.withColumnRenamed("doc_id", "rep"), "rep")
+      .select("doc_id", "simhash")
+  }
+
+  /** Exact-collapsed simhash corpus: identical TEXTS (simhash is over
+    * the token stream, not the set) collapse to the smallest doc_id;
+    * votes are aggregated per unique text only.
+    */
+  private case class SimhashCorpus(docToRep: DataFrame, uniq: DataFrame)
+
+  private def simhashCorpus(s: SparkSession, dir: String): SimhashCorpus = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tkey")
+    val grouped = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("tkey", md5(col("text").cast("binary")))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .localCheckpoint()
+    val docToRep = grouped.select("doc_id", "rep")
+    val uniqText = grouped.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    SimhashCorpus(docToRep, simhashOf(uniqText).localCheckpoint())
+  }
+
+  private def simhashOf(docs: DataFrame): DataFrame = {
+    val votes = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .groupBy("doc_id")
@@ -161,8 +206,8 @@ object Dedup {
     * bit_count(xor) <= 3.
     */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = simhashDocs(s, dir)
-    val banded = capBuckets(docs.select(col("doc_id"), col("simhash"),
+    val c = simhashCorpus(s, dir)
+    val banded = capBuckets(c.uniq.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 16) & 65535 as bhash))")).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
@@ -173,13 +218,16 @@ object Dedup {
         col("y.doc_id").as("b"), col("y.simhash").as("hb"))
       .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
-    val neighborMin = cand.select(col("a").as("doc_id"), col("b").as("nbr"))
-      .unionByName(cand.select(col("b").as("doc_id"), col("a").as("nbr")))
-      .groupBy("doc_id").agg(min(col("nbr")).as("min_nbr"))
-    docs
-      .join(neighborMin, Seq("doc_id"), "left")
+    val neighborMin = cand.select(col("a").as("rep"), col("b").as("nbr"))
+      .unionByName(cand.select(col("b").as("rep"), col("a").as("nbr")))
+      .groupBy("rep").agg(min(col("nbr")).as("min_nbr"))
+    // doc-level answer via docToRep (identical text => identical
+    // simhash => identical neighbors; rep = min member)
+    c.docToRep
+      .join(c.uniq.withColumnRenamed("doc_id", "rep"), "rep")
+      .join(neighborMin, Seq("rep"), "left")
       .select(col("doc_id"), col("simhash"),
-        least(coalesce(col("min_nbr"), col("doc_id")), col("doc_id")).as("keep_id"))
+        least(coalesce(col("min_nbr"), col("rep")), col("rep")).as("keep_id"))
       .orderBy("doc_id")
   }
 
@@ -199,23 +247,15 @@ object Dedup {
   def dedupJaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
       topK: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docSigs(s, dir).sets // (doc_id, sh) checkpointed
-
-    // EXACT-DUP COLLAPSE first: identical shingle sets form one group
-    // represented by the smallest doc_id. On dup-heavy corpora this is
-    // the single biggest lever — the pairwise join runs on unique sets
-    // only (measured: 50k docs with 10x dup structure -> 41M candidate
-    // pairs without collapse, ~0.5M with). Each group keeps its topK+1
-    // smallest member ids: doc pairs are ranked (jaccard DESC, a, b),
-    // so every final pair is a combination of the K smallest members.
-    val grouped = sets
-      .withColumn("setkey", md5(to_json(array_sort(col("sh")))))
-      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("setkey")))
-    val members = grouped.groupBy(col("rep"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, topK + 1).as("members"),
-        count(lit(1)).as("m"))
-      .localCheckpoint()
-    val uniq = grouped.filter(col("doc_id") === col("rep")).select("doc_id", "sh")
+    // EXACT-DUP COLLAPSE first (see ShingleCorpus): the pairwise join
+    // runs on unique sets only (measured: 50k docs with 10x dup
+    // structure -> 41M candidate pairs without collapse, ~0.5M with).
+    // Each group keeps its topK+1 smallest member ids: doc pairs are
+    // ranked (jaccard DESC, a, b), so every final pair is a
+    // combination of the K smallest members.
+    val c = shingleCorpus(s, dir, topK)
+    val members = c.members
+    val uniq = c.sets
 
     // PPJoin-style prefix filter on the unique sets (Xiao et al.,
     // WWW'08): index each set's n - ceil(t*n) + 1 globally-rarest
