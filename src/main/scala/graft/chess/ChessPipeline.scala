@@ -77,8 +77,11 @@ object ChessPipeline {
         nullIfMissing(tag("Opening")).as("Opening"),
         nullIfMissing(tag("TimeControl")).as("TimeControl"),
         nullIfMissing(tag("Termination")).as("Termination"),
-        to_timestamp(concat_ws(" ", tag("UTCDate"), tag("UTCTime")),
-          "yyyy.MM.dd HH:mm:ss").as("DateTime"),
+        // try_to_timestamp: a malformed date in one of 100 TB of games
+        // must become null, not kill the job (ANSI mode throws on
+        // to_timestamp parse failures)
+        try_to_timestamp(concat_ws(" ", tag("UTCDate"), tag("UTCTime")),
+          lit("yyyy.MM.dd HH:mm:ss")).as("DateTime"),
         nullIfMissing(tag("Result")).as("Result"),
         moves3.as("Moves"),
         moves3.contains("eval").as("Evaluation_flag"),

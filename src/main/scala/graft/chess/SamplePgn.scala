@@ -32,7 +32,7 @@ object SamplePgn {
     val blackElo = if (rng.nextInt(10) == 0) "?" else (800 + rng.nextInt(1800)).toString
     val minute = idx % 60
     val hour = (idx / 60) % 24
-    val day = 1 + (idx / 1440)
+    val day = 1 + (idx / 1440) % 28
     val withEval = rng.nextInt(4) == 0
     val moves =
       if (withEval)
