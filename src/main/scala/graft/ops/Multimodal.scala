@@ -97,6 +97,14 @@ object Multimodal {
 
   val queries: Seq[Q] = Seq(
     Q("mm_meta", mmMeta, None),
-    Q("mm_format_dist", mmFormatDist, None)
+    // the media table derives deterministically from documents
+    // (magic(doc_id%3) ++ utf8(text)), so the no-decode metadata path
+    // is SQL-expressible and oracled
+    Q("mm_format_dist", mmFormatDist, Some(
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |            ELSE 'wav' END AS format,
+        |       count(*) AS n,
+        |       sum(octet_length(encode(text)) + 4) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin))
   )
 }

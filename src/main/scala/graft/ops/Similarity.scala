@@ -77,8 +77,11 @@ object Similarity {
       .groupBy("q_id")
       .agg(topK(flatten(collect_list(col("cand")))).as("cand"))
       .select(col("q_id"), posexplode(col("cand")).as(Seq("pos", "c")))
-      .select(col("q_id"), (col("pos") + 1).as("rank"),
-        col("c.vec_id").as("vec_id"), (-col("c.negcos")).as("cos"))
+      // rank on exact cosines; round only the reported value (the
+      // oracle compares against DuckDB's double-accumulated cosine,
+      // identical to within ulps)
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("c.vec_id").as("vec_id"), round(-col("c.negcos"), 6).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -119,7 +122,19 @@ object Similarity {
   }
 
   val queries: Seq[Q] = Seq(
-    Q("ann_bruteforce", annBruteforce, None),
+    Q("ann_bruteforce", annBruteforce, Some(
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                CAST(q.embedding AS DOUBLE[])) AS cos
+         |  FROM embeddings c, embeddings q WHERE q.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
     Q("ann_lsh", annLsh, None)
   )
 }

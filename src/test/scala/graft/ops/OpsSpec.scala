@@ -89,11 +89,11 @@ class OpsSpec extends SparkSpec {
 
   test("ann_bruteforce returns self as rank-1 with cosine 1") {
     val rows = Similarity.annBruteforce(spark, dir).collect()
-    val r1 = rows.filter(r => r.getLong(0) == 0 && r.getInt(1) == 1).head
+    val r1 = rows.filter(r => r.getLong(0) == 0 && r.getLong(1) == 1).head
     assert(r1.getLong(2) === 0 || r1.getLong(2) === 1) // self or exact twin
     assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9)
     // query 3 (orthogonal): nearest non-self must not be vec 0
-    val q3 = rows.filter(_.getLong(0) == 3).sortBy(_.getInt(1))
+    val q3 = rows.filter(_.getLong(0) == 3).sortBy(_.getLong(1))
     assert(q3.head.getLong(2) === 3)
   }
 
