@@ -41,9 +41,73 @@ object ChessQueries {
       .limit(20)
   }
 
+  private def games(s: SparkSession): DataFrame =
+    ChessPipeline.parseGames(rawPgn(s))
+
+  /** eda.ipynb "Total number of games". */
+  def chessCount(s: SparkSession, dir: String): DataFrame =
+    games(s).agg(count(lit(1)).as("num_games"))
+
+  /** eda.ipynb "number of players (approx)" — HLL++ like polars'
+    * approx_n_unique.
+    */
+  def chessApproxPlayers(s: SparkSession, dir: String): DataFrame =
+    games(s).agg(
+      approx_count_distinct(col("White")).as("n_white"),
+      approx_count_distinct(col("Black")).as("n_black"))
+
+  /** eda.ipynb "How often does white win?" — recode + proportion. */
+  def chessWinnerProp(s: SparkSession, dir: String): DataFrame = {
+    val winner = when(col("Result") === "1-0", "white")
+      .when(col("Result") === "0-1", "black")
+      .when(col("Result") === "1/2-1/2", "draw")
+    val counts = games(s).select(winner.as("winner"))
+      .filter(col("winner").isNotNull)
+      .groupBy("winner").agg(count(lit(1)).as("cnt"))
+    counts.withColumn("proportion",
+        col("cnt").cast("double") /
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+      .orderBy(desc("proportion"), col("winner"))
+  }
+
+  /** eda.ipynb "how did the game end?". */
+  def chessTermination(s: SparkSession, dir: String): DataFrame = {
+    val counts = games(s).groupBy("Termination").agg(count(lit(1)).as("cnt"))
+    counts.withColumn("proportion",
+        col("cnt").cast("double") /
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+      .orderBy(desc("cnt"), col("Termination"))
+  }
+
+  /** eda.ipynb "How many games are played?" per day. */
+  def chessDailyCounts(s: SparkSession, dir: String): DataFrame =
+    games(s).groupBy(to_date(col("DateTime")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("day")
+
+  /** eda.ipynb high-Elo daily counts (both Elos > threshold). */
+  def chessDailyHighElo(s: SparkSession, dir: String, minElo: Int = 2000): DataFrame =
+    games(s).filter(col("WhiteElo") > minElo && col("BlackElo") > minElo)
+      .groupBy(to_date(col("DateTime")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("day")
+
+  /** eda.ipynb top-20 openings. */
+  def chessTopOpenings(s: SparkSession, dir: String): DataFrame =
+    games(s).groupBy("Opening").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("Opening"))
+      .limit(20)
+
   val queries: Seq[Q] = Seq(
     Q("pgn_games", pgnGames, None),
     Q("chess_pipeline", chessPipeline, None),
-    Q("chess_top_players", chessTopPlayers, None)
+    Q("chess_top_players", chessTopPlayers, None),
+    Q("chess_count", chessCount, None),
+    Q("chess_approx_players", chessApproxPlayers, None),
+    Q("chess_winner_prop", chessWinnerProp, None),
+    Q("chess_termination", chessTermination, None),
+    Q("chess_daily_counts", chessDailyCounts, None),
+    Q("chess_daily_high_elo", (s, d) => chessDailyHighElo(s, d), None),
+    Q("chess_top_openings", chessTopOpenings, None)
   )
 }
