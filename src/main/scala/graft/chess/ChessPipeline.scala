@@ -100,12 +100,46 @@ object ChessPipeline {
       .withColumn("BlackTitle_flag", col("BlackTitle").isNotNull)
   }
 
+  /** Per-player ingestion state after a batch: one row per
+    * (name, Event) with games played and max Elo seen — the Spark
+    * equivalent of the reference's cross-month cumulative-counter file
+    * (`cum_files_{y}_{m}.json.zst`, ingester.py:60-86, 269-278).
+    * Feed it to [[withStats]] as `prior` when ingesting month N+1
+    * incrementally; a per-name total is derivable (sum over events).
+    */
+  def statsState(games: DataFrame, prior: Option[DataFrame] = None): DataFrame = {
+    val long = games.select(
+      explode(array(
+        struct(col("White").as("name"), col("WhiteElo").as("elo"), col("Event")),
+        struct(col("Black").as("name"), col("BlackElo").as("elo"), col("Event")))).as("p"))
+      .select(col("p.name"), col("p.elo"), col("p.Event"))
+    val batch = long.groupBy("name", "Event")
+      .agg(count(lit(1)).as("n_games"),
+        coalesce(max(col("elo")), lit(0)).cast("int").as("elo_max"))
+    prior match {
+      case None => batch
+      case Some(p) =>
+        batch.as("b").join(p.as("p"),
+            col("b.name") === col("p.name") && col("b.Event") === col("p.Event"), "full_outer")
+          .select(
+            coalesce(col("b.name"), col("p.name")).as("name"),
+            coalesce(col("b.Event"), col("p.Event")).as("Event"),
+            (coalesce(col("b.n_games"), lit(0L)) + coalesce(col("p.n_games"), lit(0L))).as("n_games"),
+            greatest(coalesce(col("b.elo_max"), lit(0)), coalesce(col("p.elo_max"), lit(0))).as("elo_max"))
+    }
+  }
+
   /** Adds the running per-player statistics (ingester.py:172-218):
     * cumulative game counts (total + per event type) and running max
     * Elo, per role. Long-form explode → windows over (name[, Event])
     * → join back on (ID, role).
+    *
+    * `prior` (a [[statsState]] table from earlier batches) offsets the
+    * counters so month-by-month ingestion produces exactly the same
+    * numbers as one job over the full range — the reference's
+    * cumulative-file carry-over, minus the single-threaded dict.
     */
-  def withStats(games: DataFrame): DataFrame = {
+  def withStats(games: DataFrame, prior: Option[DataFrame] = None): DataFrame = {
     val long = games.select(col("ID"), col("DateTime"), col("Event"),
       explode(array(
         struct(lit("White").as("role"), col("White").as("name"), col("WhiteElo").as("elo")),
@@ -117,15 +151,37 @@ object ChessPipeline {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byNameType = Window.partitionBy("name", "Event").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val stats = long.select(col("ID"), col("role"),
-      count(lit(1)).over(byName).cast("int").as("cum_games_total"),
-      count(lit(1)).over(byNameType).cast("int").as("cum_games_type"),
+    val statsRaw = long.select(col("ID"), col("role"), col("name"), col("Event"),
+      count(lit(1)).over(byName).as("run_total"),
+      count(lit(1)).over(byNameType).as("run_type"),
       // running max of own Elo within event type; 0 before any known
       // Elo (ingester.py:188 initializes the accumulator to 0)
-      coalesce(max(col("elo")).over(byNameType), lit(0)).cast("int").as("elo_max"),
-      // reference bug replicated: max Elo FACED also reads the
-      // player's own Elo (ingester.py:210-218) => equal to elo_max
-      coalesce(max(col("elo")).over(byNameType), lit(0)).cast("int").as("elo_max_faced"))
+      coalesce(max(col("elo")).over(byNameType), lit(0)).as("run_max"))
+    val stats = prior match {
+      case None =>
+        statsRaw.select(col("ID"), col("role"),
+          col("run_total").cast("int").as("cum_games_total"),
+          col("run_type").cast("int").as("cum_games_type"),
+          col("run_max").cast("int").as("elo_max"),
+          // reference bug replicated: max Elo FACED also reads the
+          // player's own Elo (ingester.py:210-218) => equal to elo_max
+          col("run_max").cast("int").as("elo_max_faced"))
+      case Some(p) =>
+        // plain (non-broadcast) joins: at 100 TB the prior state spans
+        // every player ever seen — co-partitioned shuffle join on name,
+        // AQE may still broadcast when it is actually small
+        val perName = p.groupBy("name").agg(sum(col("n_games")).as("p_total"))
+        statsRaw
+          .join(perName, Seq("name"), "left")
+          .join(p.select(col("name"), col("Event"),
+            col("n_games").as("p_type"), col("elo_max").as("p_max")),
+            Seq("name", "Event"), "left")
+          .select(col("ID"), col("role"),
+            (col("run_total") + coalesce(col("p_total"), lit(0L))).cast("int").as("cum_games_total"),
+            (col("run_type") + coalesce(col("p_type"), lit(0L))).cast("int").as("cum_games_type"),
+            greatest(col("run_max"), coalesce(col("p_max"), lit(0))).cast("int").as("elo_max"),
+            greatest(col("run_max"), coalesce(col("p_max"), lit(0))).cast("int").as("elo_max_faced"))
+    }
     def side(role: String, prefix: String): DataFrame =
       stats.filter(col("role") === role).select(
         col("ID"),
@@ -178,9 +234,13 @@ object ChessPipeline {
       .orderBy(col("DateTime"), col("ID"), col("Role_player").desc)
   }
 
-  /** Full pipeline: raw PGN rows → player-game-role table. */
-  def fromPgn(raw: DataFrame): DataFrame =
-    toPlayerGameRole(withStats(parseGames(raw)))
+  /** Full pipeline: raw PGN rows → player-game-role table. `prior` is
+    * the [[statsState]] of previously-ingested batches (incremental
+    * month-by-month ingestion, cf. ingest_lichess.py's cumulative
+    * files).
+    */
+  def fromPgn(raw: DataFrame, prior: Option[DataFrame] = None): DataFrame =
+    toPlayerGameRole(withStats(parseGames(raw), prior))
 
   /** Sorted, partitioned parquet sink (ingester.py's batched monthly
     * output re-expressed): partition by month, sort within partitions

@@ -1,0 +1,54 @@
+package graft.chess
+
+import org.apache.spark.sql.SparkSession
+
+/** Batch ingestion driver — the Spark equivalent of the reference's
+  * ingest_lichess.py CLI: PGN in, month-partitioned player-game-role
+  * parquet out, with resumable per-player state for incremental runs.
+  *
+  * Usage: runMain graft.chess.IngestMain <pgnPath> <outDir> [stateDir]
+  *
+  * With `stateDir`: reads the prior [[ChessPipeline.statsState]] table
+  * if present (counters continue across runs exactly as the
+  * reference's `cum_files_{y}_{m}.json.zst` carry-over,
+  * ingester.py:60-86), and writes the updated state back. Without it,
+  * one job over the full input range gives identical numbers — the
+  * windows span everything.
+  */
+object IngestMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IngestMain <pgnPath> <outDir> [stateDir]")
+    val Array(pgnPath, outDir) = args.take(2)
+    val stateDir = args.lift(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val prior = stateDir.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d, "player_state")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    val raw = spark.read.format("pgn").load(pgnPath)
+    val games = ChessPipeline.parseGames(raw)
+    ChessPipeline.writePartitioned(
+      ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior)), outDir)
+    stateDir.foreach { d =>
+      // two-phase write (tmp + rename-style overwrite) so a crash
+      // mid-write cannot corrupt the resumable state
+      val next = ChessPipeline.statsState(games, prior)
+      next.write.mode("overwrite").parquet(s"$d/player_state_next")
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+      val cur = new org.apache.hadoop.fs.Path(d, "player_state")
+      fs.delete(cur, true)
+      fs.rename(new org.apache.hadoop.fs.Path(d, "player_state_next"), cur)
+    }
+    spark.stop()
+  }
+}
