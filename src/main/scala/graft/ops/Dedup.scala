@@ -63,14 +63,14 @@ object Dedup {
     * the same tables would be persisted to reliable storage instead
     * (executor loss invalidates local checkpoints).
     */
-  private case class ShingleCorpus(docToRep: DataFrame, members: DataFrame,
+  private case class ShingleCorpus(docToRep: DataFrame,
       sets: DataFrame, sigs: DataFrame)
 
   def docSigsPublic(s: SparkSession, dir: String): DataFrame = {
     val c = shingleCorpus(s, dir); c.sets.join(c.sigs, "doc_id")
   }
 
-  private def shingleCorpus(s: SparkSession, dir: String, topK: Int = 50): ShingleCorpus = {
+  private def shingleCorpus(s: SparkSession, dir: String): ShingleCorpus = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("setkey")
     val grouped = Tables.load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
@@ -79,10 +79,6 @@ object Dedup {
       .withColumn("rep", min(col("doc_id")).over(w))
       .localCheckpoint()
     val docToRep = grouped.select("doc_id", "rep")
-    val members = grouped.groupBy(col("rep"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, topK + 1).as("members"),
-        count(lit(1)).as("m"))
-      .localCheckpoint()
     val sets = grouped.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("sh")).localCheckpoint()
     val sigs = sets
@@ -90,7 +86,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array((0 until MinhashK).map(k => min(hash(col("shingle"), lit(k)))): _*).as("sig"))
       .localCheckpoint()
-    ShingleCorpus(docToRep, members, sets, sigs)
+    ShingleCorpus(docToRep, sets, sigs)
   }
 
   /** (band, band_hash) rows for LSH banding. */
@@ -253,8 +249,12 @@ object Dedup {
     // Each group keeps its topK+1 smallest member ids: doc pairs are
     // ranked (jaccard DESC, a, b), so every final pair is a
     // combination of the K smallest members.
-    val c = shingleCorpus(s, dir, topK)
-    val members = c.members
+    val c = shingleCorpus(s, dir)
+    // per-group member slices, needed only by this operator
+    val members = c.docToRep.groupBy(col("rep"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, topK + 1).as("members"),
+        count(lit(1)).as("m"))
+      .localCheckpoint()
     val uniq = c.sets
 
     // PPJoin-style prefix filter on the unique sets (Xiao et al.,
