@@ -52,7 +52,6 @@ object Similarity {
 
   private val K = 5          // neighbors per query
   private val NQueries = 8   // vec_id < NQueries form the query set
-  private val Salt = 16      // partial-aggregation fan-out bound
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -61,27 +60,24 @@ object Similarity {
     corpus(s, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
-  /** Two-stage per-query top-k: (q, salt)-partial then final. Rows
-    * come out as (q_id, rank, vec_id, cos).
+  /** Per-query top-k via the bounded [[graft.functions.TopKAgg]]
+    * typed Aggregator: per-group state is O(k), so Spark's partial
+    * aggregation does the map-side top-k and the shuffle carries only
+    * k candidates per (partition, query) — no salt stage, no
+    * collect_list materializing the full candidate set. Rows come out
+    * as (q_id, rank, vec_id, cos).
     */
   private def topKPerQuery(scored: DataFrame): DataFrame = {
-    // sort_array ascending on struct(negcos, vec_id): highest cosine
-    // first, id as deterministic tie-break.
-    def topK(c: Column) = slice(sort_array(c), 1, K)
-    val partial = scored
-      .withColumn("salt", pmod(col("vec_id"), lit(Salt)))
-      .groupBy("q_id", "salt")
-      .agg(topK(collect_list(struct((-col("cos")).as("negcos"),
-        col("vec_id").as("vec_id")))).as("cand"))
-    partial
+    val topk = udaf(new graft.functions.TopKAgg(K))
+    scored
       .groupBy("q_id")
-      .agg(topK(flatten(collect_list(col("cand")))).as("cand"))
+      .agg(topk(-col("cos"), col("vec_id")).as("cand"))
       .select(col("q_id"), posexplode(col("cand")).as(Seq("pos", "c")))
       // rank on exact cosines; round only the reported value (the
       // oracle compares against DuckDB's double-accumulated cosine,
       // identical to within ulps)
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("c.vec_id").as("vec_id"), round(-col("c.negcos"), 6).as("cos"))
+        col("c.id").as("vec_id"), round(-col("c.negScore"), 6).as("cos"))
       .orderBy("q_id", "rank")
   }
 
