@@ -94,10 +94,12 @@ object Similarity {
 
   private val Planes = 12
 
-  /** D7: SRP-LSH ANN with single-bit multi-probe. The corpus is
-    * bucketed once; each query probes its own bucket plus the `Planes`
-    * single-bit-flip buckets, so near-misses across one hyperplane are
-    * still found. Only bucket collisions are scored.
+  /** D7: SRP-LSH ANN with multi-probe up to Hamming distance 2. The
+    * corpus is bucketed once (narrow); each query probes its own
+    * bucket plus every 1-bit and 2-bit flip — 1 + P + P(P-1)/2
+    * buckets — so near-misses across one or two hyperplanes are still
+    * found. The fan-out lands entirely on the broadcast (query) side;
+    * only bucket collisions are scored.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val corp = corpus(s, dir)
@@ -105,10 +107,12 @@ object Similarity {
     val q = querySet(s, dir)
       .join(srpBuckets(querySet(s, dir), "q_id", "q_emb", Planes)
         .withColumnRenamed("bucket", "bucket0"), "q_id")
+    val flips: Seq[Long] = 0L +:
+      (0 until Planes).map(p => 1L << p) ++:
+      (for (p <- 0 until Planes; r <- p + 1 until Planes) yield (1L << p) | (1L << r))
     val probes = q
       .withColumn("bucket", explode(array(
-        col("bucket0") +:
-          (0 until Planes).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*)))
+        flips.map(f => col("bucket0").bitwiseXOR(lit(f))): _*)))
       .select("q_id", "q_emb", "bucket")
     val scored = corp.join(broadcast(probes), "bucket")
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
