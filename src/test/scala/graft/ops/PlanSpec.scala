@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards: the optimizations the scale design
+  * depends on must be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter and prunes columns at the scan") {
+    val plan = planOf(Relational.q1Pricing(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$plan")
+    // projection pruning: the 11-column lineitem scan must read only
+    // the 7 referenced columns (comment/shipmode-style cols absent)
+    assert(plan.contains("ReadSchema: struct<l_quantity"))
+    assert(!plan.contains("l_orderkey"), "q1 must not read join keys")
+  }
+
+  test("q5 broadcasts the dimension tables") {
+    val plan = planOf(Relational.q5Volume(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"no broadcast join in:\n$plan")
+  }
+
+  test("q1 aggregate runs inside WholeStageCodegen") {
+    val plan = planOf(Relational.q1Pricing(spark, dir))
+    // "*(n) HashAggregate" = inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("*(2) HashAggregate"),
+      s"HashAggregate not codegen'd in:\n$plan")
+  }
+
+  test("native CosineSim does not break WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.load(spark, dir, "embeddings").limit(10)
+      .select(graft.functions.cosine(col("embedding"), col("embedding")).as("c"))
+    val plan = planOf(df)
+    // the Project evaluating cosine_sim must carry the codegen marker
+    assert(plan.contains("*(1) Project [cosine_sim"), s"no codegen in:\n$plan")
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+}
