@@ -28,11 +28,13 @@ class PlanSpec extends SparkSpec {
       s"no broadcast join in:\n$plan")
   }
 
-  test("q1 aggregate runs inside WholeStageCodegen") {
-    val plan = planOf(Relational.q1Pricing(spark, dir))
+  test("q1 aggregate is partial (map-side) and inside WholeStageCodegen") {
+    val df = Relational.q1Pricing(spark, dir)
+    df.collect() // AQE finalizes stages at execution
+    val plan = planOf(df)
     // "*(n) HashAggregate" = inside a WholeStageCodegen stage
-    assert(plan.contains("*(1) HashAggregate") || plan.contains("*(2) HashAggregate"),
-      s"HashAggregate not codegen'd in:\n$plan")
+    assert(plan.contains("*(1) HashAggregate"), s"HashAggregate not codegen'd in:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation in:\n$plan")
   }
 
   test("native CosineSim does not break WholeStageCodegen") {
