@@ -5,18 +5,24 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Deduplication family for a training-data pipeline (SURVEY §2.D1–D5):
-  * exact (content hash), MinHash+LSH, SimHash, exact n-gram Jaccard,
-  * and embedding-cosine near-dup.
+  * exact (content hash), MinHash+LSH, SimHash, exact n-gram Jaccard
+  * (PPJoin prefix filter), and embedding-cosine near-dup.
   *
-  * All signature computation is row-local Catalyst expressions (HOFs /
-  * `expr` strings — no UDFs), so the signature stage is a narrow,
-  * codegen-friendly map. The only shuffles are (a) the bucket join on
-  * (band, band_hash) — bounded fan-out: one row per band per doc —
-  * and (b) the final per-doc min-neighbor aggregation. Candidate
-  * verification (exact Jaccard / cosine) runs only on bucket
-  * collisions, which is the standard way this stays tractable at
-  * 100 TB. Skewed buckets (e.g. the empty-document bucket) are handled
-  * by AQE skew-join splitting.
+  * Architecture, in the order the levers matter at 100 TB:
+  *  1. EXACT-DUP COLLAPSE first ([[ShingleCorpus]] / SimhashCorpus):
+  *     every pairwise stage runs on unique sets/texts only; doc-level
+  *     answers come back via a docToRep join. Dup-heavy corpora (web
+  *     crawls) shrink quadratically here with unchanged semantics.
+  *  2. Signatures by explode + partial-aggregated groupBy — each
+  *     shingle/token hashed exactly once per slot, whole-stage
+  *     codegen; materialized once (checkpoint) because multiple
+  *     subtrees consume them.
+  *  3. Candidate generation only through LSH band buckets or PPJoin
+  *     rarest-prefix postings, both with a bucket-size cap
+  *     ([[capBuckets]]) as the skew guard (a degenerate bucket is
+  *     quadratic and serializes one reducer).
+  *  4. Exact verification (set intersection / cosine / Hamming) runs
+  *     only on deduplicated candidate pairs.
   *
   * Near-dup queries return one row per document: `doc_id, keep_id`
   * where `keep_id` is the smallest doc_id among the doc's near-dup
