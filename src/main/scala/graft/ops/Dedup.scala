@@ -166,7 +166,7 @@ object Dedup {
   /** 64-bit SimHash per doc: explode tokens, xxhash64 each token ONCE,
     * 64 partial-aggregated ±1 bit votes (one shuffle on doc_id), sign
     * fold to a Long with shiftleft|OR (ANSI-safe — no overflow). Same
-    * recompute-blowup rationale as [[docSigs]].
+    * recompute-blowup rationale as [[ShingleCorpus]].
     */
   def simhashDocsPublic(s: SparkSession, dir: String): DataFrame = {
     val c = simhashCorpus(s, dir)

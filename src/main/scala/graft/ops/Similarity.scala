@@ -13,10 +13,11 @@ import graft.functions.cosine
   * Scale design (100 TB corpus, ~1e3 queries):
   *  - the query set is always the broadcast side; the corpus is never
   *    shuffled for candidate generation (scoring is map-side);
-  *  - per-query top-k is a TWO-STAGE aggregation: partial top-k per
-  *    (query, salt) group, then a final top-k over the ≤ salt×k
-  *    survivors. No global sort, no single hot partition per query,
-  *    bounded memory per group;
+  *  - per-query top-k is the bounded [[graft.functions.TopKAgg]]
+  *    typed Aggregator: O(k) state per group, so Spark's partial
+  *    aggregation does the map-side top-k and the shuffle carries at
+  *    most k candidates per (partition, query). No global sort, no
+  *    unbounded collect_list buffers;
   *  - SRP hyperplanes are deterministic (component sign p,i =
   *    murmur3(p, i) parity) so buckets are reproducible across runs
   *    and cluster sizes;
