@@ -28,9 +28,14 @@ object Bench {
     Tables.names.foreach(n =>
       if (n == "events") Tables.events(spark, sfDir).schema
       else Tables.load(spark, sfDir, n).schema)
-    // Two runs per query, report the second: the first pays JIT +
-    // janino codegen compilation (measured 3-6x inflation), which a
-    // long-running cluster job pays once, not per-query.
+    // Noise-robust timing: one untimed warm-up (JIT + janino codegen,
+    // which a long-running cluster job pays once, not per-query), then
+    // best-of-3 timed runs. This host's wall-clock is noisy (the same
+    // query has measured 6.5s-44s under external CPU contention), so a
+    // single sample can overstate a query by an order of magnitude; the
+    // minimum of three is a far better estimator of the engine's cost.
+    // If the three samples still disagree >3x, take up to 2 extra
+    // samples. All raw samples are emitted under "runs" for audit.
     val results = headline.map { name =>
       try {
         def once(): Double = {
@@ -39,17 +44,25 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        once()
-        name -> once()
+        once() // warm-up, discarded
+        var samples = Vector(once(), once(), once())
+        var extra = 0
+        while (samples.max > 3 * samples.min && extra < 2) {
+          samples :+= once(); extra += 1
+        }
+        (name, samples.min, samples)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          name -> -1.0
+          (name, -1.0, Vector.empty[Double])
       }
     }
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val runs = results.map { case (k, _, ss) =>
+      s""""$k":${ss.map(s => f"$s%.3f").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

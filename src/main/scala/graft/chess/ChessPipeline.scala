@@ -182,16 +182,27 @@ object ChessPipeline {
             greatest(col("run_max"), coalesce(col("p_max"), lit(0))).cast("int").as("elo_max"),
             greatest(col("run_max"), coalesce(col("p_max"), lit(0))).cast("int").as("elo_max_faced"))
     }
-    def side(role: String, prefix: String): DataFrame =
-      stats.filter(col("role") === role).select(
-        col("ID"),
-        col("cum_games_total").as(s"${prefix}_cum_games_total"),
-        col("cum_games_type").as(s"${prefix}_cum_games_type"),
-        col("elo_max").as(s"${prefix}Elo_max"),
-        col("elo_max_faced").as(s"${prefix}Elo_max_faced"))
-    games
-      .join(side("White", "White"), "ID")
-      .join(side("Black", "Black"), "ID")
+    // Pivot the long-form stats to ONE row per game before joining:
+    // a conditional agg on ID turns the (ID, role) pairs into
+    // White_*/Black_* columns in a single pass. The earlier shape —
+    // two role-filtered projections of `stats` joined separately —
+    // re-executed the explode + window stage once per side (a
+    // self-join over an unmaterialized subtree computes it twice),
+    // doubling the dominant shuffle at scale. The pivot's groupBy
+    // also leaves the data hash-partitioned by ID, so the join that
+    // follows shuffles only the `games` side.
+    def sideCol(role: String, src: String, out: String) =
+      max(when(col("role") === role, col(src))).as(out)
+    val wide = stats.groupBy("ID").agg(
+      sideCol("White", "cum_games_total", "White_cum_games_total"),
+      sideCol("White", "cum_games_type", "White_cum_games_type"),
+      sideCol("White", "elo_max", "WhiteElo_max"),
+      sideCol("White", "elo_max_faced", "WhiteElo_max_faced"),
+      sideCol("Black", "cum_games_total", "Black_cum_games_total"),
+      sideCol("Black", "cum_games_type", "Black_cum_games_type"),
+      sideCol("Black", "elo_max", "BlackElo_max"),
+      sideCol("Black", "elo_max_faced", "BlackElo_max_faced"))
+    games.join(wide, "ID")
   }
 
   private val gameCols = Seq("ID", "ID_random", "Event", "Tournament", "ECO",

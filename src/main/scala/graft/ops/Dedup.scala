@@ -246,13 +246,41 @@ object Dedup {
     * MapReduce set-similarity join): only each doc's
     * `n - ceil(t*n) + 1` globally-RAREST shingles are indexed — any
     * pair with Jaccard >= t must share at least one prefix shingle, so
-    * recall is exact while the candidate set shrinks by orders of
-    * magnitude (the naive full inverted index regenerates every pair
-    * once per shared shingle: measured 711s vs ~30s on a 50k-doc
-    * corpus with 10x dup structure). Candidates are deduped, then
-    * verified with exact set intersection. Returns the top-K pairs
-    * with jaccard >= threshold.
+    * the prefix filter itself loses no pairs, while the candidate set
+    * shrinks by orders of magnitude (the naive full inverted index
+    * regenerates every pair once per shared shingle: measured 711s vs
+    * ~30s on a 50k-doc corpus with 10x dup structure). Candidates are
+    * deduped, then verified with exact set intersection. Returns the
+    * top-K pairs with jaccard >= threshold.
+    *
+    * Recall caveat: [[capBuckets]] drops prefix postings whose unique-
+    * set frequency exceeds [[MaxBucket]], so a pair whose ONLY shared
+    * prefix shingle is that degenerate posting is lost — unlike LSH
+    * banding there is no "other band" to catch it here. This is a
+    * deliberate approximation for pathological shingle distributions
+    * (a shingle rare enough to be in a prefix yet appearing in >10k
+    * DISTINCT shingle sets implies a near-boilerplate corpus slice);
+    * on corpora without such postings recall is exact.
     */
+  /** Per-group member slice with BOUNDED aggregation state: rank
+    * members within the group FIRST (row_number is sort-based, spills,
+    * never buffers the group) and collect only the topK+1 smallest
+    * ids — a viral doc duplicated 1e8 times contributes K+1 elements
+    * to the collect buffer, not 1e8 (collect_list skips the nulls the
+    * unmatched when() produces). The group size still aggregates over
+    * all rows, but count state is a single long.
+    */
+  private[ops] def boundedMembers(docToRep: DataFrame, topK: Int): DataFrame = {
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep").orderBy("doc_id")
+    docToRep
+      .withColumn("rk", row_number().over(byId))
+      .groupBy(col("rep"))
+      .agg(sort_array(collect_list(when(col("rk") <= topK + 1, col("doc_id"))))
+          .as("members"),
+        count(lit(1)).as("m"))
+  }
+
   def dedupJaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
       topK: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -264,10 +292,7 @@ object Dedup {
     // combination of the K smallest members.
     val c = shingleCorpus(s, dir)
     // per-group member slices, needed only by this operator
-    val members = c.docToRep.groupBy(col("rep"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, topK + 1).as("members"),
-        count(lit(1)).as("m"))
-      .localCheckpoint()
+    val members = boundedMembers(c.docToRep, topK).localCheckpoint()
     val uniq = c.sets
 
     // PPJoin-style prefix filter on the unique sets (Xiao et al.,

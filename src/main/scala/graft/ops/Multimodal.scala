@@ -104,7 +104,7 @@ object Multimodal {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |            ELSE 'wav' END AS format,
         |       count(*) AS n,
-        |       sum(octet_length(encode(text)) + 4) AS total_bytes
+        |       CAST(sum(octet_length(encode(text)) + 4) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY format""".stripMargin))
   )
 }

@@ -432,7 +432,7 @@ object Relational {
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)),
     Q("q_json_extract", qJsonExtract, Some(
       """SELECT event_type,
-        |       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |       COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("q_sessionize", qSessionize, Some(

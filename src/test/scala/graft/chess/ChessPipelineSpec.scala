@@ -182,6 +182,21 @@ class ChessPipelineSpec extends SparkSpec {
     }
   }
 
+  test("withStats computes the window stage once (pivot, not two side-joins)") {
+    val df = ChessPipeline.withStats(games)
+    df.collect() // AQE finalizes stages at execution
+    // AQE's toString appends "== Initial Plan ==" after the final
+    // plan — count nodes in the final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the long-form explode and each window spec must appear exactly
+    // once; the old two-side-join shape duplicated the whole subtree
+    val nGenerate = "Generate explode".r.findAllIn(plan).size
+    val nWindow = "Window \\[".r.findAllIn(plan).size
+    assert(nGenerate === 1, s"explode ran $nGenerate times:\n$plan")
+    assert(nWindow <= 2, s"window stage duplicated ($nWindow nodes):\n$plan")
+  }
+
   test("incremental two-batch ingestion equals one full batch") {
     // split by day: batch1 = Mar 1 games, batch2 = Mar 2 games
     val g = ChessPipeline.parseGames(raw)

@@ -79,6 +79,35 @@ class OpsSpec extends SparkSpec {
     assert(nd._3 > 0.4 && nd._3 < 1.0)
   }
 
+  test("dedup_jaccard bounds the members buffer on a viral dup-group") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ops_spec_viral").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "completely different prose about wind turbines and solar panel efficiency"
+    val docs = (1L to 300L).map(i => Doc(i, base, "en", "s", base.length)) :+
+      Doc(1000L, other, "en", "s", other.length)
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // the members collect must be rank-guarded (bounded to topK+1
+    // elements per group), never a raw collect over the whole group
+    val d2r = (1L to 300L).map(i => (i, 1L)).toDF("doc_id", "rep")
+    val mem = Dedup.boundedMembers(d2r, topK = 5)
+    val plan = mem.queryExecution.optimizedPlan.toString
+    assert(plan.contains("collect_list(CASE WHEN"),
+      s"members collect not rank-guarded:\n$plan")
+    assert(!plan.contains("collect_list(doc_id"),
+      "unbounded collect_list over the dup-group")
+    val m = mem.head()
+    assert(m.getAs[Seq[Long]]("members") === (1L to 6L)) // K+1, not 300
+    assert(m.getAs[Long]("m") === 300L)
+    val rows = Dedup.dedupJaccard(spark, d, topK = 5).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      // all pairs drawn from the K+1 smallest members of the viral group
+      assert(r.getLong(0) <= 6 && r.getLong(1) <= 6)
+      assert(r.getAs[Double]("jaccard") === 1.0)
+    }
+  }
+
   test("dedup_embed groups identical and near-identical vectors") {
     val keep = Dedup.dedupEmbed(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
