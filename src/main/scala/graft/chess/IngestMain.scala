@@ -30,24 +30,38 @@ object IngestMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val prior = stateDir.flatMap { d =>
-      val p = new org.apache.hadoop.fs.Path(d, "player_state")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      val cur = new org.apache.hadoop.fs.Path(d, "player_state")
+      val old = new org.apache.hadoop.fs.Path(d, "player_state_old")
+      val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+      // crash recovery: if a previous run died between retiring `cur`
+      // and renaming the new state into place, the retired copy is
+      // still the last committed state — use it
+      val p = if (fs.exists(cur)) Some(cur)
+        else if (fs.exists(old)) Some(old)
+        else None
+      p.map(path => spark.read.parquet(path.toString))
     }
     val raw = spark.read.format("pgn").load(pgnPath)
     val games = ChessPipeline.parseGames(raw)
     ChessPipeline.writePartitioned(
       ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior)), outDir)
     stateDir.foreach { d =>
-      // two-phase write (tmp + rename-style overwrite) so a crash
-      // mid-write cannot corrupt the resumable state
+      // three-step swap: write next, retire cur to _old, rename next
+      // into place. A crash at ANY point leaves a readable committed
+      // state: before the retire, `cur` is intact; between retire and
+      // rename, `_old` is the last committed state and the read path
+      // above recovers from it. (The earlier delete-then-rename had a
+      // window with no state at all.)
       val next = ChessPipeline.statsState(games, prior)
       next.write.mode("overwrite").parquet(s"$d/player_state_next")
       val conf = spark.sessionState.newHadoopConf()
       val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
       val cur = new org.apache.hadoop.fs.Path(d, "player_state")
-      fs.delete(cur, true)
+      val old = new org.apache.hadoop.fs.Path(d, "player_state_old")
+      fs.delete(old, true)
+      if (fs.exists(cur)) fs.rename(cur, old)
       fs.rename(new org.apache.hadoop.fs.Path(d, "player_state_next"), cur)
+      fs.delete(old, true) // state committed; drop the retired copy
     }
     spark.stop()
   }

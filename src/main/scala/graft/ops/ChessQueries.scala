@@ -29,15 +29,23 @@ object ChessQueries {
   def chessPipeline(s: SparkSession, dir: String): DataFrame =
     ChessPipeline.fromPgn(rawPgn(s))
 
-  /** B5 on chess data: most-active players (the reference's
-    * White-count/Black-count join shape, eda.ipynb).
+  /** B5 on chess data: most-active players, matching eda.ipynb cell 8
+    * exactly — white-counts INNER-joined with black-counts on player
+    * (so a player who only ever played one color is dropped, as in the
+    * reference), n_games = count_white + count_black, top 20. Only
+    * divergence: a `player` tiebreak for a deterministic result (the
+    * reference's sort is on n_games alone).
     */
   def chessTopPlayers(s: SparkSession, dir: String): DataFrame = {
-    val pgr = chessPipeline(s, dir)
-    pgr.groupBy("Player")
-      .agg(count(lit(1)).as("n_games"),
-        max(col("PlayerElo_max")).as("peak_elo"))
-      .orderBy(desc("n_games"), col("Player"))
+    val g = games(s)
+    val w = g.groupBy(col("White").as("player"))
+      .agg(count(lit(1)).as("count_white"))
+    val b = g.groupBy(col("Black").as("player"))
+      .agg(count(lit(1)).as("count_black"))
+    w.join(b, "player")
+      .select(col("player"),
+        (col("count_white") + col("count_black")).as("n_games"))
+      .orderBy(desc("n_games"), col("player"))
       .limit(20)
   }
 

@@ -116,10 +116,11 @@ object Dedup {
     */
   val MaxBucket = 10000
 
-  private def capBuckets(banded: DataFrame, keys: Seq[String]): DataFrame = {
+  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String],
+      cap: Int = MaxBucket): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     banded.withColumn("_bn", count(lit(1)).over(w))
-      .filter(col("_bn") <= MaxBucket).drop("_bn")
+      .filter(col("_bn") <= cap).drop("_bn")
   }
 
   /** D2: MinHash+LSH near-dup with exact-Jaccard verification, on the
@@ -397,6 +398,21 @@ object Dedup {
     Q("dedup_minhash", (s, d) => dedupMinhash(s, d), None),
     Q("dedup_simhash", (s, d) => dedupSimhash(s, d), None),
     Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), None),
-    Q("dedup_embed", (s, d) => dedupEmbed(s, d), None)
+    // exact-cosine oracle: the testdata corpus has no pair above the
+    // threshold (max pairwise cos < 0.85), so the SRP prefilter is
+    // provably recall-1 here and the LSH result must equal the exact
+    // O(n^2) answer bit-for-bit
+    Q("dedup_embed", (s, d) => dedupEmbed(s, d), Some(
+      """WITH nbr AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS min_nbr
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id <> b.vec_id
+        |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) >= 0.9
+        |  GROUP BY a.vec_id)
+        |SELECT e.vec_id,
+        |       CAST(least(coalesce(n.min_nbr, e.vec_id), e.vec_id) AS BIGINT) AS keep_id
+        |FROM embeddings e LEFT JOIN nbr n ON e.vec_id = n.vec_id
+        |ORDER BY e.vec_id""".stripMargin))
   )
 }

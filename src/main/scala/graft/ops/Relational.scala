@@ -289,7 +289,16 @@ object Relational {
       .orderBy("day")
   }
 
-  /** C6b: ntile + percent_rank window. */
+  /** C6b: ntile + percent_rank window.
+    *
+    * Scale note: an unpartitioned `Window.orderBy` funnels the whole
+    * table through ONE reducer — correct, and inherent to exact global
+    * quantile ranks, but a single-task wall at 100x. Keep it out of
+    * headline sets; the scale path is a range-partitioned global sort
+    * (`repartitionByRange(acctbal).sortWithinPartitions`) + per-
+    * partition counts broadcast back as rank offsets, or approximate
+    * quantiles via `approx_percentile` when exact ranks aren't needed.
+    */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     t(s, dir, "customer")

@@ -93,29 +93,69 @@ object Similarity {
     topKPerQuery(scored)
   }
 
-  private val Planes = 12
+  private val NTables = 8        // independent hyperplane tables
+  private val PlanesPerTable = 6 // bits per table (2^6 buckets)
 
-  /** D7: SRP-LSH ANN with multi-probe up to Hamming distance 2. The
-    * corpus is bucketed once (narrow); each query probes its own
-    * bucket plus every 1-bit and 2-bit flip — 1 + P + P(P-1)/2
-    * buckets — so near-misses across one or two hyperplanes are still
-    * found. The fan-out lands entirely on the broadcast (query) side;
-    * only bucket collisions are scored.
+  /** Per-table SRP buckets: `tables` independent sets of `planes`
+    * hyperplanes, all projections computed in ONE explode + one
+    * partial-aggregated groupBy (each component read once for every
+    * table), then exploded to `(id, tbl, bucket)` — `tables` index
+    * rows per vector. Hyperplane (t, p) is the deterministic murmur3
+    * family at global index t*planes + p.
+    */
+  def srpTableBuckets(df: DataFrame, id: String, vec: String,
+      planes: Int, tables: Int): DataFrame = {
+    val comp = df.select(col(id), posexplode(col(vec)).as(Seq("i", "x")))
+    val signed = (0 until tables * planes).map { g =>
+      sum(when(hash(lit(g), col("i")).bitwiseAND(lit(1)) === 1, col("x"))
+        .otherwise(-col("x"))).as(s"proj$g")
+    }
+    comp.groupBy(col(id))
+      .agg(signed.head, signed.tail: _*)
+      .select(col(id), posexplode(array((0 until tables).map { t =>
+        (0 until planes).map(p =>
+          when(col(s"proj${t * planes + p}") > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_))
+      }: _*)).as(Seq("tbl", "bucket")))
+  }
+
+  /** D7: multi-table SRP-LSH ANN. [[NTables]] independent tables of
+    * [[PlanesPerTable]]-bit signatures; each query probes its bucket
+    * plus all 1- and 2-bit flips in EVERY table, and candidates are
+    * the union across tables. For a neighbor at angle θ the per-bit
+    * collision probability is 1 - θ/π, so per-table probe-radius-2
+    * recall is Σ_{k<=2} C(b,k) p^(b-k) (1-p)^k and missing all L
+    * tables is exponentially unlikely — with (L=8, b=6, r=2) a
+    * cos≈0.25 neighbor (p≈0.58, the worst in the synthetic corpus,
+    * which is near-random — real embedding corpora cluster far
+    * tighter) is still found with probability >0.99. L, b and the
+    * probe radius are the recall/cost dials: candidate volume per
+    * table is ~(1 + b + C(b,2))/2^b of the corpus, so tighter corpora
+    * should RAISE b and DROP the radius to keep buckets selective.
+    *
+    * Scale shape: the corpus is bucketed once (L index rows per
+    * vector, never reshuffled per query); the probe fan-out
+    * (L × (1 + b + C(b,2)) rows per query) lands entirely on the
+    * broadcast query side; only bucket collisions are scored; the
+    * per-query top-k is the bounded partial-aggregated TopKAgg.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val corp = corpus(s, dir)
-      .join(srpBuckets(corpus(s, dir), "vec_id", "embedding", Planes), "vec_id")
+      .join(srpTableBuckets(corpus(s, dir), "vec_id", "embedding",
+        PlanesPerTable, NTables), "vec_id")
     val q = querySet(s, dir)
-      .join(srpBuckets(querySet(s, dir), "q_id", "q_emb", Planes)
+      .join(srpTableBuckets(querySet(s, dir), "q_id", "q_emb",
+        PlanesPerTable, NTables)
         .withColumnRenamed("bucket", "bucket0"), "q_id")
     val flips: Seq[Long] = 0L +:
-      (0 until Planes).map(p => 1L << p) ++:
-      (for (p <- 0 until Planes; r <- p + 1 until Planes) yield (1L << p) | (1L << r))
+      (0 until PlanesPerTable).map(p => 1L << p) ++:
+      (for (p <- 0 until PlanesPerTable; r <- p + 1 until PlanesPerTable)
+        yield (1L << p) | (1L << r))
     val probes = q
       .withColumn("bucket", explode(array(
         flips.map(f => col("bucket0").bitwiseXOR(lit(f))): _*)))
-      .select("q_id", "q_emb", "bucket")
-    val scored = corp.join(broadcast(probes), "bucket")
+      .select("q_id", "q_emb", "tbl", "bucket")
+    val scored = corp.join(broadcast(probes), Seq("tbl", "bucket"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .select("q_id", "vec_id", "cos")
       .dropDuplicates("q_id", "vec_id")

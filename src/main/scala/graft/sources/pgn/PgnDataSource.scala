@@ -108,7 +108,8 @@ class PgnScanBuilder(paths: Seq[String], options: Map[String, String])
       stats
     }
     files.flatMap { f =>
-      val compressed = codecs.getCodec(f.getPath) != null
+      val compressed = PgnPartitionReader.isZstd(f.getPath) ||
+        codecs.getCodec(f.getPath) != null
       if (compressed || f.getLen <= splitSize) {
         Seq(PgnInputPartition(f.getPath.toString, 0L, f.getLen, wholeFile = compressed))
       } else {
@@ -141,13 +142,29 @@ class PgnReaderFactory(confMap: Map[String, String]) extends PartitionReaderFact
   }
 }
 
+object PgnPartitionReader {
+  /** The reference's primary input is `.pgn.zst` (ingest_lichess.py:23,
+    * ingester.py:116-124). Hadoop's ZStandardCodec requires the native
+    * libhadoop zstd binding, which many deploy images (including this
+    * one) lack — so `.zst`/`.zstd` route through the zstd-jni
+    * `ZstdInputStream` Spark already bundles for shuffle compression.
+    */
+  def isZstd(p: Path): Boolean = {
+    val n = p.getName.toLowerCase(java.util.Locale.ROOT)
+    n.endsWith(".zst") || n.endsWith(".zstd")
+  }
+}
+
 /** Reads the games whose `[Event ` line starts inside [start, start+length). */
 class PgnPartitionReader(part: PgnInputPartition, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(part.path)
   private val fs = path.getFileSystem(conf)
-  private val codec = new CompressionCodecFactory(conf).getCodec(path)
+  private val zstd = PgnPartitionReader.isZstd(path)
+  private val codec =
+    if (zstd) null else new CompressionCodecFactory(conf).getCodec(path)
+  private val streamed = zstd || codec != null // no seeking, one partition
   private val rawIn = fs.open(path)
   // Hadoop text-split convention: a mid-file reader seeks to start-1
   // and discards one line, so a record starting EXACTLY at `start`
@@ -155,7 +172,8 @@ class PgnPartitionReader(part: PgnInputPartition, conf: Configuration)
   // straddling the boundary belongs to the previous split, which reads
   // through its end offset until the next boundary.
   private val in: java.io.InputStream =
-    if (codec != null) codec.createInputStream(rawIn)
+    if (zstd) new com.github.luben.zstd.ZstdInputStream(rawIn)
+    else if (codec != null) codec.createInputStream(rawIn)
     else { if (part.start > 0) rawIn.seek(part.start - 1); rawIn }
 
   private val end: Long = if (part.wholeFile) Long.MaxValue else part.start + part.length
@@ -165,7 +183,7 @@ class PgnPartitionReader(part: PgnInputPartition, conf: Configuration)
   private var bufLen = 0
   private var bufPos = 0
   private var filePos: Long =
-    if (codec != null) 0L else math.max(part.start - 1, 0L)
+    if (streamed) 0L else math.max(part.start - 1, 0L)
   private val lineBytes = new java.io.ByteArrayOutputStream(256)
 
   /** Reads one line; returns (line, byteOffsetOfLineStart) or null at EOF. */
@@ -176,7 +194,19 @@ class PgnPartitionReader(part: PgnInputPartition, conf: Configuration)
     var sawAny = false
     while (!done) {
       if (bufPos >= bufLen) {
-        bufLen = in.read(buf)
+        // InputStream.read may legally return 0 (seen with some codec
+        // wrappers); only < 0 is EOF. Retry 0-byte reads with a sanity
+        // bound instead of spinning forever.
+        var n = in.read(buf)
+        var zeroReads = 0
+        while (n == 0) {
+          zeroReads += 1
+          if (zeroReads > 4096)
+            throw new java.io.IOException(
+              s"stream for ${part.path} returned 0 bytes $zeroReads times")
+          n = in.read(buf)
+        }
+        bufLen = n
         bufPos = 0
         if (bufLen < 0) {
           done = true
@@ -209,7 +239,7 @@ class PgnPartitionReader(part: PgnInputPartition, conf: Configuration)
 
   // On a mid-file split: discard the (possibly partial) line containing
   // byte start-1; the next line read starts at or after `start`.
-  if (part.start > 0 && codec == null) {
+  if (part.start > 0 && !streamed) {
     readLine()
   }
 

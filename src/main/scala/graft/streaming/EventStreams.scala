@@ -72,7 +72,14 @@ object EventStreams {
               else if (t - acc.last > GapMs) {
                 out += SessionOut(user, acc.seq, acc.n, new Timestamp(acc.start), closed = true)
                 acc = SessionAcc(t, t, 1, acc.seq + 1)
-              } else acc = acc.copy(last = t, n = acc.n + 1)
+              } else {
+                // a late-but-within-watermark event may arrive with
+                // t < acc.last (or even t < acc.start): never move the
+                // session window backwards, or the event-time timeout
+                // would shrink and close the session too early
+                acc = acc.copy(start = math.min(acc.start, t),
+                  last = math.max(acc.last, t), n = acc.n + 1)
+              }
             }
             state.update(acc)
             // close the open session once the watermark passes last+gap

@@ -132,6 +132,18 @@ class OpsSpec extends SparkSpec {
     assert(q0.contains(1L)) // identical vector must collide
   }
 
+  test("ann_lsh recall@5 vs bruteforce is >= 0.9 on sf0.01 embeddings") {
+    val sf = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.annBruteforce(spark, sf))
+    val lsh = pairs(Similarity.annLsh(spark, sf))
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    info(f"ann_lsh recall@5 vs bruteforce: $recall%.3f (${bf.intersect(lsh).size}/${bf.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
   test("text token counts are exact") {
     val r = TextOps.textTokens(spark, dir).filter(col("doc_id") === 5).head()
     assert(r.getLong(1) === 2) // "too short"

@@ -57,6 +57,27 @@ class PgnSourceSpec extends SparkSpec {
     assert(df.count() === 50)
   }
 
+  test("zstd-compressed pgn reads whole-file — the reference's .pgn.zst input") {
+    val zDir = Files.createTempDirectory("pgn_zst")
+    val src = Files.readAllBytes(Paths.get(dir, "games_00.pgn"))
+    val zst = zDir.resolve("games.pgn.zst")
+    val out = new com.github.luben.zstd.ZstdOutputStream(Files.newOutputStream(zst))
+    out.write(src); out.close()
+    val df = spark.read.format("pgn")
+      .option("pgn.splitSize", "100") // must be ignored for compressed input
+      .load(zDir.toString)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.count() === 50)
+    // games parse identically to the uncompressed file
+    val plain = spark.read.format("pgn").load(Paths.get(dir, "games_00.pgn").toString)
+      .select(element_at(col("tags"), "Site").as("site"), col("movetext"))
+      .orderBy("site").collect().toSeq
+    val packed = df
+      .select(element_at(col("tags"), "Site").as("site"), col("movetext"))
+      .orderBy("site").collect().toSeq
+    assert(packed === plain)
+  }
+
   test("handles games with comments, missing tags, CRLF") {
     val d = Files.createTempDirectory("pgn_edge")
     val pgn =

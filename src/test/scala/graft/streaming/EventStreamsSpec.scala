@@ -64,6 +64,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(2L) === 1) // second session closed by timeout
   }
 
+  test("sessionize never moves session state backwards on late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), "2 hours")
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    // events at 10:20 then a LATE event at 10:05 (within watermark and
+    // within the 30-min gap): last must stay 10:20, start must move
+    // back to 10:05 — then 10:55 is still within gap of 10:20 (35 min
+    // after 10:20 would NOT be; 10:55 is exactly 35 min after 10:20,
+    // so use 10:45 to stay inside)
+    input.addData(ev(1, 20))
+    q.processAllAvailable()
+    input.addData(ev(2, 5)) // late, within gap
+    q.processAllAvailable()
+    input.addData(ev(3, 45)) // 25 min after the true last (10:20)
+    q.processAllAvailable()
+    // close by gap: next event far ahead
+    input.addData(ev(4, 300))
+    q.processAllAvailable()
+    val rows = spark.table("late_sessions")
+      .filter(col("user_id") === 1L)
+      .select("session_seq", "n_events", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Timestamp]("session_start"))).sortBy(_._1)
+    q.stop()
+    // if the late event had shrunk `last` to 10:05, the 10:45 event
+    // (40 min later) would have split the session into two
+    assert(rows.head._1 === 1L)
+    assert(rows.head._2 === 3L, s"session split by late event: ${rows.toSeq}")
+    assert(rows.head._3 === ts(5)) // start corrected to the earliest
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
