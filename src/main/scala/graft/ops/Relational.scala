@@ -289,6 +289,47 @@ object Relational {
       .orderBy("day")
   }
 
+  /** C6b-scalable: the same exact global quantile ranks as [[qNtile]]
+    * WITHOUT the single-reducer global window. Range-partition on the
+    * sort key (every partition holds a contiguous key range), sort
+    * within partitions, then `zipWithIndex` turns local positions into
+    * global ranks — its offset pass is a per-partition COUNT, not a
+    * data movement, so no task ever sees more than one partition's
+    * rows. The sorted table is localCheckpoint'ed because zipWithIndex
+    * runs two jobs over it (the count pass + the value pass); at
+    * cluster scale that materialization goes to reliable storage.
+    * RDD zipWithIndex is the one genuinely per-partition-imperative
+    * step (global index assignment) that the DataFrame API cannot
+    * express without the degenerate global window.
+    */
+  def qNtileScalable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val parts = s.sessionState.conf.numShufflePartitions
+    val n = df.count()
+    val sorted = df
+      .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions("c_acctbal", "c_custkey")
+      .localCheckpoint()
+    // SQL ntile(k): the first n%k buckets get ceil(n/k) rows, the rest
+    // floor(n/k) — computed from the 0-based global index
+    val k = 4L
+    val small = n / k
+    val rem = n % k
+    sorted.rdd.zipWithIndex().map { case (r, i) =>
+      val quartile =
+        if (i < (small + 1) * rem) i / (small + 1) + 1
+        else (i - rem) / small + 1
+      (r.getLong(0), r.getDouble(1), quartile.toInt, i)
+    }.toDF("c_custkey", "c_acctbal", "quartile", "idx")
+      // same rounding builtin as qNtile so the two agree bit-for-bit
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        when(lit(n) === 1, 0.0)
+          .otherwise(round(col("idx").cast("double") / lit((n - 1).toDouble), 6))
+          .as("pct_rank"))
+      .orderBy("c_custkey")
+  }
+
   /** C6b: ntile + percent_rank window.
     *
     * Scale note: an unpartitioned `Window.orderBy` funnels the whole
@@ -350,6 +391,15 @@ object Relational {
         |FROM p FULL OUTER JOIN e ON p.day = e.day
         |ORDER BY day""".stripMargin)),
     Q("q_ntile", qNtile, Some(
+      """SELECT c_custkey, c_acctbal,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    // same oracle as q_ntile: the scalable formulation must reproduce
+    // the single-reducer window's answer exactly
+    Q("q_ntile_scalable", qNtileScalable, Some(
       """SELECT c_custkey, c_acctbal,
         |       ntile(4) OVER w AS quartile,
         |       round(percent_rank() OVER w, 6) AS pct_rank

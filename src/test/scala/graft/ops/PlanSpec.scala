@@ -37,6 +37,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"no map-side partial aggregation in:\n$plan")
   }
 
+  test("q_ntile_scalable matches the single-reducer window formulation exactly") {
+    val a = Relational.qNtile(spark, dir).collect().toSeq
+    val b = Relational.qNtileScalable(spark, dir).collect().toSeq
+    assert(b === a)
+  }
+
   test("native CosineSim does not break WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.load(spark, dir, "embeddings").limit(10)
