@@ -304,25 +304,16 @@ object Dedup {
         count(lit(1)).as("m"))
   }
 
-  def dedupJaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
-      topK: Int = 50): DataFrame = {
+  /** Exact-verified inter-group jaccard pairs over the unique sets,
+    * via the PPJoin prefix filter (Xiao et al., WWW'08): index each
+    * set's n - ceil(t*n) + 1 globally-rarest shingles — any pair with
+    * jaccard >= t shares a prefix shingle, so recall stays exact
+    * (modulo [[capBuckets]] on degenerate postings) while candidates
+    * shrink by orders of magnitude vs the full inverted index.
+    * Returns (a, b, common, jaccard) with a < b at rep level.
+    */
+  private[ops] def jaccardPairs(uniq: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // EXACT-DUP COLLAPSE first (see ShingleCorpus): the pairwise join
-    // runs on unique sets only (measured: 50k docs with 10x dup
-    // structure -> 41M candidate pairs without collapse, ~0.5M with).
-    // Each group keeps its topK+1 smallest member ids: doc pairs are
-    // ranked (jaccard DESC, a, b), so every final pair is a
-    // combination of the K smallest members.
-    val c = shingleCorpus(s, dir)
-    // per-group member slices, needed only by this operator
-    val members = boundedMembers(c.docToRep, topK).localCheckpoint()
-    val uniq = c.sets
-
-    // PPJoin-style prefix filter on the unique sets (Xiao et al.,
-    // WWW'08): index each set's n - ceil(t*n) + 1 globally-rarest
-    // shingles — any pair with jaccard >= t shares a prefix shingle,
-    // so recall stays exact while candidates shrink by orders of
-    // magnitude vs the full inverted index.
     val inv = uniq.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -337,10 +328,9 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-
     // exact verify on unique-set pairs (inter-group jaccard < 1 by
     // construction: equal sets share a group)
-    val inter = cand
+    cand
       .join(uniq.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(uniq.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -349,6 +339,21 @@ object Dedup {
           (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("common"), col("jaccard"))
+  }
+
+  def dedupJaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
+      topK: Int = 50): DataFrame = {
+    // EXACT-DUP COLLAPSE first (see ShingleCorpus): the pairwise join
+    // runs on unique sets only (measured: 50k docs with 10x dup
+    // structure -> 41M candidate pairs without collapse, ~0.5M with).
+    // Each group keeps its topK+1 smallest member ids: doc pairs are
+    // ranked (jaccard DESC, a, b), so every final pair is a
+    // combination of the K smallest members.
+    val c = shingleCorpus(s, dir)
+    // per-group member slices, needed only by this operator
+    val members = boundedMembers(c.docToRep, topK).localCheckpoint()
+    val uniq = c.sets
+    val inter = jaccardPairs(uniq, threshold)
 
     // top group-pairs, then bounded expansion to doc pairs: the K
     // smallest (a, b) combos of a group-pair lie in (K smallest of A)
@@ -375,6 +380,65 @@ object Dedup {
     topIntra.unionByName(topInter)
       .orderBy(desc("jaccard"), col("a"), col("b"))
       .limit(topK)
+  }
+
+  /** Min-label propagation connected components: each node starts
+    * labeled with itself; every iteration each node takes the min of
+    * its own and its neighbors' labels, until no label changes. Plain
+    * propagation converges in O(component diameter) rounds — near-dup
+    * graphs are dense clusters with tiny diameters, so this stays in
+    * single digits where path-doubling (large-star/small-star) would
+    * only add constant-factor shuffle volume. Each round is one join
+    * + one partial-aggregated groupBy; labels are localCheckpoint'ed
+    * per round to truncate lineage (driver-side control flow only
+    * reads ONE scalar — the changed-count — per round).
+    */
+  private[ops] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = und.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** D4b: TRANSITIVE near-dup clusters — connected components of the
+    * exact jaccard >= threshold graph. The per-doc `keep_id` of the
+    * pairwise operators is the smallest NEIGHBOR, which is not
+    * transitive: a chain A~B~C with A!~C keeps A and C under
+    * min-neighbor semantics even though they are the same boilerplate
+    * family. Training-data dedup wants one survivor per CLUSTER, which
+    * is exactly the component label. Runs on the exact-collapsed rep
+    * graph (edges from [[jaccardPairs]], exact recall), then maps
+    * doc -> rep -> cluster. Returns (doc_id, cluster_id); the dedup
+    * action is "keep doc_id == cluster_id".
+    */
+  def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val c = shingleCorpus(s, dir)
+    val edges = jaccardPairs(c.sets, threshold).select("a", "b")
+    val labels = connectedComponents(
+      c.sets.select(col("doc_id").as("id")), edges)
+    // docs without shingles (<3 tokens) have no rep: they are their
+    // own singleton cluster
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(c.docToRep, Seq("doc_id"), "left")
+      .join(labels.select(col("id").as("rep"), col("label")), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** D5: embedding-cosine near-dup. Sign-random-projection buckets
@@ -420,6 +484,36 @@ object Dedup {
     Q("dedup_minhash", (s, d) => dedupMinhash(s, d), None),
     Q("dedup_simhash", (s, d) => dedupSimhash(s, d), None),
     Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), None),
+    // exact oracle: the same transitive closure computed the slow way —
+    // O(n^2) string-3-gram jaccard graph + recursive-CTE reachability
+    // with min-label. Matches the Spark side up to 64-bit shingle-id
+    // collisions (p ~ d^2/2^65, immaterial at oracle scale).
+    Q("dedup_clusters", (s, d) => dedupClusters(s, d), Some(
+      raw"""WITH RECURSIVE
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(text, '\s+')) - 1),
+        |           i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+2])) AS sh
+        |  FROM documents),
+        |good AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst,
+        |           len(list_intersect(a.sh, b.sh)) AS inter,
+        |           len(a.sh) AS na, len(b.sh) AS nb
+        |    FROM good a, good b WHERE a.doc_id <> b.doc_id)
+        |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM good
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |labels AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+        |SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+        |ORDER BY d.doc_id""".stripMargin)),
     // exact-cosine oracle: the testdata corpus has no pair above the
     // threshold (max pairwise cos < 0.85), so the SRP prefilter is
     // provably recall-1 here and the LSH result must equal the exact

@@ -108,6 +108,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters merges transitive near-dup chains that min-neighbor splits") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ops_spec_cc").toString
+    // A~B (j=0.5) and B~C (j=0.5) but A!~C (j=0.2): a chain the
+    // pairwise keep_id semantics cannot merge; doc 5 is an exact dup
+    // of A (joins the cluster through the rep collapse); doc 4 is
+    // unrelated
+    val a = (1 to 14).map(i => s"a$i")
+    val b4 = (1 to 4).map(i => s"b$i")
+    val tokA = a.mkString(" ")
+    val tokB = (a.drop(4) ++ b4).mkString(" ")
+    val tokC = (a.drop(8) ++ b4 ++ (1 to 4).map(i => s"c$i")).mkString(" ")
+    val other = "totally unrelated prose about quantum lattice cryogenic pumps today"
+    val docs = Seq(
+      Doc(1, tokA, "en", "s", tokA.length),
+      Doc(2, tokB, "en", "s", tokB.length),
+      Doc(3, tokC, "en", "s", tokC.length),
+      Doc(4, other, "en", "s", other.length),
+      Doc(5, tokA, "en", "s", tokA.length))
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // the exact pair graph really is a chain: (1,2) and (2,3), no (1,3)
+    val pairs = Dedup.dedupJaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)))
+    val cl = Dedup.dedupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) === 1L && cl(2L) === 1L && cl(3L) === 1L) // chain merged
+    assert(cl(5L) === 1L) // exact dup joins via its rep
+    assert(cl(4L) === 4L) // unrelated stays a singleton
+    assert(cl.size === 5)
+  }
+
   test("dedup_embed groups identical and near-identical vectors") {
     val keep = Dedup.dedupEmbed(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
