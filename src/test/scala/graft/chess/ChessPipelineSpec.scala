@@ -197,6 +197,25 @@ class ChessPipelineSpec extends SparkSpec {
     assert(nWindow <= 2, s"window stage duplicated ($nWindow nodes):\n$plan")
   }
 
+  test("bucketed (skew-resistant) withStats equals the plain formulation") {
+    val cols = ChessPipeline.withStats(games).columns.sorted.map(col)
+    val plain = ChessPipeline.withStats(games)
+      .select(cols: _*).orderBy("ID").collect().toSeq
+    val bucketed = ChessPipeline.withStats(games, bucketed = true)
+      .select(cols: _*).orderBy("ID").collect().toSeq
+    assert(bucketed === plain)
+  }
+
+  test("bucketed withStats keeps rows with null DateTime") {
+    import spark.implicits._
+    // a malformed date must not vanish at the bucket joins
+    val g = games.limit(1).withColumn("DateTime",
+      lit(null).cast("timestamp"))
+      .unionByName(games)
+    val n = ChessPipeline.withStats(g, bucketed = true).count()
+    assert(n === games.count() + 1)
+  }
+
   test("incremental two-batch ingestion equals one full batch") {
     // split by day: batch1 = Mar 1 games, batch2 = Mar 2 games
     val g = ChessPipeline.parseGames(raw)

@@ -97,10 +97,12 @@ class SkewSpec extends SparkSpec {
     // per partition, so the hot task must stay near the median, and
     // the stats->games join (on ID) is uniform regardless of player
     val n = 20000
+    // one game per hour => the corpus spans ~27 months, so the
+    // bucketed formulation has real month boundaries to cross
     val games = (1 to n).map { i =>
       val white = if (i % 2 == 0) "hotbot" else s"w$i"
       val black = s"b$i"
-      (f"g$i%06d", new java.sql.Timestamp(1700000000000L + i * 1000L),
+      (f"g$i%06d", new java.sql.Timestamp(1700000000000L + i * 3600000L),
         if (i % 3 == 0) "Blitz" else "Bullet", white, black,
         1000 + i % 800, 1000 + (i * 7) % 800)
     }.toDF("ID", "DateTime", "Event", "White", "Black", "WhiteElo", "BlackElo")
@@ -110,5 +112,14 @@ class SkewSpec extends SparkSpec {
     }
     assert(rows === n)
     assertNoStraggler(times, "withStats on hot-player corpus")
+    // the skew-resistant two-phase variant must agree exactly on the
+    // corpus its bounded-task-size design exists for
+    val cols = ChessPipeline.withStats(games).columns.sorted
+      .map(org.apache.spark.sql.functions.col)
+    val plain = ChessPipeline.withStats(games)
+      .select(cols: _*).orderBy("ID").collect().toSeq
+    val bucketed = ChessPipeline.withStats(games, bucketed = true)
+      .select(cols: _*).orderBy("ID").collect().toSeq
+    assert(bucketed === plain)
   }
 }
