@@ -483,7 +483,31 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
     Q("dedup_minhash", (s, d) => dedupMinhash(s, d), None),
     Q("dedup_simhash", (s, d) => dedupSimhash(s, d), None),
-    Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), None),
+    // brute-force O(n^2) jaccard in DuckDB over string 3-grams: the
+    // PPJoin result must equal it exactly (prefix-filter recall is
+    // exact; shingle-id collisions are ~d^2/2^65). `common` and the
+    // jaccard quotient are small-integer arithmetic, identical in both
+    // engines bit-for-bit.
+    Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), Some(
+      raw"""WITH
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(text, '\s+')) - 1),
+        |           i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+2])) AS sh
+        |  FROM documents),
+        |good AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT a, b, common, common::DOUBLE / (na + nb - common) AS jaccard FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           len(list_intersect(x.sh, y.sh)) AS common,
+        |           len(x.sh) AS na, len(y.sh) AS nb
+        |    FROM good x, good y WHERE x.doc_id < y.doc_id))
+        |SELECT a, b, CAST(common AS BIGINT) AS common, jaccard
+        |FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin)),
     // exact oracle: the same transitive closure computed the slow way —
     // O(n^2) string-3-gram jaccard graph + recursive-CTE reachability
     // with min-label. Matches the Spark side up to 64-bit shingle-id
