@@ -58,9 +58,20 @@ object IngestMain {
       val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
       val cur = new org.apache.hadoop.fs.Path(d, "player_state")
       val old = new org.apache.hadoop.fs.Path(d, "player_state_old")
-      fs.delete(old, true)
-      if (fs.exists(cur)) fs.rename(cur, old)
-      fs.rename(new org.apache.hadoop.fs.Path(d, "player_state_next"), cur)
+      // rename returns false instead of throwing on most FS impls — a
+      // silently failed swap followed by the old-state cleanup would
+      // destroy the last committed state
+      def mustRename(from: org.apache.hadoop.fs.Path,
+          to: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(from, to), s"state swap failed: $from -> $to")
+      if (fs.exists(cur)) {
+        // normal path: retire the stale old copy, then cur -> old
+        fs.delete(old, true)
+        mustRename(cur, old)
+      }
+      // recovery path (cur absent, `old` was the prior source): old IS
+      // the last committed state — keep it until `next` is in place
+      mustRename(new org.apache.hadoop.fs.Path(d, "player_state_next"), cur)
       fs.delete(old, true) // state committed; drop the retired copy
     }
     spark.stop()

@@ -73,25 +73,19 @@ object Dedup {
     *    dup-heavy corpora this shrinks every pairwise stage
     *    quadratically, with unchanged semantics — exact dups have the
     *    same signatures and the same jaccard to everything);
-    *  - `members`: per rep, the topK+1 smallest member ids + group
-    *    size (for bounded doc-level expansion);
-    *  - `sets` / `sigs`: shingle set and MinHash signature PER UNIQUE
-    *    SET only. Signatures come from explode + a pure 64-min
-    *    HashAggregate: each shingle hashed exactly once per slot,
-    *    whole-stage codegen (the naive nested-HOF projection gets
-    *    re-inlined by CollapseProject into every band slot — a
-    *    ~1000x recompute blowup; collect_set alongside the mins
-    *    forces sort-based ObjectHashAggregate — ~4x).
-    * All four are localCheckpoint'ed: they are consumed by multiple
-    * subtrees, and the checkpoint truncates lineage. At cluster scale
-    * the same tables would be persisted to reliable storage instead
-    * (executor loss invalidates local checkpoints).
+    *  - `sets`: the shingle-id set PER UNIQUE SET only.
+    * Both derive narrowly from one checkpointed `grouped` table (the
+    * checkpoint truncates lineage; consumers re-read its materialized
+    * blocks). The MinHash signature table is NOT part of the corpus —
+    * only the minhash path needs it ([[sigsOf]]); jaccard/cluster
+    * operators must not pay its 64-min aggregation. At cluster scale
+    * the checkpoints go to reliable storage instead (executor loss
+    * invalidates local checkpoints).
     */
-  private case class ShingleCorpus(docToRep: DataFrame,
-      sets: DataFrame, sigs: DataFrame)
+  private case class ShingleCorpus(docToRep: DataFrame, sets: DataFrame)
 
   def docSigsPublic(s: SparkSession, dir: String): DataFrame = {
-    val c = shingleCorpus(s, dir); c.sets.join(c.sigs, "doc_id")
+    val c = shingleCorpus(s, dir); c.sets.join(sigsOf(c.sets), "doc_id")
   }
 
   private def shingleCorpus(s: SparkSession, dir: String): ShingleCorpus = {
@@ -102,27 +96,30 @@ object Dedup {
       .withColumn("setkey", md5(to_json(array_sort(col("sh")))))
       .withColumn("rep", min(col("doc_id")).over(w))
       .localCheckpoint()
-    // only `grouped` is checkpointed: sets/sigs/docToRep are narrow
-    // (or once-consumed) derivations of it, so consumers re-derive
-    // them from the materialized blocks instead of paying extra
-    // checkpoint jobs
     val docToRep = grouped.select("doc_id", "rep")
     val sets = grouped.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("sh"))
-    // `sigs` stays checkpointed: it feeds both sides of the band
-    // self-join, and without materialization the 64-min aggregation
-    // runs twice (measured +40%)
-    // slot k = min over shingle ids of murmur3(id, k): hashing the
-    // fixed-width long id per slot is far cheaper than re-hashing an
-    // n-gram string 64 times (hash-of-hash preserves the min-hash
-    // family's independence for distinct shingles)
-    val sigs = sets
+    ShingleCorpus(docToRep, sets)
+  }
+
+  /** 64-slot MinHash signatures for the unique sets: explode + one
+    * partial-aggregated 64-min HashAggregate — each shingle id hashed
+    * once per slot, whole-stage codegen (the naive nested-HOF
+    * projection gets re-inlined by CollapseProject into every band
+    * slot — a ~1000x recompute blowup; collect_set alongside the mins
+    * forces sort-based ObjectHashAggregate — ~4x). Slot k =
+    * min(murmur3(id, k)): hashing the fixed-width long id per slot is
+    * far cheaper than re-hashing an n-gram string 64 times
+    * (hash-of-hash preserves the family's independence). Checkpointed:
+    * it feeds both sides of the band self-join, and without
+    * materialization the aggregation runs twice (measured +40%).
+    */
+  private def sigsOf(sets: DataFrame): DataFrame =
+    sets
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(array((0 until MinhashK).map(k => min(hash(col("h"), lit(k)))): _*).as("sig"))
       .localCheckpoint()
-    ShingleCorpus(docToRep, sets, sigs)
-  }
 
   /** (band, band_hash) rows for LSH banding. */
   def bandStructs(sig: Column): Column =
@@ -154,7 +151,7 @@ object Dedup {
     */
   def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val c = shingleCorpus(s, dir)
-    val banded = capBuckets(c.sigs
+    val banded = capBuckets(sigsOf(c.sets)
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
@@ -412,6 +409,12 @@ object Dedup {
       labels = next
       it += 1
     }
+    // loud, not wrong: returning partial labels would silently split
+    // one true component into several clusters (a path-graph corpus
+    // with radius > maxIter). Callers with such corpora raise maxIter
+    // (or switch to a path-doubling variant).
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds ($changed labels still changing)")
     labels
   }
 

@@ -72,11 +72,20 @@ object EventStreams {
               else if (t - acc.last > GapMs) {
                 out += SessionOut(user, acc.seq, acc.n, new Timestamp(acc.start), closed = true)
                 acc = SessionAcc(t, t, 1, acc.seq + 1)
+              } else if (t < acc.start - GapMs) {
+                // a late straggler more than a gap BEFORE the open
+                // session can never belong to it: emit it as its own
+                // closed singleton, numbered before the open session
+                // (it is earlier in event time), and shift the open
+                // session's seq up — merging it would stretch
+                // session_start backwards without bound
+                out += SessionOut(user, acc.seq, 1, new Timestamp(t), closed = true)
+                acc = acc.copy(seq = acc.seq + 1)
               } else {
-                // a late-but-within-watermark event may arrive with
-                // t < acc.last (or even t < acc.start): never move the
-                // session window backwards, or the event-time timeout
-                // would shrink and close the session too early
+                // a late-but-within-gap event may arrive with
+                // t < acc.last (or slightly before acc.start): never
+                // move the session window backwards, or the event-time
+                // timeout would shrink and close the session too early
                 acc = acc.copy(start = math.min(acc.start, t),
                   last = math.max(acc.last, t), n = acc.n + 1)
               }

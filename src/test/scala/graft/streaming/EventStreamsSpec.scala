@@ -97,6 +97,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.head._3 === ts(5)) // start corrected to the earliest
   }
 
+  test("a straggler more than a gap before the open session becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), "3 hours")
+      .writeStream.format("memory").queryName("stray_sessions").outputMode("append").start()
+    input.addData(ev(1, 120)) // open session at 12:00
+    q.processAllAvailable()
+    // late event at 10:00 — 2h before the open session's start, far
+    // outside the 30-min gap: must NOT stretch the session backwards
+    input.addData(ev(2, 0))
+    q.processAllAvailable()
+    input.addData(ev(3, 130)) // still merges into the open session
+    q.processAllAvailable()
+    input.addData(ev(4, 600)) // closes the open session by gap
+    q.processAllAvailable()
+    val rows = spark.table("stray_sessions")
+      .filter(col("user_id") === 1L)
+      .select("session_seq", "n_events", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp]("session_start"))).sortBy(_._1)
+    q.stop()
+    // seq 1: the singleton straggler (earlier in event time);
+    // seq 2: the 12:00-12:10 session with 2 events
+    assert(rows.length >= 2, s"got ${rows.toSeq}")
+    assert(rows(0) === ((1L, 1L, ts(0))))
+    assert(rows(1)._1 === 2L && rows(1)._2 === 2L && rows(1)._3 === ts(120))
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
