@@ -1,0 +1,56 @@
+package graft.chess
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe commit protocol for the resumable ingestion state
+  * (the Spark analog of the reference's cumulative-file swap,
+  * ingest_lichess.py / ingester.py:60-86).
+  *
+  * Layout under the state dir: `player_state` (committed),
+  * `player_state_old` (retired copy, exists only mid-swap or after a
+  * crash), `player_state_next` (staging, written by the job).
+  *
+  * Invariant: at EVERY instant at least one of `player_state` /
+  * `player_state_old` holds the last committed state, and
+  * [[resolve]] prefers the newer one — so a crash at any point in
+  * [[commit]] loses nothing and the next run resumes correctly.
+  */
+object StateSwap {
+  val Cur = "player_state"
+  val Old = "player_state_old"
+  val Next = "player_state_next"
+
+  /** The last committed state, if any: `cur` normally; `old` if a
+    * crash hit between the retire and the final rename.
+    */
+  def resolve(fs: FileSystem, dir: String): Option[Path] = {
+    val cur = new Path(dir, Cur)
+    val old = new Path(dir, Old)
+    if (fs.exists(cur)) Some(cur)
+    else if (fs.exists(old)) Some(old)
+    else None
+  }
+
+  /** Promotes an already-written `player_state_next` to committed.
+    * Three steps: retire cur -> old (only when cur exists — after a
+    * crash recovery `old` may be the ONLY committed copy and must not
+    * be touched), rename next -> cur, drop old. Hadoop rename returns
+    * false instead of throwing on most filesystems, so every rename
+    * is checked — a silently failed swap followed by the cleanup
+    * delete would destroy the last committed state.
+    */
+  def commit(fs: FileSystem, dir: String): Unit = {
+    val cur = new Path(dir, Cur)
+    val old = new Path(dir, Old)
+    val next = new Path(dir, Next)
+    require(fs.exists(next), s"nothing staged at $next")
+    def mustRename(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"state swap failed: $from -> $to")
+    if (fs.exists(cur)) {
+      fs.delete(old, true) // stale retiree from a completed run
+      mustRename(cur, old)
+    }
+    mustRename(next, cur)
+    fs.delete(old, true) // committed; drop the retired copy
+  }
+}
