@@ -232,6 +232,22 @@ class ChessPipelineSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("incremental two-batch ingestion equals full batch under bucketed stats") {
+    val g = ChessPipeline.parseGames(raw)
+    val b1 = g.filter(col("DateTime") < "2024-03-02")
+    val b2 = g.filter(col("DateTime") >= "2024-03-02")
+    val state1 = ChessPipeline.statsState(b1)
+    val incremental = ChessPipeline.toPlayerGameRole(
+        ChessPipeline.withStats(b1, bucketed = true))
+      .unionByName(ChessPipeline.toPlayerGameRole(
+        ChessPipeline.withStats(b2, Some(state1), bucketed = true)))
+    val full = ChessPipeline.fromPgn(raw)
+    val cols = full.columns.sorted.map(col)
+    val a = incremental.select(cols: _*).orderBy("ID", "Role_player").collect()
+    val b = full.select(cols: _*).orderBy("ID", "Role_player").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("partitioned sorted sink writes month partitions") {
     val out = Files.createTempDirectory("pgr_out").toString
     ChessPipeline.writePartitioned(pgr, out)
