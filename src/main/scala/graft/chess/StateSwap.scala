@@ -22,11 +22,20 @@ object StateSwap {
 
   /** The last committed state, if any: `cur` normally; `old` if a
     * crash hit between the retire and the final rename.
+    *
+    * A `cur` missing Spark's `_SUCCESS` marker while `old` exists is
+    * treated as incomplete and `old` wins — a mitigation for
+    * filesystems whose directory rename is copy+delete (object
+    * stores), where a crash mid-promote can leave a partial `cur`.
+    * The protocol's hard guarantee still assumes atomic directory
+    * rename (HDFS / local / posix); on an object store, front the
+    * state dir with an HDFS/ABFS-style path or a manifest committer.
     */
   def resolve(fs: FileSystem, dir: String): Option[Path] = {
     val cur = new Path(dir, Cur)
     val old = new Path(dir, Old)
-    if (fs.exists(cur)) Some(cur)
+    val curComplete = fs.exists(new Path(cur, "_SUCCESS"))
+    if (fs.exists(cur) && (curComplete || !fs.exists(old))) Some(cur)
     else if (fs.exists(old)) Some(old)
     else None
   }

@@ -49,6 +49,21 @@ object EventStreams {
     * gap semantics as the batch `q_sessionize`. Emits a session row
     * whenever a new event closes the previous session, and on
     * watermark timeout for idle users.
+    *
+    * Session numbering: after a timeout the state is NOT removed — a
+    * tombstone (n = 0, no timeout re-armed) keeps the per-user seq
+    * counter so a later session never reuses an emitted
+    * (user_id, session_seq) key. State size is one small record per
+    * user ever seen (the same per-user footprint the batch twin
+    * scans), not watermark-bounded — the price of globally unique,
+    * monotone seqs.
+    *
+    * Late stragglers (events more than a gap BEFORE the open
+    * session's start) can never join it: consecutive in-batch
+    * stragglers within a gap of each other merge into one emitted
+    * session; stragglers split across microbatches each close
+    * separately (single-accumulator state — the exact repair of
+    * arbitrarily late data is the batch twin's job).
     */
   def sessionize(events: Dataset[Ev], watermark: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -60,27 +75,42 @@ object EventStreams {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // tombstone: keep seq, mark no open session, arm no timeout
+            state.update(s.copy(n = 0))
             Iterator(SessionOut(user, s.seq, s.n, new Timestamp(s.start), closed = true))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var acc = state.getOption.orNull
+            // open straggler session (sorted => stragglers precede the
+            // events that extend the live session)
+            var stray: SessionAcc = null
             val out = Seq.newBuilder[SessionOut]
+            def closeStray(): Unit = if (stray != null) {
+              out += SessionOut(user, stray.seq, stray.n, new Timestamp(stray.start), closed = true)
+              stray = null
+            }
             for (e <- sorted) {
               val t = e.ts.getTime
               if (acc == null) acc = SessionAcc(t, t, 1, 1)
-              else if (t - acc.last > GapMs) {
+              else if (acc.n == 0) {
+                // tombstone from a timed-out session: continue numbering
+                acc = SessionAcc(t, t, 1, acc.seq + 1)
+              } else if (t - acc.last > GapMs) {
+                closeStray()
                 out += SessionOut(user, acc.seq, acc.n, new Timestamp(acc.start), closed = true)
                 acc = SessionAcc(t, t, 1, acc.seq + 1)
               } else if (t < acc.start - GapMs) {
-                // a late straggler more than a gap BEFORE the open
-                // session can never belong to it: emit it as its own
-                // closed singleton, numbered before the open session
-                // (it is earlier in event time), and shift the open
-                // session's seq up — merging it would stretch
-                // session_start backwards without bound
-                out += SessionOut(user, acc.seq, 1, new Timestamp(t), closed = true)
-                acc = acc.copy(seq = acc.seq + 1)
+                // straggler: more than a gap BEFORE the open session —
+                // merge into the open straggler session if within its
+                // gap, else start a new one (numbered before the open
+                // session, whose seq shifts up)
+                if (stray != null && t - stray.last <= GapMs) {
+                  stray = stray.copy(last = math.max(stray.last, t), n = stray.n + 1)
+                } else {
+                  closeStray()
+                  stray = SessionAcc(t, t, 1, acc.seq)
+                  acc = acc.copy(seq = acc.seq + 1)
+                }
               } else {
                 // a late-but-within-gap event may arrive with
                 // t < acc.last (or slightly before acc.start): never
@@ -90,9 +120,10 @@ object EventStreams {
                   last = math.max(acc.last, t), n = acc.n + 1)
               }
             }
+            closeStray()
             state.update(acc)
             // close the open session once the watermark passes last+gap
-            state.setTimeoutTimestamp(acc.last + GapMs)
+            if (acc.n > 0) state.setTimeoutTimestamp(acc.last + GapMs)
             out.result().iterator
           }
       }

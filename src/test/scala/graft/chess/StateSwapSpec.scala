@@ -21,12 +21,14 @@ class StateSwapSpec extends AnyFunSuite {
   }
 
   /** Creates a fake state "table" (a dir with one file marking its
-    * generation) under `name`.
+    * generation, plus Spark's _SUCCESS marker unless partial).
     */
-  private def write(fs: FileSystem, dir: String, name: String, gen: String): Unit = {
+  private def write(fs: FileSystem, dir: String, name: String, gen: String,
+      partial: Boolean = false): Unit = {
     val p = new Path(dir, name)
     fs.mkdirs(p)
     fs.create(new Path(p, s"gen_$gen")).close()
+    if (!partial) fs.create(new Path(p, "_SUCCESS")).close()
   }
 
   private def genOf(fs: FileSystem, p: Path): String =
@@ -76,6 +78,17 @@ class StateSwapSpec extends AnyFunSuite {
     StateSwap.commit(fs, dir)
     assert(genOf(fs, StateSwap.resolve(fs, dir).get) === "3")
     assert(!fs.exists(new Path(dir, StateSwap.Old)))
+  }
+
+  test("partial cur (no _SUCCESS) with old present: old wins — non-atomic rename guard") {
+    val (fs, dir) = fixture()
+    write(fs, dir, StateSwap.Old, "1")
+    write(fs, dir, StateSwap.Cur, "2", partial = true)
+    assert(genOf(fs, StateSwap.resolve(fs, dir).get) === "1")
+    // without old, a marker-less cur is still better than nothing
+    val (fs2, dir2) = fixture()
+    write(fs2, dir2, StateSwap.Cur, "2", partial = true)
+    assert(genOf(fs2, StateSwap.resolve(fs2, dir2).get) === "2")
   }
 
   test("commit without staged state fails loudly") {

@@ -126,6 +126,56 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1)._1 === 2L && rows(1)._2 === 2L && rows(1)._3 === ts(120))
   }
 
+  test("session_seq continues after a timeout (no duplicate keys)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("seq_sessions").outputMode("append").start()
+    input.addData(ev(1, 0))
+    q.processAllAvailable()
+    // advance the watermark well past 0:00 + gap via another user ->
+    // user 1's open session times out and closes as seq 1
+    input.addData(ev(2, 300, user = 9L))
+    q.processAllAvailable()
+    // a NEW user-1 session after the timeout must be seq 2, not seq 1
+    input.addData(ev(3, 330))
+    q.processAllAvailable()
+    input.addData(ev(4, 700, user = 9L)) // time out user 1's 2nd session
+    q.processAllAvailable()
+    val seqs = spark.table("seq_sessions")
+      .filter(col("user_id") === 1L)
+      .select("session_seq").collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(seqs === Seq(1L, 2L), s"duplicate/missing session_seq: $seqs")
+  }
+
+  test("same-batch stragglers within a gap merge into one session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), "6 hours")
+      .writeStream.format("memory").queryName("stray2_sessions").outputMode("append").start()
+    input.addData(ev(1, 240)) // open session at 14:00
+    q.processAllAvailable()
+    // two late events at 10:00 and 10:10 in ONE batch: both are more
+    // than a gap before 14:00, and within a gap of each other — the
+    // batch twin would put them in one session, so must we
+    input.addData(ev(2, 0), ev(3, 10))
+    q.processAllAvailable()
+    input.addData(ev(4, 900)) // close the open session by gap
+    q.processAllAvailable()
+    val rows = spark.table("stray2_sessions")
+      .filter(col("user_id") === 1L)
+      .select("session_seq", "n_events", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp]("session_start"))).sortBy(_._1)
+    q.stop()
+    assert(rows.length >= 2, s"got ${rows.toSeq}")
+    assert(rows(0) === ((1L, 2L, ts(0))), s"stragglers not merged: ${rows.toSeq}")
+    assert(rows(1)._1 === 2L && rows(1)._2 === 1L && rows(1)._3 === ts(240))
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
