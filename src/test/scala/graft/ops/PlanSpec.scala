@@ -43,6 +43,21 @@ class PlanSpec extends SparkSpec {
     assert(b === a)
   }
 
+  test("dedup candidate joins are hash/merge joins, never cartesian") {
+    // every pairwise stage must join on bucket/prefix keys; a refactor
+    // that loses the equi-join condition degrades to a nested-loop
+    // cross product that cannot survive any scale
+    for (df <- Seq(Dedup.dedupMinhash(spark, dir),
+        Dedup.dedupSimhash(spark, dir),
+        Dedup.dedupJaccard(spark, dir),
+        Dedup.dedupEmbed(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in:\n$plan")
+    }
+  }
+
   test("native CosineSim does not break WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.load(spark, dir, "embeddings").limit(10)
