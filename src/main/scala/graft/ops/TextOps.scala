@@ -111,7 +111,30 @@ object TextOps {
         |  (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
         |    * (CAST(least(n_words, 100) AS DOUBLE) / 100.0) AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin)),
-    Q("text_langid", textLangId, None),
+    // hash-free, so fully oracle-able: the same profile counts and
+    // (hits, lang) argmax tie-break, via unnest + row_number (Spark's
+    // greatest-struct == ORDER BY hits DESC, lang DESC). Both engines
+    // use \b word boundaries and case-sensitive matching.
+    Q("text_langid", textLangId, Some(
+      raw"""WITH per AS (
+        |  SELECT doc_id, lang AS lang_true,
+        |         len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ich|mit|ein|zu)\b')) AS h_de,
+        |         len(regexp_extract_all(text, '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS h_en,
+        |         len(regexp_extract_all(text, '\b(el|la|los|las|de|que|y|es|en|un)\b')) AS h_es,
+        |         len(regexp_extract_all(text, '\b(le|la|les|de|et|est|que|pour|dans|un)\b')) AS h_fr,
+        |         len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 AS cjk
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, lang_true, cjk, l.lang AS lang, l.hits AS hits,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY l.hits DESC, l.lang DESC) AS rk
+        |  FROM per, UNNEST([struct_pack(lang := 'de', hits := h_de),
+        |                    struct_pack(lang := 'en', hits := h_en),
+        |                    struct_pack(lang := 'es', hits := h_es),
+        |                    struct_pack(lang := 'fr', hits := h_fr)]) AS t(l))
+        |SELECT doc_id, lang_true,
+        |       CASE WHEN cjk THEN 'zh' ELSE lang END AS lang_pred,
+        |       CAST(hits AS INTEGER) AS profile_hits
+        |FROM u WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
     Q("text_fingerprint", textFingerprint, None)
   )
 }
