@@ -119,8 +119,11 @@ object ChessPipeline {
     prior match {
       case None => batch
       case Some(p) =>
+        // null-safe keys: a missing White/Black tag groups under a null
+        // name (and '?' Events under null); plain === would leave the
+        // two sides' null groups unmatched and emit duplicate rows
         batch.as("b").join(p.as("p"),
-            col("b.name") === col("p.name") && col("b.Event") === col("p.Event"), "full_outer")
+            col("b.name") <=> col("p.name") && col("b.Event") <=> col("p.Event"), "full_outer")
           .select(
             coalesce(col("b.name"), col("p.name")).as("name"),
             coalesce(col("b.Event"), col("p.Event")).as("Event"),
@@ -191,10 +194,21 @@ object ChessPipeline {
       .select(col("name"), col("Event"), col("bkt"),
         coalesce(sum(col("bkt_n")).over(prevTypeBkts), lit(0L)).as("off_type"),
         max(col("bkt_max")).over(prevTypeBkts).as("off_max"))
-    local
-      .join(offTotal, Seq("name", "bkt"))
-      .join(offType, Seq("name", "Event", "bkt"))
-      .select(col("ID"), col("role"), col("name"), col("Event"),
+    // null-safe (<=>) key matching: name is null when the White/Black
+    // tag is missing, Event when it was '?'. The window formulation
+    // keeps null partition keys as their own group, so the offset
+    // joins must match them too — plain === would silently drop every
+    // such row (each null group aggregates to exactly one offset row,
+    // so <=> stays a 1:1 equi-join and hash-joins normally). bkt is
+    // never null (sentinel above).
+    local.as("l")
+      .join(offTotal.as("ot"),
+        col("l.name") <=> col("ot.name") && col("l.bkt") === col("ot.bkt"))
+      .join(offType.as("oy"),
+        col("l.name") <=> col("oy.name") && col("l.Event") <=> col("oy.Event") &&
+          col("l.bkt") === col("oy.bkt"))
+      .select(col("l.ID").as("ID"), col("l.role").as("role"),
+        col("l.name").as("name"), col("l.Event").as("Event"),
         (col("loc_total") + col("off_total")).as("run_total"),
         (col("loc_type") + col("off_type")).as("run_type"),
         coalesce(greatest(col("loc_max"), col("off_max")), lit(0)).as("run_max"))
@@ -237,12 +251,15 @@ object ChessPipeline {
         // every player ever seen — co-partitioned shuffle join on name,
         // AQE may still broadcast when it is actually small
         val perName = p.groupBy("name").agg(sum(col("n_games")).as("p_total"))
-        statsRaw
-          .join(perName, Seq("name"), "left")
-          .join(p.select(col("name"), col("Event"),
+        // null-safe joins for the same reason as the bucketed offsets:
+        // prior state for the null-name / null-Event groups must still
+        // offset this batch's null-keyed rows
+        statsRaw.as("s")
+          .join(perName.as("pn"), col("s.name") <=> col("pn.name"), "left")
+          .join(p.select(col("name").as("pt_name"), col("Event").as("pt_event"),
             col("n_games").as("p_type"), col("elo_max").as("p_max")),
-            Seq("name", "Event"), "left")
-          .select(col("ID"), col("role"),
+            col("s.name") <=> col("pt_name") && col("s.Event") <=> col("pt_event"), "left")
+          .select(col("s.ID").as("ID"), col("s.role").as("role"),
             (col("run_total") + coalesce(col("p_total"), lit(0L))).cast("int").as("cum_games_total"),
             (col("run_type") + coalesce(col("p_type"), lit(0L))).cast("int").as("cum_games_type"),
             greatest(col("run_max"), coalesce(col("p_max"), lit(0))).cast("int").as("elo_max"),

@@ -48,4 +48,14 @@ package object functions {
     val bridge = org.apache.spark.sql.graft.bridge
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
   }
+
+  /** k-slot MinHash signature of a shingle-id (array<bigint>) column
+    * via the native codegen'd [[MinHashSig]] expression — one pass per
+    * row, zero data movement (the explode + 64-min groupBy it replaces
+    * shuffled the whole exploded corpus).
+    */
+  def minhashSig(sh: Column, k: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(MinHashSig(bridge.expression(sh), k))
+  }
 }

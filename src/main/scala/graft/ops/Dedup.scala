@@ -13,10 +13,11 @@ import graft.Tables
   *     every pairwise stage runs on unique sets/texts only; doc-level
   *     answers come back via a docToRep join. Dup-heavy corpora (web
   *     crawls) shrink quadratically here with unchanged semantics.
-  *  2. Signatures by explode + partial-aggregated groupBy — each
-  *     shingle/token hashed exactly once per slot, whole-stage
-  *     codegen; materialized once (checkpoint) because multiple
-  *     subtrees consume them.
+  *  2. Signatures computed row-local: MinHash via the native
+  *     codegen'd [[graft.functions.MinHashSig]] expression (one
+  *     primitive pass per set, zero data movement), SimHash via a
+  *     bit-fold projection; materialized once (checkpoint) because
+  *     multiple subtrees consume them.
   *  3. Candidate generation only through LSH band buckets or PPJoin
   *     rarest-prefix postings, both with a bucket-size cap
   *     ([[capBuckets]]) as the skew guard (a degenerate bucket is
@@ -102,23 +103,24 @@ object Dedup {
     ShingleCorpus(docToRep, sets)
   }
 
-  /** 64-slot MinHash signatures for the unique sets: explode + one
-    * partial-aggregated 64-min HashAggregate — each shingle id hashed
-    * once per slot, whole-stage codegen (the naive nested-HOF
-    * projection gets re-inlined by CollapseProject into every band
-    * slot — a ~1000x recompute blowup; collect_set alongside the mins
-    * forces sort-based ObjectHashAggregate — ~4x). Slot k =
-    * min(murmur3(id, k)): hashing the fixed-width long id per slot is
-    * far cheaper than re-hashing an n-gram string 64 times
-    * (hash-of-hash preserves the family's independence). Checkpointed:
-    * it feeds both sides of the band self-join, and without
-    * materialization the aggregation runs twice (measured +40%).
+  /** 64-slot MinHash signatures for the unique sets, via the native
+    * codegen'd [[graft.functions.MinHashSig]] expression: one
+    * primitive pass per row inside the projection that already holds
+    * the set — zero data movement. Slot k = min(murmur3(id, k)),
+    * bit-identical to the earlier explode + 64-min HashAggregate
+    * formulation (which shuffled the whole exploded corpus into a
+    * partial agg; and before that, a nested-HOF projection that
+    * CollapseProject re-inlined into every band slot — a ~1000x
+    * recompute blowup). Hashing the fixed-width long id per slot
+    * rather than the n-gram string preserves the family's
+    * independence (hash-of-hash). Checkpointed: it feeds both sides
+    * of the band self-join; the materialized signatures are tiny
+    * (64 ints per unique set) and lineage truncation keeps the
+    * self-join from re-reading the corpus twice.
     */
   private def sigsOf(sets: DataFrame): DataFrame =
     sets
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .groupBy("doc_id")
-      .agg(array((0 until MinhashK).map(k => min(hash(col("h"), lit(k)))): _*).as("sig"))
+      .select(col("doc_id"), graft.functions.minhashSig(col("sh"), MinhashK).as("sig"))
       .localCheckpoint()
 
   /** (band, band_hash) rows for LSH banding. */
@@ -309,7 +311,8 @@ object Dedup {
     * shrink by orders of magnitude vs the full inverted index.
     * Returns (a, b, common, jaccard) with a < b at rep level.
     */
-  private[ops] def jaccardPairs(uniq: DataFrame, threshold: Double): DataFrame = {
+  private[ops] def jaccardPairs(uniq: DataFrame, threshold: Double,
+      maxBucket: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = uniq.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
@@ -320,7 +323,7 @@ object Dedup {
         .withColumn("rk", row_number().over(byRarity))
         .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
         .select("doc_id", "shingle"),
-      Seq("shingle"))
+      Seq("shingle"), maxBucket)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -425,13 +428,21 @@ object Dedup {
     * min-neighbor semantics even though they are the same boilerplate
     * family. Training-data dedup wants one survivor per CLUSTER, which
     * is exactly the component label. Runs on the exact-collapsed rep
-    * graph (edges from [[jaccardPairs]], exact recall), then maps
-    * doc -> rep -> cluster. Returns (doc_id, cluster_id); the dedup
-    * action is "keep doc_id == cluster_id".
+    * graph (edges from [[jaccardPairs]]), then maps doc -> rep ->
+    * cluster. Returns (doc_id, cluster_id); the dedup action is
+    * "keep doc_id == cluster_id".
+    *
+    * Recall inherits [[jaccardPairs]]'s [[capBuckets]] caveat: a pair
+    * whose only shared prefix shingle appears in more than `maxBucket`
+    * DISTINCT unique sets is dropped, so a near-boilerplate corpus
+    * slice may under-merge components. Raise `maxBucket` when exact
+    * transitive closure matters more than the quadratic-bucket skew
+    * guard (the default bounds the worst bucket's pair fan-out).
     */
-  def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.5,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val c = shingleCorpus(s, dir)
-    val edges = jaccardPairs(c.sets, threshold).select("a", "b")
+    val edges = jaccardPairs(c.sets, threshold, maxBucket).select("a", "b")
     val labels = connectedComponents(
       c.sets.select(col("doc_id").as("id")), edges)
     // docs without shingles (<3 tokens) have no rep: they are their

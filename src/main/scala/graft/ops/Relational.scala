@@ -304,7 +304,13 @@ object Relational {
     */
   def qNtileScalable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val df = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    // explicit casts: the RDD step below reads rows positionally as
+    // (long, double) — pin the types here so a generator that emits
+    // int keys / decimal balances analyzes cleanly instead of
+    // throwing ClassCastException at runtime
+    val df = t(s, dir, "customer").select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_acctbal").cast("double").as("c_acctbal"))
     val parts = s.sessionState.conf.numShufflePartitions
     val n = df.count()
     val sorted = df

@@ -51,21 +51,30 @@ object EventStreams {
     * watermark timeout for idle users.
     *
     * Session numbering: after a timeout the state is NOT removed — a
-    * tombstone (n = 0, no timeout re-armed) keeps the per-user seq
-    * counter so a later session never reuses an emitted
-    * (user_id, session_seq) key. State size is one small record per
+    * tombstone (n = 0) keeps the per-user seq counter so a later
+    * session never reuses an emitted (user_id, session_seq) key. By
+    * default tombstones live forever: state is one small record per
     * user ever seen (the same per-user footprint the batch twin
     * scans), not watermark-bounded — the price of globally unique,
-    * monotone seqs.
+    * monotone seqs. For long-running deployments with high-cardinality
+    * user ids, pass `tombstoneTtlMs`: a tombstone re-arms its timeout
+    * and is REMOVED once the user has been quiet for gap + TTL —
+    * bounded state, with seq uniqueness now guaranteed only for users
+    * whose quiet periods stay under the TTL (a user returning later
+    * restarts at seq 1).
     *
     * Late stragglers (events more than a gap BEFORE the open
     * session's start) can never join it: consecutive in-batch
     * stragglers within a gap of each other merge into one emitted
-    * session; stragglers split across microbatches each close
-    * separately (single-accumulator state — the exact repair of
-    * arbitrarily late data is the batch twin's job).
+    * session, and an in-batch event that BRIDGES the straggler and the
+    * open session (lands within a gap of both) merges all three into
+    * the open session, matching the batch twin; stragglers split
+    * across microbatches each close separately (single-accumulator
+    * state — the exact repair of arbitrarily late data is the batch
+    * twin's job).
     */
-  def sessionize(events: Dataset[Ev], watermark: String = "1 hour"): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Ev], watermark: String = "1 hour",
+      tombstoneTtlMs: Option[Long] = None): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
@@ -75,9 +84,21 @@ object EventStreams {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            // tombstone: keep seq, mark no open session, arm no timeout
-            state.update(s.copy(n = 0))
-            Iterator(SessionOut(user, s.seq, s.n, new Timestamp(s.start), closed = true))
+            if (s.n == 0) {
+              // a tombstone's TTL expired: reclaim the state record
+              state.remove()
+              Iterator.empty
+            } else {
+              // tombstone: keep seq, mark no open session; with a TTL
+              // configured, arm a GC timeout, else keep state forever
+              state.update(s.copy(n = 0))
+              // clamp: Spark rejects a timeout at/below the current
+              // watermark, and a very late timeout firing means the
+              // TTL may already be in the past when the close fires
+              tombstoneTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+                math.max(s.last + GapMs + ttl, state.getCurrentWatermarkMs() + 1)))
+              Iterator(SessionOut(user, s.seq, s.n, new Timestamp(s.start), closed = true))
+            }
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var acc = state.getOption.orNull
@@ -118,6 +139,15 @@ object EventStreams {
                 // timeout would shrink and close the session too early
                 acc = acc.copy(start = math.min(acc.start, t),
                   last = math.max(acc.last, t), n = acc.n + 1)
+                // the event may BRIDGE the open straggler session and
+                // the open session (within a gap of both): merge them
+                // into one, as the batch twin would. The straggler's
+                // seq (the smaller) survives; nothing was emitted with
+                // the larger seq, so numbering stays unique.
+                if (stray != null && acc.start - stray.last <= GapMs) {
+                  acc = SessionAcc(stray.start, acc.last, acc.n + stray.n, stray.seq)
+                  stray = null
+                }
               }
             }
             closeStray()

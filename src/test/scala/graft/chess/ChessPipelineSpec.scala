@@ -206,6 +206,47 @@ class ChessPipelineSpec extends SparkSpec {
     assert(bucketed === plain)
   }
 
+  test("bucketed withStats equals plain under null Event and null player name") {
+    // a missing White/Black tag -> null name; Event '?' -> null. The
+    // window formulation keeps null partition keys; the bucketed
+    // offset joins must too (null-safe keys), or these games vanish.
+    val g = games
+      .withColumn("Event",
+        when(col("ID") === "g1", lit(null).cast("string")).otherwise(col("Event")))
+      .withColumn("White",
+        when(col("ID") === "g4", lit(null).cast("string")).otherwise(col("White")))
+    val cols = ChessPipeline.withStats(g).columns.sorted.map(col)
+    val plain = ChessPipeline.withStats(g)
+      .select(cols: _*).orderBy("ID").collect().toSeq
+    val bucketed = ChessPipeline.withStats(g, bucketed = true)
+      .select(cols: _*).orderBy("ID").collect().toSeq
+    assert(plain.size === games.count())
+    assert(bucketed === plain)
+  }
+
+  test("incremental ingestion carries prior state for null-keyed players") {
+    // the prior-offset joins must be null-safe as well: alice's g2 has
+    // a null Event, and a null-named player spans both batches
+    val g = games
+      .withColumn("Event",
+        when(col("ID") === "g2", lit(null).cast("string")).otherwise(col("Event")))
+      .withColumn("White", when(col("ID").isin("g1", "g4"),
+        lit(null).cast("string")).otherwise(col("White")))
+    val b1 = g.filter(col("DateTime") < "2024-03-02")
+    val b2 = g.filter(col("DateTime") >= "2024-03-02")
+    val state1 = ChessPipeline.statsState(b1)
+    for (bucketed <- Seq(false, true)) {
+      val incremental = ChessPipeline.withStats(b1, bucketed = bucketed)
+        .unionByName(ChessPipeline.withStats(b2, Some(state1), bucketed = bucketed))
+      val full = ChessPipeline.withStats(g)
+      val cols = full.columns.sorted.map(col)
+      val a = incremental.select(cols: _*).orderBy("ID").collect().toSeq
+      val b = full.select(cols: _*).orderBy("ID").collect().toSeq
+      assert(a.size === games.count(), s"bucketed=$bucketed dropped rows")
+      assert(a === b, s"bucketed=$bucketed mismatch")
+    }
+  }
+
   test("bucketed withStats keeps rows with null DateTime") {
     import spark.implicits._
     // a malformed date must not vanish at the bucket joins

@@ -240,6 +240,34 @@ class OpsSpec extends SparkSpec {
     assert(edge.head().getDouble(0) === 0.0)
   }
 
+  test("native MinHashSig is bit-identical to the explode+groupBy formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val sets = (1L to 40L).map(id =>
+      (id, Seq.fill(1 + rng.nextInt(30))(rng.nextLong()).distinct))
+    val df = sets.toDF("doc_id", "sh")
+    val k = 64
+    val native = df
+      .select(col("doc_id"), graft.functions.minhashSig(col("sh"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // the SQL shape sigsOf used before: min(hash(shingle, slot)) per doc
+    val sql = df.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(array((0 until k).map(j => min(hash(col("h"), lit(j)))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.keySet === sql.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig === sql(id), s"signature mismatch for doc $id")
+    }
+    // empty array -> all-MaxValue sentinel slots; null -> null
+    val edge = Seq((1L, Seq.empty[Long])).toDF("doc_id", "sh")
+      .select(graft.functions.minhashSig(col("sh"), 4)).head().getSeq[Int](0)
+    assert(edge === Seq.fill(4)(Int.MaxValue))
+    val nul = Seq((1L, null.asInstanceOf[Seq[Long]])).toDF("doc_id", "sh")
+      .select(graft.functions.minhashSig(col("sh"), 4)).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("binLow/binLabel right-closed semantics") {
     import spark.implicits._
     val df = Seq(1.0, 200.0, 201.0, 400.0).toDF("v")

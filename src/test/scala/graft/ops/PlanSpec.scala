@@ -58,6 +58,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashSig: codegen'd, and the signature stage needs no shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5).select(col("id"),
+        graft.functions.minhashSig(array(col("id"), col("id") + 1), 8).as("sig"))
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project [id") && plan.contains("minhash_sig"),
+      s"no codegen'd minhash_sig in:\n$plan")
+    // the point of the native expression: signatures are a narrow
+    // projection — no Exchange anywhere in the stage (the old
+    // explode + 64-min groupBy shuffled the whole exploded corpus)
+    assert(!plan.contains("Exchange"), s"signature stage shuffles in:\n$plan")
+    assert(df.collect().length === 5)
+  }
+
   test("native CosineSim does not break WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.load(spark, dir, "embeddings").limit(10)

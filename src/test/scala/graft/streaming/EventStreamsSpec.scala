@@ -176,6 +176,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1)._1 === 2L && rows(1)._2 === 1L && rows(1)._3 === ts(240))
   }
 
+  test("an event bridging a straggler and the open session merges all three") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), "3 hours")
+      .writeStream.format("memory").queryName("bridge_sessions").outputMode("append").start()
+    input.addData(ev(1, 120)) // open session at 12:00
+    q.processAllAvailable()
+    // one late batch: 11:20 (a straggler, > gap before 12:00) and
+    // 11:35 (within a gap of BOTH 11:20 and 12:00). The batch twin
+    // sees one 11:20-12:00 session — the bridge event must pull the
+    // straggler into the open session, not close it separately
+    input.addData(ev(2, 80), ev(3, 95))
+    q.processAllAvailable()
+    input.addData(ev(4, 600)) // close the merged session by gap
+    q.processAllAvailable()
+    input.addData(ev(5, 900)) // close the 600 session
+    q.processAllAvailable()
+    val rows = spark.table("bridge_sessions")
+      .filter(col("user_id") === 1L)
+      .select("session_seq", "n_events", "session_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Timestamp]("session_start"))).sortBy(_._1)
+    q.stop()
+    assert(rows.nonEmpty, "no sessions emitted")
+    assert(rows(0) === ((1L, 3L, ts(80))), s"straggler not bridged: ${rows.toSeq}")
+  }
+
+  test("tombstone TTL reclaims state; seq continuity holds within the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val ttl = Some(30L * 60 * 1000) // 30 min past gap-close
+    val q = EventStreams.sessionize(input.toDS(), "1 minute", tombstoneTtlMs = ttl)
+      .writeStream.format("memory").queryName("ttl_sessions").outputMode("append").start()
+    input.addData(ev(1, 0)) // user 1 session A
+    q.processAllAvailable()
+    input.addData(ev(2, 60, user = 9L)) // watermark 0:59 -> A times out (0:30); tombstone GC armed for 1:00
+    q.processAllAvailable()
+    input.addData(ev(3, 70)) // user 1 returns WITHIN the TTL -> must continue as seq 2
+    q.processAllAvailable()
+    input.addData(ev(4, 200, user = 9L)) // times out session B (1:40); re-arms tombstone GC for 2:10
+    q.processAllAvailable()
+    input.addData(ev(5, 210, user = 9L)) // watermark 3:29 -> tombstone GC fires, state removed
+    q.processAllAvailable()
+    input.addData(ev(6, 220)) // user 1 returns AFTER the TTL -> fresh state, seq restarts at 1
+    q.processAllAvailable()
+    input.addData(ev(7, 400, user = 9L)) // times out session C
+    q.processAllAvailable()
+    val rows = spark.table("ttl_sessions")
+      .filter(col("user_id") === 1L)
+      .select("session_seq", "session_start").collect()
+      .map(r => (r.getLong(0), r.getAs[Timestamp]("session_start")))
+      .sortBy(_._2.getTime)
+    q.stop()
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 1L),
+      s"expected seq continuity inside TTL and a restart after it: ${rows.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
