@@ -94,7 +94,16 @@ object Dedup {
     val grouped = Tables.load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("setkey", md5(to_json(array_sort(col("sh")))))
+      // set identity = two independent hashes of the sorted id array
+      // (96 bits; a collision falsely merges two docs as exact dups —
+      // ~n²/2⁹⁶, immaterial even at 1e12 unique sets, same budget as
+      // the 64-bit shingle ids). Hashing the array natively replaced
+      // md5(to_json(...)): the JSON serialization built a ~20-bytes-
+      // per-shingle string per doc and was the corpus build's single
+      // most expensive expression.
+      .withColumn("setkey", struct(
+        xxhash64(array_sort(col("sh"))),
+        hash(array_sort(col("sh")))))
       .withColumn("rep", min(col("doc_id")).over(w))
       .localCheckpoint()
     val docToRep = grouped.select("doc_id", "rep")

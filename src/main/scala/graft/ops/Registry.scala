@@ -18,5 +18,5 @@ object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Eda.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
-      ChessQueries.queries
+      Sampling.queries ++ ChessQueries.queries
 }

@@ -196,6 +196,64 @@ object Relational {
         col("n"), col("sum_value"))
       .orderBy("hour_start")
 
+  /** C16: as-of join — each click matched to the same user's most
+    * recent purchase at-or-before it (attribution). Spark has no
+    * native ASOF JOIN; the scalable formulation is union-both-sides +
+    * one window: tag rows, sort per user by (time, purchases-first,
+    * id), and carry the last purchase seen with
+    * `last(..., ignoreNulls)` — a SINGLE shuffle on the join key, no
+    * per-row subquery, no range-join fan-out. Ties are deterministic:
+    * a purchase at exactly the click's timestamp matches (at-or-
+    * before), and among equal-time purchases the largest event_id
+    * wins. Microsecond longs keep both engines exact (DuckDB reads
+    * the NANOS parquet at microsecond precision, so µs is the finest
+    * grain the oracle can see; within this data µs never collides
+    * where ns would not).
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        (col("event_type") === "purchase").cast("int").as("is_p"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_p").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_p",
+        last(when(col("is_p") === 1,
+          struct(col("ts_us"), col("event_id"))), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_p.event_id").as("purchase_id"),
+        col("last_p.ts_us").as("purchase_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** C17: interval (range) join — click x purchase pairs of the same
+    * user with the purchase inside [click, click + 1h]. The equi key
+    * (user_id) bounds the join: this is a hash join with a residual
+    * range predicate, NOT a cartesian range join — fan-out per user is
+    * (clicks x purchases-in-window), the same bound the streaming twin
+    * ([[graft.streaming.EventStreams.clickPurchaseJoin]]) maintains as
+    * watermark-bounded state.
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("ts_ns div 1000").as("click_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), expr("ts_ns div 1000").as("purchase_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_us") >= col("click_us") &&
+          col("purchase_us") <= col("click_us") + lit(3600L * 1000 * 1000))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** A5 analog: role doubling — one input row becomes one row per role
     * with role-dependent column swaps, exactly the reference's
     * White/Black player-game-role explosion (ingester.py:365-418).
@@ -521,6 +579,31 @@ object Relational {
         |       strftime(MIN(ts2), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin)),
+    Q("q_asof_join", qAsofJoin, Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, ts_us, is_p,
+        |    last_value(CASE WHEN is_p = 1 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, is_p DESC, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS purchase_id,
+        |    last_value(CASE WHEN is_p = 1 THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, is_p DESC, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS purchase_ts_us
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us, purchase_id, purchase_ts_us
+        |FROM w WHERE is_p = 0 ORDER BY event_id""".stripMargin)),
+    Q("q_interval_join", qIntervalJoin, Some(
+      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin)),
     Q("q_tumbling_window", qTumblingWindow, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         |       COUNT(*) AS n,

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data sampling and batching operators (SURVEY §2.D14–D16):
+  * deterministic train/val/test splitting, exact per-stratum
+  * subsampling, and token-budget context packing — the selection layer
+  * that sits between a deduplicated corpus and the training loader.
+  *
+  * Determinism is the design constraint: every "random" choice is a
+  * pure function of the row's key (an md5-derived uniform), so results
+  * are identical across cluster sizes, retries and engines — which is
+  * also what makes every operator here exactly DuckDB-oracle-able,
+  * unlike seeded RNG sampling (`df.sample` draws depend on partition
+  * layout). All three are narrow or single-shuffle:
+  *  - split: a row-local projection (no shuffle at any scale);
+  *  - stratified take-k: one shuffle on the stratum key, bounded by
+  *    the skew note on [[sampleStratified]];
+  *  - packing: the bucketed two-phase cumulative sum of
+  *    [[graft.chess.ChessPipeline]]'s running stats (local windows +
+  *    tiny cross-bucket offsets), no single-reducer global window.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1)-equivalent hex key: the first 8 hex chars of
+    * md5(id). Both Spark and DuckDB emit lowercase hex for md5 of the
+    * same UTF-8 bytes, so ordering and threshold comparisons agree
+    * bit-for-bit across engines — lexicographic order on fixed-width
+    * lowercase hex IS numeric order of the top 32 hash bits.
+    */
+  private def hexKey(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+
+  /** D14: deterministic train/val/test split, 80/10/10 by hashed
+    * doc_id. Thresholds are the hex encodings of 0.8*2^32 and
+    * 0.9*2^32; the salt decorrelates this split from any other
+    * hash-derived sampling on the same ids.
+    */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(hexKey(col("doc_id"), "split:") < "cccccccc", "train")
+          .when(hexKey(col("doc_id"), "split:") < "e6666666", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** D15: exact k-per-stratum deterministic subsample — the k docs
+    * with the smallest hash per language, rank included (a stable
+    * "take 20 random docs per language" that never over- or
+    * under-samples a stratum, unlike Bernoulli sampling).
+    *
+    * Scale note: one shuffle on the stratum key; a hot stratum is one
+    * window task, the classic remedy being a bounded top-k partial
+    * aggregate ([[graft.functions.TopKAgg]] is exactly that shape) —
+    * at 5–100 strata the window is simpler and the task is bounded by
+    * the largest stratum, which for language-like strata is fine; for
+    * high-skew strata swap in the aggregate.
+    */
+  def sampleStratified(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val byHash = Window.partitionBy("lang")
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), hexKey(col("doc_id"), "strat:").as("hk"))
+      .withColumn("rk", row_number().over(byHash).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  /** D16: token-budget context packing — the concat-and-chunk batching
+    * of LLM pretraining: documents are laid out in doc_id order and
+    * the token stream is cut every `budget` tokens; each doc reports
+    * the context it starts in and its offset there (a doc longer than
+    * the remaining budget spills into the next context, as in
+    * sequence-packing loaders).
+    *
+    * The global exclusive cumulative token count is computed WITHOUT a
+    * single-reducer global window: doc_ids are range-bucketed
+    * (floor(id / 4096) — monotone in id, so bucket-local order +
+    * bucket offsets compose to the global order), the heavy window
+    * runs per bucket, and the cross-bucket offset window runs over
+    * one row per bucket (N/4096 rows — trivially small at any scale).
+    * Same two-phase shape as the skew-resistant running stats
+    * ([[graft.chess.ChessPipeline]]).
+    */
+  def packContexts(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(TextOps.BpePattern)).cast("long").as("tokens"),
+        floor(col("doc_id") / 4096L).as("bkt"))
+    val localW = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktW = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("bkt").agg(sum(col("tokens")).as("bkt_tokens"))
+      .select(col("bkt"), coalesce(sum(col("bkt_tokens")).over(bktW), lit(0L)).as("off"))
+    toks
+      .withColumn("loc", coalesce(sum(col("tokens")).over(localW), lit(0L)))
+      .join(offsets, "bkt")
+      .withColumn("cum", col("loc") + col("off"))
+      // integral `div`, not `/`: double division would lose exactness
+      // once the cumulative token count passes 2^53
+      .select(col("doc_id"), col("tokens"),
+        expr(s"cum DIV ${budget}L").as("ctx_id"),
+        pmod(col("cum"), lit(budget)).as("ctx_off"))
+      .orderBy("doc_id")
+  }
+
+  private def tokensSql =
+    raw"""CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)"""
+
+  val queries: Seq[Q] = Seq(
+    Q("sample_split", (s, d) => sampleSplit(s, d), Some(
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("sample_stratified", (s, d) => sampleStratified(s, d), Some(
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
+    Q("pack_contexts", (s, d) => packContexts(s, d), Some(
+      s"""WITH t AS (
+        |  SELECT doc_id, $tokensSql AS tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t)
+        |SELECT doc_id, tokens,
+        |  CAST(cb // 2048 AS BIGINT) AS ctx_id,
+        |  CAST(cb % 2048 AS BIGINT) AS ctx_off
+        |FROM c ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -159,6 +159,34 @@ object EventStreams {
       }
   }
 
+  /** E4: stream-stream interval join — clicks joined to the same
+    * user's purchases landing within [click, click + 1h]. Both sides
+    * carry watermarks and the join condition is time-bounded, so the
+    * join state is evicted as the watermarks advance (the unbounded-
+    * state trap of an unconstrained stream-stream join is precisely
+    * what the interval bound removes): a buffered click can be dropped
+    * once the purchase watermark passes click_ts + 1h, a buffered
+    * purchase once the click watermark passes purchase_ts. Batch twin
+    * (oracled): `q_interval_join`.
+    */
+  def clickPurchaseJoin(events: DataFrame,
+      clickWatermark: String = "1 hour",
+      purchaseWatermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", clickWatermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", purchaseWatermark)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"))
+  }
+
   /** E3: streaming dedup on event_id bounded by the watermark —
     * duplicates arriving within the horizon are dropped, state is
     * evicted beyond it (unbounded-state-free, unlike plain

@@ -58,6 +58,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("temporal joins keep equi-join form (no cartesian/nested-loop)") {
+    // the interval join's time-band predicate must stay a RESIDUAL on
+    // a hash join keyed by user_id; losing the equi condition would
+    // degrade to a nested-loop cross product
+    for (df <- Seq(Relational.qAsofJoin(spark, dir),
+        Relational.qIntervalJoin(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in:\n$plan")
+    }
+  }
+
   test("native MinHashSig: codegen'd, and the signature stage needs no shuffle") {
     import org.apache.spark.sql.functions._
     val df = spark.range(5).select(col("id"),

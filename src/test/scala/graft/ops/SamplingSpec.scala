@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sample_split covers every doc, roughly 80/10/10, deterministically") {
+    val a = Sampling.sampleSplit(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(a.length === total)
+    val dist = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(dist.keySet === Set("train", "val", "test"))
+    // hash split concentrates near the target fractions (loose bounds:
+    // the sf0.001 corpus is small)
+    assert(dist("train").toDouble / total > 0.7 && dist("train").toDouble / total < 0.9)
+    // a second evaluation is bit-identical (pure function of doc_id)
+    val b = Sampling.sampleSplit(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("sample_stratified takes exactly min(k, |stratum|) per language") {
+    val k = 20
+    val picked = Sampling.sampleStratified(spark, dir, k).collect()
+    val sizes = graft.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = picked.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) === math.min(k.toLong, n),
+        s"stratum $lang: expected min($k, $n)")
+    }
+    // ranks are 1..k and doc_ids unique
+    assert(picked.map(_.getLong(2)).distinct.length === picked.length)
+    assert(picked.filter(_.getString(0) == "en").map(_.getLong(1)).sorted.toSeq
+      === (1L to math.min(k.toLong, sizes("en"))).toSeq)
+  }
+
+  test("pack_contexts: bucketed two-phase cumsum equals the plain global window") {
+    val budget = 512L // small budget so contexts roll over often
+    val packed = Sampling.packContexts(spark, dir, budget)
+    // plain single-reducer reference formulation
+    val gw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val plain = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(TextOps.BpePattern)).cast("long").as("tokens"))
+      .withColumn("cum", coalesce(sum(col("tokens")).over(gw), lit(0L)))
+      .select(col("doc_id"), col("tokens"),
+        expr(s"cum DIV ${budget}L").as("ctx_id"),
+        pmod(col("cum"), lit(budget)).as("ctx_off"))
+      .orderBy("doc_id")
+    assert(packed.collect().toSeq === plain.collect().toSeq)
+    // invariants: offsets inside the budget, context ids monotone
+    val rows = packed.collect()
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) < budget))
+    val ids = rows.map(_.getLong(2))
+    assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+    assert(ids.last > 0, "budget too large to exercise rollover")
+  }
+}

@@ -235,6 +235,31 @@ class EventStreamsSpec extends SparkSpec {
       s"expected seq continuity inside TTL and a restart after it: ${rows.toSeq}")
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    def typed(id: Long, minute: Int, tpe: String, user: Long = 1L) =
+      Ev(id, ts(minute), user, tpe, 1.0)
+    val q = EventStreams.clickPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    input.addData(
+      typed(1, 0, "click"),          // joined by purchase at 10:30
+      typed(2, 30, "purchase"),
+      typed(3, 90, "purchase"),      // 90 min after click 1: outside window
+      typed(4, 30, "purchase", user = 2L), // other user: no match
+      typed(5, 80, "click"))         // joined by purchase at 10:90
+    q.processAllAvailable()
+    // advance both watermarks so all inner-join results are emitted
+    input.addData(typed(9, 600, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("ssjoin")
+      .select("click_id", "purchase_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    q.stop()
+    assert(rows === Seq(1L -> 2L, 5L -> 3L), s"wrong join pairs: $rows")
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
