@@ -28,6 +28,10 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * Empty arrays yield a signature of Int.MaxValue slots (callers
   * filter empty shingle sets out before signing); null in, null out.
+  * A null ELEMENT contributes hashInt(j, 42) to every slot — exactly
+  * what `hash(h, lit(j))` returns for h = null (a null child leaves
+  * the running Murmur3 state at the seed), so bit-identity with the
+  * SQL formulation holds even on arrays with containsNull.
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
@@ -47,7 +51,9 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val base = Murmur3_x86_32.hashLong(arr.getLong(i), 42)
+      val base =
+        if (arr.isNullAt(i)) 42
+        else Murmur3_x86_32.hashLong(arr.getLong(i), 42)
       var j = 0
       while (j < k) {
         val v = Murmur3_x86_32.hashInt(j, base)
@@ -73,7 +79,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
          |java.util.Arrays.fill($mins, Integer.MAX_VALUE);
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  int $base = $m3.hashLong($a.getLong($i), 42);
+         |  int $base = $a.isNullAt($i) ? 42 : $m3.hashLong($a.getLong($i), 42);
          |  for (int $j = 0; $j < $k; $j++) {
          |    int $v = $m3.hashInt($j, $base);
          |    if ($v < $mins[$j]) $mins[$j] = $v;

@@ -41,9 +41,13 @@ object Sampling {
     */
   def sampleSplit(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      // project the key once: a duplicate hexKey inside the second
+      // when() branch escapes CaseWhen subexpression elimination and
+      // recomputes the md5 for every non-train row
+      .withColumn("hk", hexKey(col("doc_id"), "split:"))
       .select(col("doc_id"), col("lang"),
-        when(hexKey(col("doc_id"), "split:") < "cccccccc", "train")
-          .when(hexKey(col("doc_id"), "split:") < "e6666666", "val")
+        when(col("hk") < "cccccccc", "train")
+          .when(col("hk") < "e6666666", "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
@@ -79,7 +83,7 @@ object Sampling {
     *
     * The global exclusive cumulative token count is computed WITHOUT a
     * single-reducer global window: doc_ids are range-bucketed
-    * (floor(id / 4096) — monotone in id, so bucket-local order +
+    * (id div 4096 — monotone in id, so bucket-local order +
     * bucket offsets compose to the global order), the heavy window
     * runs per bucket, and the cross-bucket offset window runs over
     * one row per bucket (N/4096 rows — trivially small at any scale).
@@ -87,10 +91,18 @@ object Sampling {
     * ([[graft.chess.ChessPipeline]]).
     */
   def packContexts(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    // integral DIV for the bucket id too (same exactness rule as the
+    // ctx_id below — floor(id/4096.0) happens to stay monotone through
+    // double rounding, but the invariant should not rest on that);
+    // checkpointed because it feeds BOTH the row branch and the
+    // offsets branch of the join below — without materialization the
+    // documents scan and the dominant BPE regexp tokenization run
+    // twice (the sigsOf self-join lesson, Dedup.scala)
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         regexp_count(col("text"), lit(TextOps.BpePattern)).cast("long").as("tokens"),
-        floor(col("doc_id") / 4096L).as("bkt"))
+        expr("doc_id DIV 4096").as("bkt"))
+      .localCheckpoint()
     val localW = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bktW = Window.orderBy("bkt")
