@@ -54,20 +54,53 @@ object Multimodal {
   final case class MediaIn(media_id: Long, media: Array[Byte], format: String)
   final case class Decoded(media_id: Long, format: String, n_bytes: Long,
       crc: Long, width: Int, height: Int, n_frames: Int)
+  final case class Resized(media_id: Long, format: String,
+      src_w: Int, src_h: Int, dst_w: Int, dst_h: Int, thumb_crc: Long)
+  final case class Frame(media_id: Long, frame_idx: Int, n_frames: Int,
+      frame_crc: Long)
 
   /** STUB codec — the one seam a real deployment replaces. Deterministic
     * fake: dimensions from a payload hash. Signature (batch in, batch
     * out) matches an Arrow-batched decoder.
     */
   object StubCodec {
-    def decode(batch: Seq[MediaIn]): Seq[Decoded] = batch.map { m =>
+    private def crcOf(bytes: Array[Byte]): Long = {
       val crc = new java.util.zip.CRC32
-      crc.update(m.media)
-      val h = crc.getValue
+      crc.update(bytes)
+      crc.getValue
+    }
+
+    def decode(batch: Seq[MediaIn]): Seq[Decoded] = batch.map { m =>
+      val h = crcOf(m.media)
       Decoded(m.media_id, m.format, m.media.length.toLong, h,
         width = (h % 1920).toInt + 1, height = (h % 1080).toInt + 1,
         n_frames = if (m.format == "wav") (h % 300).toInt + 1 else 1)
     }
+
+    /** Decode + scale into a bounding box, aspect ratio preserved. The
+      * box-fit arithmetic is the real thing; the pixel work is the
+      * stub (thumb_crc stands in for the resized payload).
+      */
+    def resize(batch: Seq[MediaIn], box: Int): Seq[Resized] =
+      decode(batch).map { d =>
+        val scale = math.min(1.0, box.toDouble / math.max(d.width, d.height))
+        val dw = math.max(1, math.round(d.width * scale).toInt)
+        val dh = math.max(1, math.round(d.height * scale).toInt)
+        Resized(d.media_id, d.format, d.width, d.height, dw, dh,
+          thumb_crc = crcOf(s"${d.crc}:${dw}x$dh".getBytes("UTF-8")))
+      }
+
+    /** Container-header frame count — real codecs read this without
+      * decoding any frames, which is what makes sample-then-decode
+      * cheaper than decode-then-sample.
+      */
+    def frameCount(m: MediaIn): Int =
+      if (m.format == "wav") (crcOf(m.media) % 300).toInt + 1 else 1
+
+    /** Decode ONLY the requested frames of one media payload. */
+    def decodeFrames(m: MediaIn, idxs: Seq[Int], total: Int): Seq[Frame] =
+      idxs.map(i => Frame(m.media_id, i, total,
+        frame_crc = crcOf(s"${crcOf(m.media)}#$i".getBytes("UTF-8"))))
   }
 
   val BatchSize = 64
@@ -84,6 +117,47 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  val ResizeBox = 256
+  val FrameStep = 30
+
+  /** D12b: batched resize-to-thumbnail — decode, fit into a
+    * [[ResizeBox]]² box (aspect preserved, never upscaled), re-encode.
+    * Narrow `mapPartitions` in [[BatchSize]] batches, same seam as
+    * [[mmMeta]]: a real image library replaces [[StubCodec.resize]]
+    * only; the batching, schema and box-fit math ship as-is.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .withColumn("format", sniffFormat(col("media")))
+      .as[MediaIn]
+      .mapPartitions(rows =>
+        rows.grouped(BatchSize).flatMap(b => StubCodec.resize(b.toSeq, ResizeBox)))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** D12c: frame sampling — every [[FrameStep]]-th frame of each
+    * media payload (always including frame 0). The sample plan comes
+    * from the container HEADER ([[StubCodec.frameCount]], no frame
+    * decode), so only sampled frames are ever decoded — decode cost
+    * scales with frames KEPT, not frames stored, which is the entire
+    * point of sampling at 100 TB. One narrow pass; output is one row
+    * per sampled frame.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .withColumn("format", sniffFormat(col("media")))
+      .as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        val total = StubCodec.frameCount(m)
+        StubCodec.decodeFrames(m, 0 until total by FrameStep, total)
+      })
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Format distribution over the sniffed (never decoded) column —
     * the "query metadata without touching pixels" path.
     */
@@ -97,6 +171,9 @@ object Multimodal {
 
   val queries: Seq[Q] = Seq(
     Q("mm_meta", mmMeta, None),
+    // CRC-derived dims are not SQL-expressible: rows-only + specs
+    Q("mm_resize", mmResize, None),
+    Q("mm_frames", mmFrameSample, None),
     // the media table derives deterministically from documents
     // (magic(doc_id%3) ++ utf8(text)), so the no-decode metadata path
     // is SQL-expressible and oracled

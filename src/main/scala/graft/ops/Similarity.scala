@@ -162,6 +162,74 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  private val NLists = 16 // IVF coarse partitions
+  private val NProbe = 8  // lists probed per query
+
+  /** Deterministic IVF pivot set: the [[NLists]] corpus vectors with
+    * the smallest md5("ivf:" ++ vec_id) — a hash-ordered sample,
+    * reproducible across engines, runs and cluster sizes (which is
+    * what makes the whole operator exactly DuckDB-oracle-able).
+    * Production refinement: k-means|| centroids drop in here without
+    * touching anything downstream; pivot-IVF keeps every structural
+    * property (one-pass assignment, bounded probe cost) and is the
+    * standard bootstrap before centroids are trained. 16 vectors
+    * collect to the driver — the same driver-side footprint
+    * `broadcast()` has.
+    */
+  private def ivfPivots(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+    corpus(s, dir)
+      .withColumn("hk", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
+      .orderBy("hk", "vec_id")
+      .limit(NLists)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+  /** (cos, pid) structs over all pivots, best-first. Ties break to the
+    * larger pid (struct ordering ascending, then reversed) — mirrored
+    * in the oracle's ORDER BY cos DESC, pid DESC. The whole ranking is
+    * one expression tree per row: [[NLists]] fused-cosine calls + a
+    * 16-element sort, zero data movement.
+    */
+  private def pivotRanking(emb: Column, piv: Array[(Long, Array[Float])]): Column =
+    reverse(array_sort(array(piv.map { case (pid, v) =>
+      struct(cosine(emb, typedLit(v)).as("cos"), lit(pid).as("pid"))
+    }: _*)))
+
+  /** D17: IVF ANN — the inverted-file scale path. Every corpus vector
+    * is assigned to its nearest pivot's list in a NARROW projection
+    * (no shuffle, no aggregation — at 100 TB the assignment is a pure
+    * map over the corpus scan, and would be written once as a
+    * list-partitioned table). A query probes its [[NProbe]] nearest
+    * lists, so scoring touches ~NProbe/NLists of the corpus instead of
+    * all of it; candidates meet the probes through a broadcast hash
+    * join on the list id and the per-query top-k is the bounded
+    * partial-aggregated TopKAgg.
+    *
+    * Recall geometry: a neighbor is found iff its list is probed.
+    * On a CLUSTERED corpus (real embeddings) neighbors share the
+    * nearest-pivot list with high probability and nprobe/nlists can
+    * drop to 1-5%; on the synthetic near-random test vectors list
+    * membership is nearly independent of proximity, so recall ~
+    * NProbe/NLists — the spec pins exactly that geometry (and
+    * rank-1 self-recall = 1 always, since a query's own list is its
+    * first probe). The dials are NLists (partition granularity) and
+    * NProbe (recall vs cost).
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val piv = ivfPivots(s, dir)
+    val assigned = corpus(s, dir)
+      .withColumn("pid",
+        element_at(pivotRanking(col("embedding"), piv), 1).getField("pid"))
+    val probes = querySet(s, dir)
+      .withColumn("p", explode(slice(pivotRanking(col("q_emb"), piv), 1, NProbe)))
+      .select(col("q_id"), col("q_emb"), col("p.pid").as("pid"))
+    val scored = assigned.join(broadcast(probes), Seq("pid"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .select("q_id", "vec_id", "cos")
+    topKPerQuery(scored)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", annBruteforce, Some(
       s"""WITH scored AS (
@@ -176,6 +244,47 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
-    Q("ann_lsh", annLsh, None)
+    Q("ann_lsh", annLsh, None),
+    // exact oracle: pivots, assignment, probes and ranking are all
+    // deterministic SQL; cosine ties resolve identically because both
+    // engines accumulate the double dot/norms in array order
+    Q("ann_ivf", annIvf, Some(
+      s"""WITH piv AS (
+         |  SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $NLists),
+         |assign AS (
+         |  SELECT c.vec_id, p.pid,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                           CAST(p.pvec AS DOUBLE[])) DESC,
+         |                    p.pid DESC) AS rn
+         |  FROM embeddings c CROSS JOIN piv p),
+         |lists AS (SELECT vec_id, pid FROM assign WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT q.vec_id AS q_id, p.pid,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                           CAST(p.pvec AS DOUBLE[])) DESC,
+         |                    p.pid DESC) AS rn
+         |  FROM embeddings q CROSS JOIN piv p
+         |  WHERE q.vec_id < $NQueries),
+         |scored AS (
+         |  SELECT qp.q_id, l.vec_id,
+         |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                CAST(q.embedding AS DOUBLE[])) AS cos
+         |  FROM qprobe qp
+         |  JOIN lists l ON l.pid = qp.pid
+         |  JOIN embeddings c ON c.vec_id = l.vec_id
+         |  JOIN embeddings q ON q.vec_id = qp.q_id
+         |  WHERE qp.rn <= $NProbe),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -177,6 +177,37 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("ann_ivf: every query finds itself at rank 1 with cosine 1") {
+    // a query's own list is always its first probe, so self-recall is
+    // exact regardless of corpus geometry
+    val rows = Similarity.annIvf(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val r1 = rs.minBy(_.getLong(1))
+      assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9,
+        s"query $q rank-1 cosine ${r1.getDouble(3)} != 1")
+    }
+  }
+
+  test("ann_ivf recall@5 vs bruteforce matches the probe geometry on sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.annBruteforce(spark, sf))
+    val ivf = pairs(Similarity.annIvf(spark, sf))
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    info(f"ann_ivf recall@5 vs bruteforce: $recall%.3f (${bf.intersect(ivf).size}/${bf.size})")
+    // the synthetic vectors are near-random, so list membership is
+    // ~independent of proximity and expected recall ≈ NProbe/NLists
+    // (0.5) plus the identical-twin and self pairs that always share a
+    // list; a clustered real corpus sits far higher. The floor guards
+    // against a broken assignment/probe pairing (recall ~0), not
+    // against geometry.
+    assert(recall >= 0.4, f"recall $recall%.3f below 0.4 — assignment/probe mismatch?")
+  }
+
   test("text token counts are exact") {
     val r = TextOps.textTokens(spark, dir).filter(col("doc_id") === 5).head()
     assert(r.getLong(1) === 2) // "too short"
@@ -218,6 +249,46 @@ class OpsSpec extends SparkSpec {
     val m1 = meta.filter(_.getLong(0) == 1).head
     assert(m1.getLong(2) > 4) // magic + payload bytes
     assert(m1.getInt(5) >= 1 && m1.getInt(5) <= 1920)
+  }
+
+  test("multimodal resize: box-fit math, no upscale, deterministic") {
+    val rs = Multimodal.mmResize(spark, dir).collect()
+    assert(rs.length === 7)
+    rs.foreach { r =>
+      val (sw, sh, dw, dh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(dw <= Multimodal.ResizeBox && dh <= Multimodal.ResizeBox)
+      assert(dw <= sw && dh <= sh, "upscaled")
+      if (sw > Multimodal.ResizeBox || sh > Multimodal.ResizeBox) {
+        // the longer side fills the box; the other follows the ratio
+        assert(math.max(dw, dh) === Multimodal.ResizeBox)
+        val scale = Multimodal.ResizeBox.toDouble / math.max(sw, sh)
+        assert(math.abs(dw - sw * scale) <= 0.5 + 1e-9)
+        assert(math.abs(dh - sh * scale) <= 0.5 + 1e-9)
+      } else assert(dw === sw && dh === sh)
+    }
+    // repartitioning must not change the result (batch-boundary-free)
+    val again = Multimodal.mmResize(spark, dir).repartition(5)
+      .orderBy("media_id").collect()
+    assert(again.toSeq === Multimodal.mmResize(spark, dir).collect().toSeq)
+  }
+
+  test("multimodal frame sample: every FrameStep-th frame, header-planned") {
+    val fs = Multimodal.mmFrameSample(spark, dir).collect()
+    val byId = fs.groupBy(_.getLong(0))
+    // non-wav media have exactly one frame (frame 0)
+    val meta = Multimodal.mmMeta(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(6))).toMap
+    byId.foreach { case (id, rows) =>
+      val (fmt, total) = meta(id)
+      val idxs = rows.map(_.getInt(1)).sorted.toSeq
+      assert(idxs === (0 until total by Multimodal.FrameStep).toSeq,
+        s"media $id ($fmt, $total frames): wrong sample plan $idxs")
+      rows.foreach(r => assert(r.getInt(2) === total))
+      // sampled-frame count is ceil(total/step) — decode cost scales
+      // with frames KEPT
+      assert(rows.length === (total + Multimodal.FrameStep - 1) / Multimodal.FrameStep)
+    }
+    assert(byId.keySet === meta.keySet)
   }
 
   test("native CosineSim matches the HOF formulation") {
@@ -266,6 +337,16 @@ class OpsSpec extends SparkSpec {
     val nul = Seq((1L, null.asInstanceOf[Seq[Long]])).toDF("doc_id", "sh")
       .select(graft.functions.minhashSig(col("sh"), 4)).head()
     assert(nul.isNullAt(0))
+    // a null ELEMENT must contribute hash(null, slot) = hashInt(slot, 42),
+    // exactly as the SQL formulation sees it through explode + hash()
+    val withNull = Seq((1L, Seq[java.lang.Long](7L, null, 9L)))
+      .toDF("doc_id", "sh")
+    val nNative = withNull
+      .select(graft.functions.minhashSig(col("sh"), k)).head().getSeq[Int](0)
+    val nSql = withNull.select(explode(col("sh")).as("h"))
+      .agg(array((0 until k).map(j => min(hash(col("h"), lit(j)))): _*))
+      .head().getSeq[Int](0)
+    assert(nNative === nSql, "null-element signature diverges from hash() semantics")
   }
 
   test("binLow/binLabel right-closed semantics") {

@@ -71,6 +71,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf: broadcast probe join on the list id, no cartesian, no corpus sort") {
+    val df = Similarity.annIvf(spark, dir)
+    val plan = planOf(df)
+    // the corpus meets the probes through a broadcast HASH join keyed
+    // on pid — assignment itself is a narrow projection, so the only
+    // shuffles are the top-k partial aggregation and the final sort
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast hash join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join (assignment must stay narrow) in:\n$plan")
+  }
+
   test("native MinHashSig: codegen'd, and the signature stage needs no shuffle") {
     import org.apache.spark.sql.functions._
     val df = spark.range(5).select(col("id"),
