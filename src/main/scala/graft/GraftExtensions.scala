@@ -28,5 +28,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim expects 2 arguments")
         functions.CosineSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[functions.MinHashSig].getName, "minhash_sig",
+        "minhash_sig(shingle_ids, k) - k-slot MinHash signature of a bigint array"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "minhash_sig expects 2 arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case e => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $e")
+        }
+        functions.MinHashSig(children.head, k)
+      }))
   }
 }

@@ -58,4 +58,23 @@ package object functions {
     val bridge = org.apache.spark.sql.graft.bridge
     bridge.column(MinHashSig(bridge.expression(sh), k))
   }
+
+  /** Distinct word-3-gram shingle ids of a text column via the native
+    * one-pass [[ShingleIds]] expression (tokenize + hash + roll +
+    * dedup with zero intermediate arrays — the corpus build's hot
+    * projection).
+    */
+  def shingleIds(text: Column): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(ShingleIds(bridge.expression(text)))
+  }
+
+  /** 64-bit SimHash of a text column via the native one-pass
+    * [[SimHash64]] expression — replaces the token explode + 64-column
+    * vote aggregate (a whole shuffle stage) with a row-local fold.
+    */
+  def simhash64(text: Column): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(SimHash64(bridge.expression(text)))
+  }
 }

@@ -33,31 +33,46 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word 3-gram shingle IDs (empty for docs shorter than 3 tokens).
-    * Each token is xxhash64'ed once and a shingle is the xxhash64 of
-    * its three token hashes — the n-gram STRING is never built, so
-    * every downstream stage (distinct, sort, set-key digest, inverted
-    * index, intersect/union verify) runs on fixed-width longs instead
-    * of ~20-char strings (measured: the string formulation spent the
-    * bulk of dedup_minhash's wall-clock building and re-hashing
-    * n-grams). 64-bit ids collide at ~d²/2⁶⁵ for d distinct shingles —
-    * immaterial for dedup statistics even at 1e9 distinct shingles.
+  /** Word 3-gram shingle IDs, distinct, first-occurrence order (empty
+    * for docs shorter than 3 tokens). Each token is xxhash64'ed once
+    * and a shingle is the xxhash64 of its three token hashes — the
+    * n-gram STRING is never built, so every downstream stage (sort,
+    * set-key digest, inverted index, intersect/union verify) runs on
+    * fixed-width longs instead of ~20-char strings (measured: the
+    * string formulation spent the bulk of dedup_minhash's wall-clock
+    * building and re-hashing n-grams). 64-bit ids collide at ~d²/2⁶⁵
+    * for d distinct shingles — immaterial for dedup statistics even at
+    * 1e9 distinct shingles.
+    *
+    * Computed by the native one-pass [[graft.functions.ShingleIds]]
+    * expression; [[shinglesSql]] keeps the built-in-function
+    * formulation it replaced, and a spec pins them elementwise-equal.
     */
-  def shingles(text: Column): Column = {
+  def shingles(text: Column): Column = graft.functions.shingleIds(text)
+
+  /** The built-ins formulation [[shingles]] replaced (and its oracle
+    * in specs): split → per-token xxhash64 → 3-gram roll via
+    * arrays_zip of three shifted slices → array_distinct. NOT
+    * element_at(th, i) inside the lambda: an outer-scope array
+    * referenced per-element gets re-inlined into the lambda body (the
+    * CollapseProject recompute blowup — measured 2.5x WORSE than the
+    * n-gram-string formulation); as arguments to arrays_zip the slices
+    * are evaluated once per row. Even so, this chain allocates token
+    * strings, token hashes, three slices, zip structs and the raw
+    * shingle array per row — the native expression allocates one
+    * long[] and a probe table.
+    */
+  private[ops] def shinglesSql(text: Column): Column = {
     val th = transform(split(text, "\\s+"), t => xxhash64(t))
     val n = size(th)
-    // arrays_zip of three shifted slices, NOT element_at(th, i) inside
-    // the lambda: an outer-scope array referenced per-element gets
-    // re-inlined into the lambda body (the CollapseProject recompute
-    // blowup — measured 2.5x WORSE than the string formulation); as
-    // arguments to arrays_zip the slices are evaluated once per row
-    when(n >= 3,
-      transform(
-        arrays_zip(slice(th, lit(1), n - 2).as("a"),
-          slice(th, lit(2), n - 2).as("b"),
-          slice(th, lit(3), n - 2).as("c")),
-        s => xxhash64(s.getField("a"), s.getField("b"), s.getField("c"))))
-      .otherwise(array().cast("array<bigint>"))
+    array_distinct(
+      when(n >= 3,
+        transform(
+          arrays_zip(slice(th, lit(1), n - 2).as("a"),
+            slice(th, lit(2), n - 2).as("b"),
+            slice(th, lit(3), n - 2).as("c")),
+          s => xxhash64(s.getField("a"), s.getField("b"), s.getField("c"))))
+        .otherwise(array().cast("array<bigint>")))
   }
 
   /** 64-slot MinHash signature: element k = min over shingles of
@@ -92,7 +107,7 @@ object Dedup {
   private def shingleCorpus(s: SparkSession, dir: String): ShingleCorpus = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("setkey")
     val grouped = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       // set identity = two independent hashes of the sorted id array
       // (96 bits; a collision falsely merges two docs as exact dups —
@@ -194,10 +209,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash per doc: explode tokens, xxhash64 each token ONCE,
-    * 64 partial-aggregated ±1 bit votes (one shuffle on doc_id), sign
-    * fold to a Long with shiftleft|OR (ANSI-safe — no overflow). Same
-    * recompute-blowup rationale as [[ShingleCorpus]].
+  /** 64-bit SimHash per doc via the native one-pass
+    * [[graft.functions.SimHash64]] expression (tokenize + per-token
+    * xxhash64 + ±1 votes + sign fold, row-local — the aggregate
+    * formulation it replaced is kept as [[simhashSqlOf]] and a spec
+    * pins them bit-identical).
     */
   def simhashDocsPublic(s: SparkSession, dir: String): DataFrame = {
     val c = simhashCorpus(s, dir)
@@ -224,7 +240,21 @@ object Dedup {
     SimhashCorpus(docToRep, simhashOf(uniqText).localCheckpoint())
   }
 
-  private def simhashOf(docs: DataFrame): DataFrame = {
+  /** Row-local simhash projection; checkpointed because the banding
+    * self-join consumes it twice.
+    */
+  private def simhashOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.simhash64(col("text")).as("simhash"))
+      .localCheckpoint()
+
+  /** The aggregate formulation [[simhashOf]] replaced (spec oracle):
+    * explode tokens, xxhash64 each token ONCE, 64 partial-aggregated
+    * ±1 bit votes (a whole aggregation stage), sign fold to a Long
+    * with shiftleft|OR (ANSI-safe — no overflow). Same
+    * recompute-blowup rationale as [[ShingleCorpus]].
+    */
+  private[ops] def simhashSqlOf(docs: DataFrame): DataFrame = {
     val votes = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -237,7 +267,6 @@ object Dedup {
       (0 until 64).map(b =>
         when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_.bitwiseOR(_)).as("simhash"))
-      .localCheckpoint()
   }
 
   /** D3: SimHash near-dup — band the 64-bit signature into 4x16-bit

@@ -129,8 +129,9 @@ object Similarity {
     * cos≈0.25 neighbor (p≈0.58, the worst in the synthetic corpus,
     * which is near-random — real embedding corpora cluster far
     * tighter) is still found with probability >0.99. L, b and the
-    * probe radius are the recall/cost dials: candidate volume per
-    * table is ~(1 + b + C(b,2))/2^b of the corpus, so tighter corpora
+    * probe radius are the recall/cost dials (the `tables` / `planes` /
+    * `probeRadius` parameters): candidate volume per table is
+    * ~(1 + b + C(b,2))/2^b of the corpus, so tighter corpora
     * should RAISE b and DROP the radius to keep buckets selective.
     *
     * Scale shape: the corpus is bucketed once (L index rows per
@@ -139,18 +140,22 @@ object Similarity {
     * broadcast query side; only bucket collisions are scored; the
     * per-query top-k is the bounded partial-aggregated TopKAgg.
     */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  def annLsh(s: SparkSession, dir: String, tables: Int = NTables,
+      planes: Int = PlanesPerTable, probeRadius: Int = 2): DataFrame = {
+    require(planes < 63 && probeRadius <= planes,
+      s"invalid dials: planes=$planes probeRadius=$probeRadius")
     val corp = corpus(s, dir)
       .join(srpTableBuckets(corpus(s, dir), "vec_id", "embedding",
-        PlanesPerTable, NTables), "vec_id")
+        planes, tables), "vec_id")
     val q = querySet(s, dir)
       .join(srpTableBuckets(querySet(s, dir), "q_id", "q_emb",
-        PlanesPerTable, NTables)
+        planes, tables)
         .withColumnRenamed("bucket", "bucket0"), "q_id")
-    val flips: Seq[Long] = 0L +:
-      (0 until PlanesPerTable).map(p => 1L << p) ++:
-      (for (p <- 0 until PlanesPerTable; r <- p + 1 until PlanesPerTable)
-        yield (1L << p) | (1L << r))
+    // all flip masks of popcount <= probeRadius (radius 0 probes only
+    // the exact bucket)
+    val flips: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
     val probes = q
       .withColumn("bucket", explode(array(
         flips.map(f => col("bucket0").bitwiseXOR(lit(f))): _*)))
@@ -176,11 +181,12 @@ object Similarity {
     * collect to the driver — the same driver-side footprint
     * `broadcast()` has.
     */
-  private def ivfPivots(s: SparkSession, dir: String): Array[(Long, Array[Float])] =
+  private def ivfPivots(s: SparkSession, dir: String,
+      nLists: Int = NLists): Array[(Long, Array[Float])] =
     corpus(s, dir)
       .withColumn("hk", md5(concat(lit("ivf:"), col("vec_id").cast("string"))))
       .orderBy("hk", "vec_id")
-      .limit(NLists)
+      .limit(nLists)
       .select("vec_id", "embedding")
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -213,16 +219,18 @@ object Similarity {
     * membership is nearly independent of proximity, so recall ~
     * NProbe/NLists — the spec pins exactly that geometry (and
     * rank-1 self-recall = 1 always, since a query's own list is its
-    * first probe). The dials are NLists (partition granularity) and
-    * NProbe (recall vs cost).
+    * first probe). The dials are `nLists` (partition granularity) and
+    * `nProbe` (recall vs cost); `nProbe = nLists` probes everything
+    * and reproduces the brute-force answer exactly (spec-pinned).
     */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val piv = ivfPivots(s, dir)
+  def annIvf(s: SparkSession, dir: String, nLists: Int = NLists,
+      nProbe: Int = NProbe): DataFrame = {
+    val piv = ivfPivots(s, dir, nLists)
     val assigned = corpus(s, dir)
       .withColumn("pid",
         element_at(pivotRanking(col("embedding"), piv), 1).getField("pid"))
     val probes = querySet(s, dir)
-      .withColumn("p", explode(slice(pivotRanking(col("q_emb"), piv), 1, NProbe)))
+      .withColumn("p", explode(slice(pivotRanking(col("q_emb"), piv), 1, nProbe)))
       .select(col("q_id"), col("q_emb"), col("p.pid").as("pid"))
     val scored = assigned.join(broadcast(probes), Seq("pid"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
@@ -244,11 +252,11 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
-    Q("ann_lsh", annLsh, None),
+    Q("ann_lsh", (s, d) => annLsh(s, d), None),
     // exact oracle: pivots, assignment, probes and ranking are all
     // deterministic SQL; cosine ties resolve identically because both
     // engines accumulate the double dot/norms in array order
-    Q("ann_ivf", annIvf, Some(
+    Q("ann_ivf", (s, d) => annIvf(s, d), Some(
       s"""WITH piv AS (
          |  SELECT vec_id AS pid, embedding AS pvec
          |  FROM embeddings

@@ -23,6 +23,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |                  array(cast(1.0 as float), cast(0.0 as float))) AS c""".stripMargin)
         .head().getDouble(0)
       assert(math.abs(r - 1.0) < 1e-12)
+      // minhash_sig from SQL must agree with min(hash(id, slot))
+      val sig = spark.sql(
+        "SELECT minhash_sig(array(7L, 9L), 4) AS s").head().getSeq[Int](0)
+      val expect = spark.sql(
+        """SELECT array(min(hash(h, 0)), min(hash(h, 1)),
+          |             min(hash(h, 2)), min(hash(h, 3)))
+          |FROM (SELECT explode(array(7L, 9L)) AS h)""".stripMargin)
+        .head().getSeq[Int](0)
+      assert(sig === expect)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -190,6 +190,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf probing every list reproduces the brute-force answer exactly") {
+    // nProbe = nLists means every corpus vector is scored for every
+    // query — the IVF machinery must then be a no-op on the result
+    val ivf = Similarity.annIvf(spark, dir, nLists = 8, nProbe = 8)
+      .collect().toSeq
+    val bf = Similarity.annBruteforce(spark, dir).collect().toSeq
+    assert(ivf === bf)
+  }
+
+  test("ann_lsh radius-0 probes still find the exact twin") {
+    // identical vectors share every bucket, so even the cheapest dial
+    // setting (exact-bucket probes only) must pair them
+    val rows = Similarity.annLsh(spark, dir, probeRadius = 0).collect()
+    val q0 = rows.filter(_.getLong(0) == 0).map(_.getLong(2)).toSet
+    assert(q0.contains(1L))
+  }
+
   test("ann_ivf recall@5 vs bruteforce matches the probe geometry on sf0.01") {
     val sf = "/root/testdata/sf0.01"
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -347,6 +364,54 @@ class OpsSpec extends SparkSpec {
       .agg(array((0 until k).map(j => min(hash(col("h"), lit(j)))): _*))
       .head().getSeq[Int](0)
     assert(nNative === nSql, "null-element signature diverges from hash() semantics")
+  }
+
+  test("native ShingleIds is elementwise-identical to the split+zip formulation") {
+    import spark.implicits._
+    val edge = Seq(
+      "",                       // split("") = [""] → 1 token, no shingles
+      "   ",                    // all separators → ["", ""] → no shingles
+      " a b c",                 // leading separator: empty FIRST token
+      "a b c ",                 // trailing separator: empty LAST token
+      "a\tbc\r\nd\fe",    // every ASCII \s class member
+      "a b c a b c a b c",      // repeats → distinct, first-occurrence order
+      "one two",                // < 3 tokens
+      "naïve café 😀😀 漢字 テスト ok", // multibyte incl. surrogate pairs
+      "nbsp stays one token x y", // U+00A0 is NOT \s — token content
+      ("tok " * 200).trim       // long doc
+    ).toDF("text")
+    val docs = graft.Tables.load(spark, dir, "documents").select(col("text"))
+      .unionByName(edge)
+    val rows = docs.select(col("text"),
+        Dedup.shingles(col("text")).as("native"),
+        Dedup.shinglesSql(col("text")).as("sql"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"shingle mismatch for text: '${r.getString(0).take(60)}'")
+    }
+  }
+
+  test("native SimHash64 is bit-identical to the explode+vote-aggregate formulation") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, ""), (2L, "   "), (3L, " a b c "),
+      (4L, "dup dup dup dup unique"),    // occurrences vote, not the set
+      (5L, "naïve 😀 漢字 x"), (6L, ("w " * 150).trim)
+    ).toDF("doc_id", "text")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id") + 100, col("text")).toDF("doc_id", "text")
+      .unionByName(edge)
+    val native = docs
+      .select(col("doc_id"), graft.functions.simhash64(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sql = Dedup.simhashSqlOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet === sql.keySet)
+    native.foreach { case (id, h) =>
+      assert(h === sql(id), s"simhash mismatch for doc $id")
+    }
   }
 
   test("binLow/binLabel right-closed semantics") {

@@ -98,6 +98,28 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().length === 5)
   }
 
+  test("native ShingleIds: codegen'd narrow projection, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.load(spark, dir, "documents").limit(10)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val plan = planOf(df)
+    assert(plan.contains("shingle_ids"), s"no shingle_ids in:\n$plan")
+    assert(plan.contains("*(1) "), s"projection not codegen'd in:\n$plan")
+    assert(!plan.contains("Exchange"), s"shingle stage shuffles in:\n$plan")
+    assert(df.collect().length === 10)
+  }
+
+  test("native SimHash64: codegen'd narrow projection, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.load(spark, dir, "documents").limit(10)
+      .select(col("doc_id"), graft.functions.simhash64(col("text")).as("simhash"))
+    val plan = planOf(df)
+    assert(plan.contains("simhash64"), s"no simhash64 in:\n$plan")
+    assert(plan.contains("*(1) "), s"projection not codegen'd in:\n$plan")
+    assert(!plan.contains("Exchange"), s"simhash stage shuffles in:\n$plan")
+    assert(df.collect().length === 10)
+  }
+
   test("native CosineSim does not break WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.load(spark, dir, "embeddings").limit(10)
