@@ -35,10 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_sig(shingle_ids, k) - k-slot MinHash signature of a bigint array"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "minhash_sig expects 2 arguments")
+        // any foldable int expression works (CAST(64 AS INT), 8*8, …):
+        // the builder runs before constant folding, so eval() here
         val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval() match {
+              case i: java.lang.Integer => i.intValue()
+              case other => throw new IllegalArgumentException(
+                s"minhash_sig k must be a non-null integer constant, got $other")
+            }
           case e => throw new IllegalArgumentException(
-            s"minhash_sig k must be an integer literal, got $e")
+            s"minhash_sig k must be an integer constant, got $e")
         }
         functions.MinHashSig(children.head, k)
       }))

@@ -237,14 +237,19 @@ object Dedup {
     val docToRep = grouped.select("doc_id", "rep")
     val uniqText = grouped.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("text"))
-    SimhashCorpus(docToRep, simhashOf(uniqText).localCheckpoint())
+    SimhashCorpus(docToRep, simhashOf(uniqText))
   }
 
-  /** Row-local simhash projection; checkpointed because the banding
-    * self-join consumes it twice.
+  /** Row-local simhash projection; checkpointed (once — the only
+    * checkpoint on this table) because the banding self-join consumes
+    * it twice. Null texts are dropped to preserve the aggregate
+    * formulation's semantics exactly: explode(split(null)) emitted no
+    * vote rows, so such docs never had a simhash (they still get
+    * keep_id = themselves through [[dedupSimhash]]'s left-join base).
     */
   private def simhashOf(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.functions.simhash64(col("text")).as("simhash"))
       .localCheckpoint()
 

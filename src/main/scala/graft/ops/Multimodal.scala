@@ -70,11 +70,18 @@ object Multimodal {
       crc.getValue
     }
 
+    /** Single source of truth for the stub's frame-count model (shared
+      * by [[decode]] and [[frameCount]] so the metadata and the sample
+      * plan can never disagree).
+      */
+    private def framesOf(h: Long, format: String): Int =
+      if (format == "wav") (h % 300).toInt + 1 else 1
+
     def decode(batch: Seq[MediaIn]): Seq[Decoded] = batch.map { m =>
       val h = crcOf(m.media)
       Decoded(m.media_id, m.format, m.media.length.toLong, h,
         width = (h % 1920).toInt + 1, height = (h % 1080).toInt + 1,
-        n_frames = if (m.format == "wav") (h % 300).toInt + 1 else 1)
+        n_frames = framesOf(h, m.format))
     }
 
     /** Decode + scale into a bounding box, aspect ratio preserved. The
@@ -94,13 +101,17 @@ object Multimodal {
       * decoding any frames, which is what makes sample-then-decode
       * cheaper than decode-then-sample.
       */
-    def frameCount(m: MediaIn): Int =
-      if (m.format == "wav") (crcOf(m.media) % 300).toInt + 1 else 1
+    def frameCount(m: MediaIn): Int = framesOf(crcOf(m.media), m.format)
 
-    /** Decode ONLY the requested frames of one media payload. */
-    def decodeFrames(m: MediaIn, idxs: Seq[Int], total: Int): Seq[Frame] =
+    /** Decode ONLY the requested frames of one media payload. The
+      * payload hash is computed ONCE, not per frame — decode cost must
+      * scale with frames kept.
+      */
+    def decodeFrames(m: MediaIn, idxs: Seq[Int], total: Int): Seq[Frame] = {
+      val h = crcOf(m.media)
       idxs.map(i => Frame(m.media_id, i, total,
-        frame_crc = crcOf(s"${crcOf(m.media)}#$i".getBytes("UTF-8"))))
+        frame_crc = crcOf(s"$h#$i".getBytes("UTF-8"))))
+    }
   }
 
   val BatchSize = 64
@@ -126,15 +137,22 @@ object Multimodal {
     * [[mmMeta]]: a real image library replaces [[StubCodec.resize]]
     * only; the batching, schema and box-fit math ship as-is.
     */
-  def mmResize(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    mediaTable(s, dir)
+  def mmResize(s: SparkSession, dir: String): DataFrame =
+    resizeOf(mediaTable(s, dir)).orderBy("media_id")
+
+  /** The resize pipeline on a prepared media table — split out so
+    * specs can vary the INPUT partitioning (batch boundaries form
+    * inside `mapPartitions`, so only input partitioning exercises
+    * them).
+    */
+  private[ops] def resizeOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .withColumn("format", sniffFormat(col("media")))
       .as[MediaIn]
       .mapPartitions(rows =>
         rows.grouped(BatchSize).flatMap(b => StubCodec.resize(b.toSeq, ResizeBox)))
       .toDF()
-      .orderBy("media_id")
   }
 
   /** D12c: frame sampling — every [[FrameStep]]-th frame of each

@@ -142,8 +142,9 @@ object Similarity {
     */
   def annLsh(s: SparkSession, dir: String, tables: Int = NTables,
       planes: Int = PlanesPerTable, probeRadius: Int = 2): DataFrame = {
-    require(planes < 63 && probeRadius <= planes,
-      s"invalid dials: planes=$planes probeRadius=$probeRadius")
+    require(tables >= 1 && planes >= 1 && planes < 63 &&
+        probeRadius >= 0 && probeRadius <= planes,
+      s"invalid dials: tables=$tables planes=$planes probeRadius=$probeRadius")
     val corp = corpus(s, dir)
       .join(srpTableBuckets(corpus(s, dir), "vec_id", "embedding",
         planes, tables), "vec_id")

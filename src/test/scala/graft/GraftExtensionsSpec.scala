@@ -32,6 +32,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM (SELECT explode(array(7L, 9L)) AS h)""".stripMargin)
         .head().getSeq[Int](0)
       assert(sig === expect)
+      // k may be any constant int expression, not just a bare literal
+      // (the builder runs before constant folding and evals k itself)
+      val folded = spark.sql(
+        "SELECT minhash_sig(array(7L, 9L), CAST(2 + 2 AS INT)) AS s")
+        .head().getSeq[Int](0)
+      assert(folded === expect)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

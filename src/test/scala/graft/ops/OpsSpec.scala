@@ -283,8 +283,11 @@ class OpsSpec extends SparkSpec {
         assert(math.abs(dh - sh * scale) <= 0.5 + 1e-9)
       } else assert(dw === sw && dh === sh)
     }
-    // repartitioning must not change the result (batch-boundary-free)
-    val again = Multimodal.mmResize(spark, dir).repartition(5)
+    // repartitioning the INPUT must not change the result — batch
+    // boundaries form inside mapPartitions, so the input partitioning
+    // is what actually varies them
+    val again = Multimodal.resizeOf(
+        Multimodal.mediaTable(spark, dir).repartition(5))
       .orderBy("media_id").collect()
     assert(again.toSeq === Multimodal.mmResize(spark, dir).collect().toSeq)
   }
@@ -398,12 +401,17 @@ class OpsSpec extends SparkSpec {
     val edge = Seq(
       (1L, ""), (2L, "   "), (3L, " a b c "),
       (4L, "dup dup dup dup unique"),    // occurrences vote, not the set
-      (5L, "naïve 😀 漢字 x"), (6L, ("w " * 150).trim)
+      (5L, "naïve 😀 漢字 x"), (6L, ("w " * 150).trim),
+      (7L, null.asInstanceOf[String])    // both formulations drop nulls
     ).toDF("doc_id", "text")
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id") + 100, col("text")).toDF("doc_id", "text")
       .unionByName(edge)
     val native = docs
+      // the null filter mirrors simhashOf: the aggregate formulation
+      // dropped null texts at explode, the native pipeline drops them
+      // explicitly
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.functions.simhash64(col("text")).as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sql = Dedup.simhashSqlOf(docs)
