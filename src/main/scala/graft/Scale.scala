@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe (SURVEY §8): builds a dup-heavy corpus N× the size of a
+  * base SF's documents table (each copy re-keyed past the originals,
+  * so every doc gains N-1 exact dups — the web-crawl shape the
+  * exact-dup collapse exists for) and times the dedup family on it.
+  * One line per operator; this is the reproducible form of the ad-hoc
+  * 50k-doc probes quoted in SURVEY §8.
+  *
+  *   runMain graft.Scale [baseSf] [copies]
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val baseSf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.load(spark, baseSf, "documents")
+    val n = base.count()
+    val stride = n + 1
+    val big = (0 until copies).map(c =>
+        base.select((col("doc_id") + lit(c.toLong * stride)).as("doc_id"),
+          col("lang"), col("text")))
+      .reduce(_.unionByName(_))
+    val dir = s"/tmp/graft_scale_${n}x$copies"
+    big.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    System.err.println(s"[scale] corpus: ${n * copies} docs ($copies x $n) at $dir")
+
+    for (name <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
+        "dedup_jaccard", "dedup_clusters")) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      System.err.println(f"[scale] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    spark.stop()
+  }
+}

@@ -74,6 +74,29 @@ object Sampling {
       .orderBy("lang", "rk")
   }
 
+  /** Skew-proof variant of [[sampleStratified]] — the remedy the plain
+    * version's scale note names: per-stratum take-k via the bounded
+    * [[graft.functions.TopKAgg]] aggregator, O(k) state per stratum,
+    * so the map-side partial aggregation does the heavy selection and
+    * a hot stratum is never one giant window task. Exactly equal to
+    * the window formulation (spec-pinned; same oracle): the hash key's
+    * 32 bits are exact in a double, and ties break on doc_id in both
+    * (TopKAgg orders by (score, id), the window by (hk, doc_id)).
+    */
+  def sampleStratifiedBounded(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        conv(hexKey(col("doc_id"), "strat:"), 16, 10)
+          .cast("long").cast("double").as("hk_num"))
+      .groupBy("lang")
+      .agg(topk(col("hk_num"), col("doc_id")).as("cand"))
+      .select(col("lang"), posexplode(col("cand")).as(Seq("pos", "c")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("c.id").as("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
   /** D16: token-budget context packing — the concat-and-chunk batching
     * of LLM pretraining: documents are laid out in doc_id order and
     * the token stream is cut every `budget` tokens; each doc reports
@@ -124,6 +147,15 @@ object Sampling {
   private def tokensSql =
     raw"""CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)"""
 
+  private def stratifiedOracle =
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sample_split", (s, d) => sampleSplit(s, d), Some(
       """SELECT doc_id, lang,
@@ -132,13 +164,11 @@ object Sampling {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("sample_stratified", (s, d) => sampleStratified(s, d), Some(
-      """WITH r AS (
-        |  SELECT lang, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
-        |  FROM documents)
-        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
-        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
+      stratifiedOracle)),
+    // the bounded-aggregate twin answers the same question, so it
+    // shares the oracle — two physical strategies, one semantic
+    Q("sample_stratified_topk", (s, d) => sampleStratifiedBounded(s, d), Some(
+      stratifiedOracle)),
     Q("pack_contexts", (s, d) => packContexts(s, d), Some(
       s"""WITH t AS (
         |  SELECT doc_id, $tokensSql AS tokens FROM documents),

@@ -39,6 +39,17 @@ class SamplingSpec extends SparkSpec {
       === (1L to math.min(k.toLong, sizes("en"))).toSeq)
   }
 
+  test("bounded top-k stratified sample equals the window formulation exactly") {
+    // the TopKAgg path must reproduce the window's (hk, doc_id)
+    // ranking row-for-row, on the tiny corpus and at sf0.01 (where
+    // every stratum overflows k and tie-order actually matters)
+    for (sf <- Seq(dir, "/root/testdata/sf0.01"); k <- Seq(3, 20)) {
+      val w = Sampling.sampleStratified(spark, sf, k).collect().toSeq
+      val b = Sampling.sampleStratifiedBounded(spark, sf, k).collect().toSeq
+      assert(b === w, s"mismatch at $sf k=$k")
+    }
+  }
+
   test("pack_contexts: bucketed two-phase cumsum equals the plain global window") {
     val budget = 512L // small budget so contexts roll over often
     val packed = Sampling.packContexts(spark, dir, budget)
