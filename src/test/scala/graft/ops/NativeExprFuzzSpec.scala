@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Arbitrary, Gen}
+import graft.SparkSpec
+
+/** Property fuzzing for the native one-pass expressions: on RANDOM
+  * inputs (adversarial whitespace, unicode, surrogate pairs, empty
+  * and huge tokens) each must stay bit-identical to the built-in
+  * formulation it replaced. The hand-picked edge cases live in
+  * OpsSpec; this catches the edges nobody hand-picks.
+  */
+class NativeExprFuzzSpec extends SparkSpec {
+
+  // token alphabet skewed toward the nasty cases: ASCII \s members,
+  // non-\s unicode whitespace, multibyte code points, surrogate pairs
+  private val fragment: Gen[String] = Gen.frequency(
+    5 -> Gen.alphaNumStr.map(_.take(8)),
+    3 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"),
+    2 -> Gen.oneOf(" ", " ", "　"), // NOT \s: token content
+    2 -> Gen.oneOf("é", "ß", "漢", "字", "😀", "🎄", "x́"),
+    1 -> Gen.const(""))
+
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, fragment).map(_.mkString))
+
+  private def sampleTexts(n: Int): Seq[String] = {
+    val seed = org.scalacheck.rng.Seed(20260812L)
+    Iterator.iterate((textGen.apply(Gen.Parameters.default, seed), seed)) {
+      case (_, s) =>
+        val next = s.next
+        (textGen.apply(Gen.Parameters.default, next), next)
+    }.map(_._1).collect { case Some(t) => t }.take(n).toSeq
+  }
+
+  test("fuzz: ShingleIds == split+zip+distinct on 300 random texts") {
+    import spark.implicits._
+    val df = sampleTexts(300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("id"), col("text"),
+        Dedup.shingles(col("text")).as("native"),
+        Dedup.shinglesSql(col("text")).as("sql"))
+      .filter(not(col("native") <=> col("sql")))
+      .collect()
+    assert(bad.isEmpty, s"divergent texts: ${bad.take(3).map(_.getString(1)).mkString("|")}")
+  }
+
+  test("fuzz: SimHash64 == explode+vote aggregate on 300 random texts") {
+    import spark.implicits._
+    val df = sampleTexts(300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+        graft.functions.simhash64(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sql = Dedup.simhashSqlOf(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet === sql.keySet)
+    native.foreach { case (id, h) => assert(h === sql(id), s"doc $id diverges") }
+  }
+
+  test("fuzz: MinHashSig == explode+min-groupBy on random long arrays") {
+    import spark.implicits._
+    implicit val arbLongs: Arbitrary[Seq[Long]] = Arbitrary(
+      Gen.chooseNum(1, 50).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.distinct.toSeq)))
+    val seed = org.scalacheck.rng.Seed(20260812L)
+    val gen = Arbitrary.arbitrary[Seq[Long]]
+    val sets = Iterator.iterate((gen.apply(Gen.Parameters.default, seed), seed)) {
+      case (_, s) => val n = s.next; (gen.apply(Gen.Parameters.default, n), n)
+    }.map(_._1).collect { case Some(v) => v }.take(200).toSeq
+    val df = sets.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "sh")
+    val k = 32
+    val native = df.select(col("doc_id"), graft.functions.minhashSig(col("sh"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val sql = df.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(array((0 until k).map(j => min(hash(col("h"), lit(j)))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.keySet === sql.keySet)
+    native.foreach { case (id, sig) => assert(sig === sql(id), s"doc $id diverges") }
+  }
+}
