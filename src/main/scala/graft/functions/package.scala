@@ -77,4 +77,22 @@ package object functions {
     val bridge = org.apache.spark.sql.graft.bridge
     bridge.column(SimHash64(bridge.expression(text)))
   }
+
+  /** BPE-ish pre-tokenization count via the native [[BpeTokenCount]]
+    * DFA (one pass, no regex engine) — bit-identical to
+    * `regexp_count(text, TextOps.BpePattern)`.
+    */
+  def bpeTokenCount(text: Column): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(BpeTokenCount(bridge.expression(text)))
+  }
+
+  /** Count of word-boundary-delimited occurrences of any word in
+    * `words`, via the native [[WordSetHits]] scan — bit-identical to
+    * `regexp_count(text, "\\b(w1|w2|…)\\b")`.
+    */
+  def wordSetHits(text: Column, words: Seq[String]): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(WordSetHits(bridge.expression(text), words))
+  }
 }

@@ -123,7 +123,7 @@ object Sampling {
     // twice (the sigsOf self-join lesson, Dedup.scala)
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        regexp_count(col("text"), lit(TextOps.BpePattern)).cast("long").as("tokens"),
+        graft.functions.bpeTokenCount(col("text")).as("tokens"),
         expr("doc_id DIV 4096").as("bkt"))
       .localCheckpoint()
     val localW = Window.partitionBy("bkt").orderBy("doc_id")

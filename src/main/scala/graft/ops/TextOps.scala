@@ -21,15 +21,27 @@ object TextOps {
     */
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
-  private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+  private[ops] val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
   val StopPattern: String = "\\b(" + StopWords.mkString("|") + ")\\b"
 
-  /** D10: token counting, whitespace + BPE-ish regex. */
+  private[ops] val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "que", "pour", "dans", "un"))
+  private[ops] def profilePattern(words: Seq[String]): String =
+    "\\b(" + words.mkString("|") + ")\\b"
+
+  /** D10: token counting, whitespace + BPE-ish. The BPE count runs
+    * through the native [[graft.functions.BpeTokenCount]] DFA —
+    * bit-identical to `regexp_count(text, BpePattern)` (spec-pinned,
+    * fuzzed), one pass, no regex engine.
+    */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
-        regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_tokens"))
+        graft.functions.bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
   /** D9: quality scoring from exact integer counts; the composite
@@ -38,7 +50,9 @@ object TextOps {
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val nWords = size(wsTokens(col("text"))).cast("long")
-    val nStop = regexp_count(col("text"), lit(StopPattern)).cast("long")
+    // native word-boundary scan, bit-identical to
+    // regexp_count(text, StopPattern) — spec-pinned and fuzzed
+    val nStop = graft.functions.wordSetHits(col("text"), StopWords)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -56,13 +70,11 @@ object TextOps {
     * in a closed-form expression. Deterministic; rows-only check.
     */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
-    val profiles: Seq[(String, String)] = Seq(
-      "de" -> "\\b(der|die|das|und|ist|nicht|ich|mit|ein|zu)\\b",
-      "en" -> "\\b(the|and|is|of|to|in|that|it|for|was)\\b",
-      "es" -> "\\b(el|la|los|las|de|que|y|es|en|un)\\b",
-      "fr" -> "\\b(le|la|les|de|et|est|que|pour|dans|un)\\b")
-    val scores = profiles.map { case (lang, pat) =>
-      struct(regexp_count(col("text"), lit(pat)).as("hits"), lit(lang).as("lang"))
+    // per-profile hit counts via the native word-set scan (int, like
+    // the regexp_count it replaced, so the output schema is unchanged)
+    val scores = LangProfiles.map { case (lang, ws) =>
+      struct(graft.functions.wordSetHits(col("text"), ws).cast("int").as("hits"),
+        lit(lang).as("lang"))
     }
     // argmax by (hits, reverse-alphabetical lang) => greatest struct;
     // tie on hits picks the alphabetically-last language, so order the

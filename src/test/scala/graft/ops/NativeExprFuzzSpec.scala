@@ -58,6 +58,58 @@ class NativeExprFuzzSpec extends SparkSpec {
     native.foreach { case (id, h) => assert(h === sql(id), s"doc $id diverges") }
   }
 
+  test("fuzz: BpeTokenCount == regexp_count on 300 random texts") {
+    import spark.implicits._
+    val df = sampleTexts(300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("text"),
+        graft.functions.bpeTokenCount(col("text")).as("native"),
+        regexp_count(col("text"), lit(TextOps.BpePattern)).cast("long").as("re"))
+      .filter(col("native") =!= col("re"))
+      .collect()
+    assert(bad.isEmpty, s"divergent texts: ${bad.take(3).map(r =>
+      s"'${r.getString(0)}' native=${r.getLong(1)} re=${r.getLong(2)}").mkString("|")}")
+  }
+
+  test("fuzz: WordSetHits == \\b-regex on texts salted with near-stopwords") {
+    import spark.implicits._
+    // fragments engineered to stress boundary semantics: exact
+    // stopwords, stopwords embedded in longer \w runs (no match),
+    // stopwords glued to punctuation/unicode (match — those are
+    // boundaries), underscore joins (no match: _ is a word char)
+    val salted: Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf(TextOps.StopWords),
+      3 -> Gen.oneOf("the_", "_the", "thee", "aof", "is9", "Xthe"),
+      3 -> Gen.oneOf("the.", "(a)", "of,", "é-the", "漢is", "to😀"),
+      // Java \b is unicode-aware even though \w is ASCII: glued
+      // letters (CJK, accented, astral), trailing combining marks and
+      // mark-chains all shift boundaries — the exact class of input
+      // that falsified the first implementation
+      2 -> Gen.oneOf("漢the", "éis", "𝐀and", "thé", "x́the",
+        "_́a", "́of", "😀is", "ista"),
+      3 -> fragment)
+    val texts = {
+      val gen = Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, salted).map(_.mkString(" ")))
+      val seed = org.scalacheck.rng.Seed(20260813L)
+      Iterator.iterate((gen.apply(Gen.Parameters.default, seed), seed)) {
+        case (_, s) => val n = s.next; (gen.apply(Gen.Parameters.default, n), n)
+      }.map(_._1).collect { case Some(t) => t }.take(300).toSeq
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val pats = TextOps.LangProfiles.map(_._2) :+ TextOps.StopWords
+    pats.foreach { words =>
+      val bad = df.select(col("text"),
+          graft.functions.wordSetHits(col("text"), words).as("native"),
+          regexp_count(col("text"),
+            lit(TextOps.profilePattern(words))).cast("long").as("re"))
+        .filter(col("native") =!= col("re"))
+        .collect()
+      assert(bad.isEmpty, s"set $words diverges on: ${bad.take(3).map(r =>
+        s"'${r.getString(0)}' native=${r.getLong(1)} re=${r.getLong(2)}").mkString("|")}")
+    }
+  }
+
   test("fuzz: MinHashSig == explode+min-groupBy on random long arrays") {
     import spark.implicits._
     implicit val arbLongs: Arbitrary[Seq[Long]] = Arbitrary(
