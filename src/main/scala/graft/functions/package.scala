@@ -95,4 +95,12 @@ package object functions {
     val bridge = org.apache.spark.sql.graft.bridge
     bridge.column(WordSetHits(bridge.expression(text), words))
   }
+
+  /** Whitespace-token count via the native [[WsTokenCount]] scan —
+    * bit-identical to `size(split(text, "\\s+"))`, no token array.
+    */
+  def wsTokenCount(text: Column): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(WsTokenCount(bridge.expression(text)))
+  }
 }

@@ -40,7 +40,7 @@ object TextOps {
   def textTokens(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
+        graft.functions.wsTokenCount(col("text")).as("ws_tokens"),
         graft.functions.bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
@@ -49,7 +49,7 @@ object TextOps {
     * so it is bit-identical across engines.
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val nWords = size(wsTokens(col("text"))).cast("long")
+    val nWords = graft.functions.wsTokenCount(col("text"))
     // native word-boundary scan, bit-identical to
     // regexp_count(text, StopPattern) — spec-pinned and fuzzed
     val nStop = graft.functions.wordSetHits(col("text"), StopWords)

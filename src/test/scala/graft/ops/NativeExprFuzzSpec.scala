@@ -71,6 +71,19 @@ class NativeExprFuzzSpec extends SparkSpec {
       s"'${r.getString(0)}' native=${r.getLong(1)} re=${r.getLong(2)}").mkString("|")}")
   }
 
+  test("fuzz: WsTokenCount == size(split) on 300 random texts") {
+    import spark.implicits._
+    val df = sampleTexts(300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("text"),
+        graft.functions.wsTokenCount(col("text")).as("native"),
+        size(split(col("text"), "\\s+")).cast("long").as("sp"))
+      .filter(col("native") =!= col("sp"))
+      .collect()
+    assert(bad.isEmpty, s"divergent texts: ${bad.take(3).map(r =>
+      s"'${r.getString(0)}' native=${r.getLong(1)} split=${r.getLong(2)}").mkString("|")}")
+  }
+
   test("fuzz: WordSetHits == \\b-regex on texts salted with near-stopwords") {
     import spark.implicits._
     // fragments engineered to stress boundary semantics: exact
