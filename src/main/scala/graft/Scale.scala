@@ -26,7 +26,10 @@ object Scale {
 
     val base = Tables.load(spark, baseSf, "documents")
     val n = base.count()
-    val stride = n + 1
+    // stride by max id, not row count: a sparse-id corpus (previously
+    // deduped/subsampled) would otherwise collide copies into each
+    // other and silently corrupt the probe
+    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
     val big = (0 until copies).map(c =>
         base.select((col("doc_id") + lit(c.toLong * stride)).as("doc_id"),
           col("lang"), col("text")))

@@ -115,8 +115,19 @@ object WordSetHits {
   /** Java Bound's left test for a match starting at `start`: the
     * preceding code point is word-like if it is '_' or letterOrDigit,
     * or a non-spacing-mark chain whose base is letterOrDigit
-    * (Pattern.hasBaseCharacter — note: the base must be letterOrDigit,
-    * NOT underscore, faithfully to the JDK).
+    * (Pattern.hasBaseCharacter — the base must be letterOrDigit, NOT
+    * underscore, faithfully to the JDK).
+    *
+    * The JDK quirk (caught by review, verified against JDK 17):
+    * hasBaseCharacter walks UTF-16 CHARS, not code points. Walking
+    * leftward it reaches an astral code point at its LOW surrogate
+    * first — a lone surrogate is neither letterOrDigit nor a mark, so
+    * the walk stops with "no base" and the boundary HOLDS. An astral
+    * mark is even stranger: the walk starts at `i - 2`, which is the
+    * mark's own low surrogate — immediate "no base". So in the walk:
+    * any supplementary code point (mark, letter, anything) → false.
+    * Only the direct Bound check (codePointBefore, which does pair up
+    * surrogates) sees astral letters as word-like.
     */
   private def wordLikeBefore(base: AnyRef, off: Long, start: Int): Boolean = {
     if (start == 0) return false
@@ -124,9 +135,13 @@ object WordSetHits {
     var cp = cpAt(base, off, j)
     if (cp == '_' || Character.isLetterOrDigit(cp)) return true
     if (!isNsm(cp)) return false
+    // hasBaseCharacter on an astral mark starts at its own low
+    // surrogate: immediate "no base"
+    if (cp > 0xFFFF) return false
     while (j > 0) {
       j = cpStartBefore(base, off, j)
       cp = cpAt(base, off, j)
+      if (cp > 0xFFFF) return false // reached at its low surrogate
       if (Character.isLetterOrDigit(cp)) return true
       if (!isNsm(cp)) return false
     }
@@ -135,8 +150,10 @@ object WordSetHits {
 
   /** Java Bound's right test for a match ending at `end` (exclusive):
     * the following code point is word-like if '_'/letterOrDigit, or a
-    * non-spacing mark (its base-character walk immediately hits the
-    * match's own final letter, so the clause is always true here).
+    * non-spacing mark — BMP or astral alike, because the JDK's
+    * base-character walk here starts at `i - 1`, the match's own final
+    * letter, and returns true immediately (no surrogate quirk can
+    * intervene).
     */
   private def wordLikeAfter(base: AnyRef, off: Long, n: Int, end: Int): Boolean = {
     if (end >= n) return false

@@ -22,7 +22,6 @@ object TextOps {
   val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
   private[ops] val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
-  val StopPattern: String = "\\b(" + StopWords.mkString("|") + ")\\b"
 
   private[ops] val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),
@@ -51,7 +50,8 @@ object TextOps {
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val nWords = graft.functions.wsTokenCount(col("text"))
     // native word-boundary scan, bit-identical to
-    // regexp_count(text, StopPattern) — spec-pinned and fuzzed
+    // regexp_count(text, profilePattern(StopWords)) — spec-pinned and
+    // fuzzed
     val nStop = graft.functions.wordSetHits(col("text"), StopWords)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),

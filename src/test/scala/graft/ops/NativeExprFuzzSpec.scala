@@ -24,14 +24,17 @@ class NativeExprFuzzSpec extends SparkSpec {
   private val textGen: Gen[String] =
     Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, fragment).map(_.mkString))
 
-  private def sampleTexts(n: Int): Seq[String] = {
-    val seed = org.scalacheck.rng.Seed(20260812L)
-    Iterator.iterate((textGen.apply(Gen.Parameters.default, seed), seed)) {
+  /** Deterministic sampling from a Gen: seeded, so failures replay. */
+  private def samples[T](gen: Gen[T], seedVal: Long, n: Int): Seq[T] = {
+    val seed = org.scalacheck.rng.Seed(seedVal)
+    Iterator.iterate((gen.apply(Gen.Parameters.default, seed), seed)) {
       case (_, s) =>
         val next = s.next
-        (textGen.apply(Gen.Parameters.default, next), next)
+        (gen.apply(Gen.Parameters.default, next), next)
     }.map(_._1).collect { case Some(t) => t }.take(n).toSeq
   }
+
+  private def sampleTexts(n: Int): Seq[String] = samples(textGen, 20260812L, n)
 
   test("fuzz: ShingleIds == split+zip+distinct on 300 random texts") {
     import spark.implicits._
@@ -100,15 +103,24 @@ class NativeExprFuzzSpec extends SparkSpec {
       // that falsified the first implementation
       2 -> Gen.oneOf("漢the", "éis", "𝐀and", "thé", "x́the",
         "_́a", "́of", "😀is", "ista"),
+      // the JDK's hasBaseCharacter walks UTF-16 CHARS: an astral code
+      // point in the mark-chain walk is reached at its lone low
+      // surrogate and yields "no base" — these atoms (astral letter +
+      // mark + word, astral mark + word, word + astral mark, mark
+      // chains) falsified the second implementation
+      2 -> Gen.oneOf("𝐀́the", "x𝅧the",
+        "the𝅧", "é́the", "́the",
+        "𝐀the", "_́is"),
       3 -> fragment)
-    val texts = {
-      val gen = Gen.chooseNum(0, 30).flatMap(n =>
-        Gen.listOfN(n, salted).map(_.mkString(" ")))
-      val seed = org.scalacheck.rng.Seed(20260813L)
-      Iterator.iterate((gen.apply(Gen.Parameters.default, seed), seed)) {
-        case (_, s) => val n = s.next; (gen.apply(Gen.Parameters.default, n), n)
-      }.map(_._1).collect { case Some(t) => t }.take(300).toSeq
-    }
+    val texts = samples(
+      Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, salted).map(_.mkString(" "))),
+      20260813L, 300) ++ Seq(
+      // the review's JDK-17-verified quirk cases, pinned verbatim
+      // (explicit escapes: U+1D400 MATHEMATICAL A + U+0301, and
+      // U+1D167 astral combining mark)
+      "𝐀́the ok", "x𝅧the", "the𝅧",
+      "éthe", "_́a", "́of")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val pats = TextOps.LangProfiles.map(_._2) :+ TextOps.StopWords
     pats.foreach { words =>
@@ -128,11 +140,7 @@ class NativeExprFuzzSpec extends SparkSpec {
     implicit val arbLongs: Arbitrary[Seq[Long]] = Arbitrary(
       Gen.chooseNum(1, 50).flatMap(n =>
         Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.distinct.toSeq)))
-    val seed = org.scalacheck.rng.Seed(20260812L)
-    val gen = Arbitrary.arbitrary[Seq[Long]]
-    val sets = Iterator.iterate((gen.apply(Gen.Parameters.default, seed), seed)) {
-      case (_, s) => val n = s.next; (gen.apply(Gen.Parameters.default, n), n)
-    }.map(_._1).collect { case Some(v) => v }.take(200).toSeq
+    val sets = samples(Arbitrary.arbitrary[Seq[Long]], 20260812L, 200)
     val df = sets.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "sh")
     val k = 32
     val native = df.select(col("doc_id"), graft.functions.minhashSig(col("sh"), k).as("sig"))
