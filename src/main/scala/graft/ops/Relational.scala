@@ -196,6 +196,20 @@ object Relational {
         col("n"), col("sum_value"))
       .orderBy("hour_start")
 
+  /** E5 batch twin: sliding 1-hour / 30-minute event-time windows —
+    * every event contributes to exactly size/slide = 2 windows. The
+    * oracle reproduces Spark's epoch-aligned window starts with
+    * integer µs arithmetic (two shifted 30-minute truncations).
+    */
+  def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 14, 2)).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start")
+
   /** C16: as-of join — each click matched to the same user's most
     * recent purchase at-or-before it (attribution). Spark has no
     * native ASOF JOIN; the scalable formulation is union-both-sides +
@@ -609,6 +623,21 @@ object Relational {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin)),
+    // each event belongs to two 1h/30min windows: starts at the 30-min
+    // truncation and 30 min before it (Spark windows are epoch-aligned,
+    // so integer µs division reproduces them exactly)
+    Q("q_sliding_window", qSlidingWindow, Some(
+      """WITH x AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS ws,
+        |         value FROM events
+        |  UNION ALL
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+        |                        - 1800000000) AS ws,
+        |         value FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1 ORDER BY win_start""".stripMargin)),
     Q("role_explode", roleExplode, Some(
       """SELECT l_orderkey, l_linenumber, 'part' AS role, l_partkey AS member_id FROM lineitem
         |UNION ALL

@@ -36,6 +36,25 @@ object EventStreams {
         sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
 
+  /** E5: sliding event-time window aggregation — the same watermark
+    * machinery as E1, but each event lands in size/slide overlapping
+    * windows (`window()` emits one row per covered window before the
+    * aggregate, and the state store keys on window start exactly as
+    * the tumbling case). Batch twin `q_sliding_window` is
+    * DuckDB-oracled.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionAcc(start: Long, last: Long, n: Long, seq: Long)

@@ -38,6 +38,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows("10:10") === 1)
   }
 
+  test("sliding windows: every event lands in size/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.slidingCounts(input.toDF(), "10 minutes", "5 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    // 10:07 → windows [10:00,10:10) and [10:05,10:15); 10:08 the same;
+    // 10:12 → [10:05,10:15) and [10:10,10:20)
+    input.addData(ev(1, 7), ev(2, 8), ev(3, 12))
+    q.processAllAvailable()
+    input.addData(ev(4, 60)) // close everything via the watermark
+    q.processAllAvailable()
+    val rows = spark.table("sliding")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(rows("10:00") === 2)
+    assert(rows("10:05") === 3)
+    assert(rows("10:10") === 1)
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
