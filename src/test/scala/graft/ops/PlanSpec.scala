@@ -120,6 +120,40 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().length === 10)
   }
 
+  test("bucketed tables join with zero shuffle (the co-located join scale lever)") {
+    import org.apache.spark.sql.functions._
+    // SURVEY §4 claims bucketing removes the shuffle from repeated
+    // fact-fact joins; prove it in the plan. Two tables bucketed the
+    // same way on the join key must SortMergeJoin with no Exchange on
+    // either side.
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_spec").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val bcThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast: at scale both sides are big — the point of
+      // bucketing is the fact-fact case a broadcast cannot handle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ev.write.mode("overwrite")
+        .bucketBy(4, "user_id").sortBy("user_id")
+        .option("path", s"$wh/ev_a").saveAsTable("ev_a")
+      ev.write.mode("overwrite")
+        .bucketBy(4, "user_id").sortBy("user_id")
+        .option("path", s"$wh/ev_b").saveAsTable("ev_b")
+      val joined = spark.table("ev_a").as("a")
+        .join(spark.table("ev_b").as("b"), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
+      spark.sql("DROP TABLE IF EXISTS ev_a")
+      spark.sql("DROP TABLE IF EXISTS ev_b")
+    }
+  }
+
   test("native CosineSim does not break WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.load(spark, dir, "embeddings").limit(10)
