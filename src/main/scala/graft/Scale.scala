@@ -28,8 +28,10 @@ object Scale {
     val n = base.count()
     // stride by max id, not row count: a sparse-id corpus (previously
     // deduped/subsampled) would otherwise collide copies into each
-    // other and silently corrupt the probe
-    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // other and silently corrupt the probe (null-guarded for an empty
+    // table, where any stride does)
+    val maxId = base.agg(max(col("doc_id"))).head()
+    val stride = (if (maxId.isNullAt(0)) 0L else maxId.getLong(0)) + 1
     val big = (0 until copies).map(c =>
         base.select((col("doc_id") + lit(c.toLong * stride)).as("doc_id"),
           col("lang"), col("text")))

@@ -150,15 +150,23 @@ object WordSetHits {
 
   /** Java Bound's right test for a match ending at `end` (exclusive):
     * the following code point is word-like if '_'/letterOrDigit, or a
-    * non-spacing mark — BMP or astral alike, because the JDK's
-    * base-character walk here starts at `i - 1`, the match's own final
-    * letter, and returns true immediately (no surrogate quirk can
-    * intervene).
+    * non-spacing mark WITH a base — the JDK's base-character walk here
+    * starts at `i - 1`, the match's own final char. A final letter or
+    * digit is a base; a final UNDERSCORE is not (hasBaseCharacter
+    * returns false on anything that is neither letterOrDigit nor a
+    * mark), so for a word ending in '_' a following mark does NOT
+    * continue the word and the boundary holds (review-caught,
+    * JDK-17-verified: count 1 in "a_" + U+0301 but 0 in "ab" +
+    * U+0301).
     */
   private def wordLikeAfter(base: AnyRef, off: Long, n: Int, end: Int): Boolean = {
     if (end >= n) return false
     val cp = cpAt(base, off, end)
-    cp == '_' || Character.isLetterOrDigit(cp) || isNsm(cp)
+    if (cp == '_' || Character.isLetterOrDigit(cp)) return true
+    if (!isNsm(cp)) return false
+    val last = Platform.getByte(base, off + end - 1)
+    (last >= 'A' && last <= 'Z') || (last >= 'a' && last <= 'z') ||
+      (last >= '0' && last <= '9')
   }
 
   def compute(s: UTF8String, table: Array[Array[Array[Byte]]]): Long = {

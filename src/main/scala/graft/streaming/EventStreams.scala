@@ -23,18 +23,16 @@ object EventStreams {
 
   /** E1: event-time tumbling-window aggregation with a watermark.
     * Late rows beyond `watermark` are dropped; closed windows become
-    * immutable (Append-mode compatible).
+    * immutable (Append-mode compatible). Tumbling is the slide ==
+    * windowLen special case of [[slidingCounts]] — `window()` with an
+    * equal slide plans identically — so the aggregate shape lives
+    * once.
     */
   def tumblingCounts(
       events: DataFrame,
       windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+    slidingCounts(events, windowLen, windowLen, watermark)
 
   /** E5: sliding event-time window aggregation — the same watermark
     * machinery as E1, but each event lands in size/slide overlapping

@@ -120,9 +120,15 @@ class NativeExprFuzzSpec extends SparkSpec {
       // (explicit escapes: U+1D400 MATHEMATICAL A + U+0301, and
       // U+1D167 astral combining mark)
       "𝐀́the ok", "x𝅧the", "the𝅧",
-      "éthe", "_́a", "́of")
+      "éthe", "_́a", "́of",
+      // words ending in '_' followed by a mark: the JDK base walk
+      // stops at the underscore (not letterOrDigit) → boundary holds
+      "a_́", "a_𝅧", "_x́", "ab́")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
-    val pats = TextOps.LangProfiles.map(_._2) :+ TextOps.StopWords
+    val pats = TextOps.LangProfiles.map(_._2) :+ TextOps.StopWords :+
+      // underscore-bearing words exercise the \b base-walk quirk on
+      // BOTH sides ('_' is \w but not a base character)
+      Seq("a_", "_x", "the", "ab")
     pats.foreach { words =>
       val bad = df.select(col("text"),
           graft.functions.wordSetHits(col("text"), words).as("native"),

@@ -151,6 +151,8 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThreshold)
       spark.sql("DROP TABLE IF EXISTS ev_a")
       spark.sql("DROP TABLE IF EXISTS ev_b")
+      // external-table DROP leaves the files; reclaim the temp dir
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     }
   }
 
