@@ -50,5 +50,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         functions.MinHashSig(children.head, k)
       }))
+    // the remaining unary text/dedup scans: same one-arg shape
+    val unary: Seq[(String, String,
+        org.apache.spark.sql.catalyst.expressions.Expression =>
+          org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+      ("shingle_ids", "distinct word-3-gram shingle ids of a text",
+        functions.ShingleIds(_)),
+      ("simhash64", "64-bit SimHash of a text", functions.SimHash64(_)),
+      ("bpe_token_count", "BPE-ish pre-tokenization count",
+        functions.BpeTokenCount(_)),
+      ("ws_token_count", "whitespace-token count", functions.WsTokenCount(_)))
+    unary.foreach { case (name, desc, build) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[functions.ShingleIds].getName, name,
+          s"$name(text) - $desc"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(children.length == 1, s"$name expects 1 argument")
+          build(children.head)
+        }))
+    }
   }
 }

@@ -38,6 +38,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT minhash_sig(array(7L, 9L), CAST(2 + 2 AS INT)) AS s")
         .head().getSeq[Int](0)
       assert(folded === expect)
+      // the unary text scans, each against its built-in formulation
+      val t = "the quick brown fox is 42!"
+      val row = spark.sql(
+        s"""SELECT ws_token_count('$t') AS ws,
+           |       bpe_token_count('$t') AS bpe,
+           |       simhash64('$t') AS sh,
+           |       size(shingle_ids('$t')) AS ns,
+           |       size(split('$t', '\\\\s+')) AS ws_ref,
+           |       regexp_count('$t', '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]') AS bpe_ref
+           |""".stripMargin).head()
+      assert(row.getLong(0) === row.getInt(4).toLong)
+      assert(row.getLong(1) === row.getInt(5).toLong)
+      assert(row.getInt(3) === 4) // 6 tokens -> 4 distinct 3-grams
+      assert(row.getLong(2) !== 0L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
