@@ -103,4 +103,13 @@ package object functions {
     val bridge = org.apache.spark.sql.graft.bridge
     bridge.column(WsTokenCount(bridge.expression(text)))
   }
+
+  /** CJK-ideograph presence (U+4E00–U+9FFF) via the native
+    * [[ContainsCjk]] byte scan — bit-identical to
+    * `regexp_count(text, "[\\x{4e00}-\\x{9fff}]") > 0`.
+    */
+  def containsCjk(text: Column): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(ContainsCjk(bridge.expression(text)))
+  }
 }

@@ -80,7 +80,7 @@ object TextOps {
     // tie on hits picks the alphabetically-last language, so order the
     // tuple as (hits, lang) and take greatest — deterministic.
     val best = greatest(scores: _*)
-    val hasCjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    val hasCjk = graft.functions.containsCjk(col("text"))
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang").as("lang_true"),
         when(hasCjk, "zh").otherwise(best.getField("lang")).as("lang_pred"),

@@ -141,6 +141,28 @@ class NativeExprFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: ContainsCjk == regex range test on 300 random texts") {
+    import spark.implicits._
+    // salt with in-range, boundary and near-miss code points: U+4E00
+    // and U+9FFF are the range edges; U+4DFF (just below) and U+A000
+    // (just above) must NOT hit; hangul/katakana are other 3-byte
+    // sequences with nearby lead bytes
+    val cjkish: Gen[String] = Gen.frequency(
+      3 -> fragment,
+      2 -> Gen.oneOf("一", "鿿", "䷿", "ꀀ", "カ", "한", "漢字"))
+    val texts = samples(
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, cjkish).map(_.mkString)),
+      20260814L, 300)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("text"),
+        graft.functions.containsCjk(col("text")).as("native"),
+        (regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")) > 0).as("re"))
+      .filter(col("native") =!= col("re"))
+      .collect()
+    assert(bad.isEmpty, s"divergent texts: ${bad.take(3).map(r =>
+      s"'${r.getString(0)}' native=${r.getBoolean(1)} re=${r.getBoolean(2)}").mkString("|")}")
+  }
+
   test("fuzz: MinHashSig == explode+min-groupBy on random long arrays") {
     import spark.implicits._
     implicit val arbLongs: Arbitrary[Seq[Long]] = Arbitrary(
