@@ -59,7 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("simhash64", "64-bit SimHash of a text", functions.SimHash64(_)),
       ("bpe_token_count", "BPE-ish pre-tokenization count",
         functions.BpeTokenCount(_)),
-      ("ws_token_count", "whitespace-token count", functions.WsTokenCount(_)))
+      ("ws_token_count", "whitespace-token count", functions.WsTokenCount(_)),
+      ("contains_cjk", "true iff the text contains a CJK ideograph",
+        functions.ContainsCjk(_)))
     unary.foreach { case (name, desc, build) =>
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -52,6 +52,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(1) === row.getInt(5).toLong)
       assert(row.getInt(3) === 4) // 6 tokens -> 4 distinct 3-grams
       assert(row.getLong(2) !== 0L)
+      assert(spark.sql("SELECT contains_cjk('a 漢 b')").head().getBoolean(0))
+      assert(!spark.sql("SELECT contains_cjk('plain ascii')").head().getBoolean(0))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
