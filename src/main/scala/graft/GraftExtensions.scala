@@ -50,23 +50,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         functions.MinHashSig(children.head, k)
       }))
-    // the remaining unary text/dedup scans: same one-arg shape
-    val unary: Seq[(String, String,
+    // the remaining unary text/dedup scans: same one-arg shape. Each
+    // tuple carries its implementing class so DESCRIBE FUNCTION
+    // reports the right one (not ShingleIds for all five).
+    val unary: Seq[(String, String, Class[_],
         org.apache.spark.sql.catalyst.expressions.Expression =>
           org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
       ("shingle_ids", "distinct word-3-gram shingle ids of a text",
-        functions.ShingleIds(_)),
-      ("simhash64", "64-bit SimHash of a text", functions.SimHash64(_)),
+        classOf[functions.ShingleIds], functions.ShingleIds(_)),
+      ("simhash64", "64-bit SimHash of a text",
+        classOf[functions.SimHash64], functions.SimHash64(_)),
       ("bpe_token_count", "BPE-ish pre-tokenization count",
-        functions.BpeTokenCount(_)),
-      ("ws_token_count", "whitespace-token count", functions.WsTokenCount(_)),
+        classOf[functions.BpeTokenCount], functions.BpeTokenCount(_)),
+      ("ws_token_count", "whitespace-token count",
+        classOf[functions.WsTokenCount], functions.WsTokenCount(_)),
       ("contains_cjk", "true iff the text contains a CJK ideograph",
-        functions.ContainsCjk(_)))
-    unary.foreach { case (name, desc, build) =>
+        classOf[functions.ContainsCjk], functions.ContainsCjk(_)))
+    unary.foreach { case (name, desc, cls, build) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[functions.ShingleIds].getName, name,
-          s"$name(text) - $desc"),
+        new ExpressionInfo(cls.getName, name, s"$name(text) - $desc"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
           require(children.length == 1, s"$name expects 1 argument")
           build(children.head)

@@ -98,8 +98,17 @@ object ShingleIds {
     val m = tokCount - 2
     val out = new Array[Long](m)
     var outN = 0
+    // capacity math in Long: `m * 2` overflows Int for m >= 2^30 (a
+    // ~2 GB single-token-dense string), leaving cap at 8 and turning
+    // the full-table linear probe below into an infinite loop. Such a
+    // document can't be probed in an int-indexed table anyway — fail
+    // loudly instead of spinning.
+    val need = m.toLong * 2
+    if (need > (1L << 30))
+      throw new IllegalArgumentException(
+        s"shingle_ids: document has $m shingles; max supported is ${1 << 29}")
     var cap = 8
-    while (cap < m * 2) cap <<= 1
+    while (cap < need) cap <<= 1
     val table = new Array[Long](cap)
     val used = new Array[Boolean](cap)
     val mask = cap - 1

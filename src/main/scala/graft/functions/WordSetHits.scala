@@ -118,6 +118,14 @@ object WordSetHits {
     * (Pattern.hasBaseCharacter — the base must be letterOrDigit, NOT
     * underscore, faithfully to the JDK).
     *
+    * TOOLCHAIN PIN: this replicates Pattern.Bound's hasBaseCharacter —
+    * an UNDOCUMENTED JDK-internal detail, verified against JDK 17 (the
+    * build/deploy JDK). A future JDK could change the surrogate/mark
+    * walk and silently diverge from regexp_count; the guard is
+    * NativeExprFuzzSpec, which asserts these exact quirk cases (and
+    * 10k fuzzed strings) against java.util.regex ON THE RUNNING JDK —
+    * keep it in CI on the production JDK when upgrading.
+    *
     * The JDK quirk (caught by review, verified against JDK 17):
     * hasBaseCharacter walks UTF-16 CHARS, not code points. Walking
     * leftward it reaches an astral code point at its LOW surrogate

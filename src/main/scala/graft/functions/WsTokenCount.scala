@@ -16,8 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * empty last segment, and the empty string splits to [""]), so the
   * count is a single byte scan counting `\s+` runs — no token strings,
   * no array, no regex engine. Bit-identical to the `size(split(...))`
-  * formulation (spec-pinned, fuzzed), null in → null out like size of
-  * a null split under ANSI.
+  * formulation (spec-pinned, fuzzed) on non-null input.
+  *
+  * Null semantics: null in → null out. This matches `size(split(...))`
+  * under ANSI mode, but DIVERGES from Spark's default (non-ANSI,
+  * `spark.sql.legacy.sizeOfNull`) config, where `size(null)` is -1 —
+  * a pipeline that fed null texts through the old formulation saw -1
+  * where this expression yields null. Call sites that must preserve
+  * the -1 convention should `coalesce(ws_token_count(t), lit(-1L))`;
+  * graft's own text operators treat null-text rows as null-count rows
+  * (documented at [[graft.ops.TextOps]]).
   */
 case class WsTokenCount(child: Expression) extends UnaryExpression {
 

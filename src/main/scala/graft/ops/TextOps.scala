@@ -10,6 +10,13 @@ import graft.Tables
   * All row-local (narrow) — they scale linearly with no shuffle; every
   * scoring expression is built from Catalyst built-ins (regexp, HOFs)
   * so the whole stage stays in WholeStageCodegen. No UDFs.
+  *
+  * Null-text semantics: a null `text` yields NULL counts/scores
+  * throughout (the native scans are null-in/null-out). Note this
+  * differs from the pre-native `size(split(text, "\\s+"))`
+  * formulation, which returned -1 for null text under Spark's default
+  * non-ANSI `sizeOfNull` config — null is the deliberate convention
+  * here (a missing document has no token count, not a count of -1).
   */
 object TextOps {
 

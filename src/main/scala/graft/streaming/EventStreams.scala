@@ -117,6 +117,15 @@ object EventStreams {
               Iterator(SessionOut(user, s.seq, s.n, new Timestamp(s.start), closed = true))
             }
           } else {
+            // Memory bound: this buffers ONE user's events from ONE
+            // microbatch (not the whole stream) — the state store holds
+            // only the O(1) SessionAcc between batches. The bound is
+            // max(events per user per microbatch); a hot key in a huge
+            // microbatch is the failure mode, and the remedy is
+            // shrinking the trigger interval (or a merge-sort over
+            // pre-sorted shards). Fine at the rates sessionization
+            // targets; revisit if a single user can emit millions of
+            // events per trigger.
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var acc = state.getOption.orNull
             // open straggler session (sorted => stragglers precede the
