@@ -34,6 +34,27 @@ import org.apache.spark.sql.functions._
   */
 object ChessPipeline {
 
+  /** What [[ChessPipeline.parseGames]] keeps of the movetext — the
+    * reference's `--include-moves` knob (ingester.py:24, 154-166)
+    * plus a full-movetext superset:
+    *  - [[MovesMode.Truncated]]: first 3 moves (split at "4."),
+    *    `include_moves=True` in the reference (ingester.py:156-157).
+    *    graft's default — the shape every EDA query expects.
+    *  - [[MovesMode.Full]]: the entire movetext. The reference never
+    *    keeps it (its True branch still truncates); kept here because
+    *    a drop-in user asking for moves usually wants all of them.
+    *  - [[MovesMode.Omitted]]: no Moves column, Evaluation_flag
+    *    always false — `include_moves=False`, the REFERENCE default
+    *    (ingester.py:158-159,164-166: moves = "" and the Moves key is
+    *    never appended).
+    */
+  sealed trait MovesMode
+  object MovesMode {
+    case object Truncated extends MovesMode
+    case object Full extends MovesMode
+    case object Omitted extends MovesMode
+  }
+
   private val ResultRev: Column = {
     val m = Map("1-0" -> "0-1", "0-1" -> "1-0")
     val c = col("Result")
@@ -61,15 +82,25 @@ object ChessPipeline {
     * tag handling + _ndjson_to_parquet's cleaning, minus the running
     * stats which need [[withStats]]).
     */
-  def parseGames(raw: DataFrame): DataFrame = {
+  def parseGames(raw: DataFrame,
+      movesMode: MovesMode = MovesMode.Truncated): DataFrame = {
     val eventRaw = tag("Event")
     val tournament = eventRaw.contains("tournament")
     // ingester.py:149: event name = text before "tournament"
     val eventClean = when(tournament,
       trim(substring_index(eventRaw, "tournament", 1))).otherwise(eventRaw)
     // ingester.py:157: keep only the first 3 moves (split at "4.")
-    val moves3 = substring_index(col("movetext"), "4.", 1)
+    val kept: Option[Column] = movesMode match {
+      case MovesMode.Truncated => Some(substring_index(col("movetext"), "4.", 1))
+      case MovesMode.Full => Some(col("movetext"))
+      case MovesMode.Omitted => None
+    }
+    // the flag reads whatever is kept (the reference checks `"eval" in
+    // moves` on its kept string too: truncated when True, "" when
+    // False — so Omitted is constant-false, ingester.py:166)
+    val evalFlag = kept.map(_.contains("eval")).getOrElse(lit(false))
     raw.select(
+        Seq(
         regexp_replace(tag("Site"), "https://lichess\\.org/", "").as("ID"),
         nullIfMissing(eventClean).as("Event"),
         tournament.as("Tournament"),
@@ -82,9 +113,10 @@ object ChessPipeline {
         // to_timestamp parse failures)
         try_to_timestamp(concat_ws(" ", tag("UTCDate"), tag("UTCTime")),
           lit("yyyy.MM.dd HH:mm:ss")).as("DateTime"),
-        nullIfMissing(tag("Result")).as("Result"),
-        moves3.as("Moves"),
-        moves3.contains("eval").as("Evaluation_flag"),
+        nullIfMissing(tag("Result")).as("Result")) ++
+        kept.map(_.as("Moves")).toSeq ++
+        Seq(
+        evalFlag.as("Evaluation_flag"),
         tag("White").as("White"),
         tag("Black").as("Black"),
         eloInt(tag("WhiteElo")).as("WhiteElo"),
@@ -92,7 +124,7 @@ object ChessPipeline {
         nullIfMissing(tag("WhiteTitle")).as("WhiteTitle"),
         nullIfMissing(tag("BlackTitle")).as("BlackTitle"),
         ratingDiffInt(tag("WhiteRatingDiff")).as("WhiteRatingDiff"),
-        ratingDiffInt(tag("BlackRatingDiff")).as("BlackRatingDiff"))
+        ratingDiffInt(tag("BlackRatingDiff")).as("BlackRatingDiff")): _*)
       .withColumn("ID_random", hashUniform(col("ID")))
       .withColumn("White_random", hashUniform(col("White")))
       .withColumn("Black_random", hashUniform(col("Black")))
@@ -288,7 +320,10 @@ object ChessPipeline {
     games.join(wide, "ID")
   }
 
-  private val gameCols = Seq("ID", "ID_random", "Event", "Tournament", "ECO",
+  // "Moves" is filtered against the actual schema: MovesMode.Omitted
+  // parses without it (the reference's include_moves=False parquet has
+  // no Moves column either)
+  private val gameColsAll = Seq("ID", "ID_random", "Event", "Tournament", "ECO",
     "Opening", "TimeControl", "Termination", "DateTime", "Moves", "Evaluation_flag")
 
   /** Player-game-role doubling (ingester.py:345-399): one row from
@@ -296,6 +331,7 @@ object ChessPipeline {
     * swapped and the Result reversed. Narrow (union of projections).
     */
   def toPlayerGameRole(games: DataFrame): DataFrame = {
+    val gameCols = gameColsAll.filter(games.columns.contains(_))
     def perspective(me: String, opp: String, role: String, result: Column): DataFrame =
       games.select(gameCols.map(col) ++ Seq(
         result.as("Result"),
@@ -333,19 +369,54 @@ object ChessPipeline {
     * month-by-month ingestion, cf. ingest_lichess.py's cumulative
     * files).
     */
-  def fromPgn(raw: DataFrame, prior: Option[DataFrame] = None): DataFrame =
-    toPlayerGameRole(withStats(parseGames(raw), prior))
+  def fromPgn(raw: DataFrame, prior: Option[DataFrame] = None,
+      movesMode: MovesMode = MovesMode.Truncated): DataFrame =
+    toPlayerGameRole(withStats(parseGames(raw, movesMode), prior))
 
   /** Sorted, partitioned parquet sink (ingester.py's batched monthly
-    * output re-expressed): partition by month, sort within partitions
-    * by (DateTime, ID) so downstream time-range scans prune files and
-    * read locally-sorted data.
+    * output re-expressed): partition directories by month, sort within
+    * tasks by (DateTime, ID) so downstream time-range scans prune
+    * files and read locally-sorted data.
+    *
+    * Scale shape: `repartitionByRange(year_month, DateTime, ID)` — NOT
+    * `repartition(year_month)`, which hashes every row of a month into
+    * ONE shuffle partition, making one task write one month (~hundreds
+    * of GB at 100 TB) and turning the sort into a single-task external
+    * sort. Range partitioning keys that EXTEND the directory key keep
+    * every task's rows inside (at most two adjacent) months — so
+    * `partitionBy` still routes rows to the right directory and each
+    * task writes at most two files — while a big month fans out over
+    * many tasks, each sorting only its time slice. Files stay
+    * time-clustered: task k's file covers a contiguous (DateTime, ID)
+    * range within its month.
+    *
+    * `numFiles` bounds the task count (None = let
+    * spark.sql.shuffle.partitions decide — at cluster scale size it so
+    * each task writes ~128 MB–1 GB).
     */
-  def writePartitioned(df: DataFrame, outDir: String): Unit =
-    df.withColumn("year_month", date_format(col("DateTime"), "yyyy_MM"))
-      .repartition(col("year_month"))
-      .sortWithinPartitions("DateTime", "ID")
+  def writePartitioned(df: DataFrame, outDir: String,
+      numFiles: Option[Int] = None): Unit =
+    partitionedForWrite(df, numFiles)
       .write.mode("overwrite")
       .partitionBy("year_month")
       .parquet(outDir)
+
+  /** The pre-write plan of [[writePartitioned]], exposed so PlanSpec
+    * can assert the exchange is range (not single-partition hash) and
+    * specs can count output tasks.
+    */
+  private[graft] def partitionedForWrite(df: DataFrame,
+      numFiles: Option[Int] = None): DataFrame = {
+    val keyed = df.withColumn("year_month",
+      date_format(col("DateTime"), "yyyy_MM"))
+    val ranged = numFiles match {
+      case Some(n) => keyed.repartitionByRange(n,
+        col("year_month"), col("DateTime"), col("ID"))
+      case None => keyed.repartitionByRange(
+        col("year_month"), col("DateTime"), col("ID"))
+    }
+    // in-task order: year_month first so the (<= 2) months a boundary
+    // task holds are written as two internally-sorted files
+    ranged.sortWithinPartitions("year_month", "DateTime", "ID")
+  }
 }

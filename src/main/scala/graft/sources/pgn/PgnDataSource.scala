@@ -98,14 +98,25 @@ class PgnScanBuilder(paths: Seq[String], options: Map[String, String])
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val codecs = new CompressionCodecFactory(conf)
+    // Recursive listing: lichess-style trees (year/month/*.pgn.zst)
+    // plan one partition per compressed file. Hidden entries (_ / .
+    // prefixes, Spark/Hadoop marker convention) are pruned at EVERY
+    // level, including whole hidden subtrees.
+    def list(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] = {
+      def hidden(s: FileStatus): Boolean = {
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filterNot(hidden).flatMap(list(fs, _))
+      else Seq(st)
+    }
     val files: Seq[FileStatus] = paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val stats = if (fs.getFileStatus(path).isDirectory) {
-        fs.listStatus(path).toSeq.filter(_.isFile)
-          .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      } else Seq(fs.getFileStatus(path))
-      stats
+      // the root is listed even if its own name looks hidden — an
+      // explicitly-passed path is never pruned
+      list(fs, fs.getFileStatus(path))
     }
     files.flatMap { f =>
       val compressed = PgnPartitionReader.isZstd(f.getPath) ||

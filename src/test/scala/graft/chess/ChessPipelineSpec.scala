@@ -297,4 +297,63 @@ class ChessPipelineSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() === 8)
   }
+
+  test("sink fans one month over multiple range-partitioned tasks") {
+    // 2000 rows spanning two months: the one-task-per-month hash
+    // repartition this sink replaced would write exactly one file per
+    // month; range partitioning on (year_month, DateTime, ID) must
+    // split each month across several tasks/files while keeping the
+    // directory routing and in-file (DateTime, ID) order.
+    val df = spark.range(2000).select(
+      format_string("id%05d", col("id")).as("ID"),
+      expr("timestampadd(MINUTE, CAST(id * 40 AS INT), TIMESTAMP'2024-03-01 00:00:00')")
+        .as("DateTime"))
+    val planned = ChessPipeline.partitionedForWrite(df, Some(8))
+    assert(planned.queryExecution.executedPlan.toString.toLowerCase
+      .contains("rangepartitioning"), "sink exchange must be range, not hash")
+    val out = Files.createTempDirectory("pgr_range_out").toString
+    ChessPipeline.writePartitioned(df, out, Some(8))
+    val months = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("year_month=")).sortBy(_.getName)
+    assert(months.map(_.getName).toSet ===
+      Set("year_month=2024_03", "year_month=2024_04"))
+    for (m <- months) {
+      val parts = m.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length >= 2, s"${m.getName} written by a single task")
+      // every file is internally sorted by (DateTime, ID)
+      for (p <- parts) {
+        val rows = spark.read.parquet(p.toString)
+          .select(col("DateTime").cast("long"), col("ID"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(rows === rows.sorted, s"${p.getName} not sorted")
+      }
+    }
+    // round trip + directory pruning unchanged
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2000)
+    assert(back.filter(col("year_month") === "2024_04").count() ===
+      back.filter(month(col("DateTime")) === 4).count())
+  }
+
+  test("include-moves knob: Truncated default, Full round-trips, Omitted drops") {
+    // default unchanged: truncate at "4." (reference include_moves=True)
+    val g1Default = ChessPipeline.parseGames(raw)
+      .filter(col("ID") === "g1").select("Moves").head().getString(0)
+    assert(g1Default === "1. e4 c5 2. Nf3 d6 3. d4 cxd4 ")
+    // Full: the entire movetext survives parse AND the full pipeline
+    val full = ChessPipeline.parseGames(raw, ChessPipeline.MovesMode.Full)
+    val g1Full = full.filter(col("ID") === "g1").select("Moves").head().getString(0)
+    assert(g1Full === "1. e4 c5 2. Nf3 d6 3. d4 cxd4 4. Nxd4 Nf6 5. Nc3 1-0")
+    val pgrFull = ChessPipeline.fromPgn(raw, movesMode = ChessPipeline.MovesMode.Full)
+    assert(pgrFull.filter(col("ID") === "g1").select("Moves")
+      .distinct().head().getString(0) === g1Full)
+    // Omitted (reference include_moves=False, its default): no Moves
+    // column anywhere, Evaluation_flag constant false
+    val none = ChessPipeline.parseGames(raw, ChessPipeline.MovesMode.Omitted)
+    assert(!none.columns.contains("Moves"))
+    assert(none.filter(col("Evaluation_flag")).count() === 0)
+    val pgrNone = ChessPipeline.fromPgn(raw, movesMode = ChessPipeline.MovesMode.Omitted)
+    assert(!pgrNone.columns.contains("Moves"))
+    assert(pgrNone.count() === pgrFull.count())
+  }
 }

@@ -78,6 +78,30 @@ class PgnSourceSpec extends SparkSpec {
     assert(packed === plain)
   }
 
+  test("nested year/month/*.pgn.zst tree: recursive listing, one partition per file") {
+    // lichess-style layout: root/2024/01/*.pgn.zst, root/2024/02/...
+    val root = Files.createTempDirectory("pgn_tree")
+    val src = Files.readAllBytes(Paths.get(dir, "games_00.pgn")) // 50 games
+    var written = 0
+    for (month <- Seq("01", "02", "03")) {
+      val mdir = root.resolve("2024").resolve(month)
+      Files.createDirectories(mdir)
+      for (i <- 0 until 2) {
+        val out = new com.github.luben.zstd.ZstdOutputStream(
+          Files.newOutputStream(mdir.resolve(s"part_$i.pgn.zst")))
+        out.write(src); out.close()
+        written += 1
+      }
+    }
+    // hidden subtree + marker file must be pruned at every level
+    val hid = root.resolve("_staging"); Files.createDirectories(hid)
+    Files.writeString(hid.resolve("junk.pgn"), "[Event \"x\"]\n\n1. e4 *\n")
+    Files.writeString(root.resolve("2024").resolve("_SUCCESS"), "")
+    val df = spark.read.format("pgn").load(root.toString)
+    assert(df.rdd.getNumPartitions === written) // 6 compressed files
+    assert(df.count() === written * 50L)
+  }
+
   test("handles games with comments, missing tags, CRLF") {
     val d = Files.createTempDirectory("pgn_edge")
     val pgn =
