@@ -50,6 +50,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         functions.MinHashSig(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("srp_sig"),
+      new ExpressionInfo(
+        classOf[functions.SrpSig].getName, "srp_sig",
+        "srp_sig(vec, planes, tables) - all SRP-LSH bucket signatures of a float array"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "srp_sig expects 3 arguments")
+        def intConst(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case c if c.foldable &&
+              c.dataType == org.apache.spark.sql.types.IntegerType =>
+            c.eval() match {
+              case i: java.lang.Integer => i.intValue()
+              case other => throw new IllegalArgumentException(
+                s"srp_sig $what must be a non-null integer constant, got $other")
+            }
+          case c => throw new IllegalArgumentException(
+            s"srp_sig $what must be an integer constant, got $c")
+        }
+        functions.SrpSig(children.head,
+          intConst(children(1), "planes"), intConst(children(2), "tables"))
+      }))
     // the remaining unary text/dedup scans: same one-arg shape. Each
     // tuple carries its implementing class so DESCRIBE FUNCTION
     // reports the right one (not ShingleIds for all five).

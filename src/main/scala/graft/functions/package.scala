@@ -104,6 +104,17 @@ package object functions {
     bridge.column(WsTokenCount(bridge.expression(text)))
   }
 
+  /** All `tables` SRP-LSH bucket signatures (`planes` bits each) of a
+    * float-vector column via the native one-pass [[SrpSig]] expression
+    * — element t is table t's bucket. Replaces the posexplode +
+    * (tables×planes)-column groupBy (a full shuffle of the exploded
+    * corpus) with a row-local projection; bit-identical buckets.
+    */
+  def srpSig(vec: Column, planes: Int, tables: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(SrpSig(bridge.expression(vec), planes, tables))
+  }
+
   /** CJK-ideograph presence (U+4E00–U+9FFF) via the native
     * [[ContainsCjk]] byte scan — bit-identical to
     * `regexp_count(text, "[\\x{4e00}-\\x{9fff}]") > 0`.

@@ -498,30 +498,82 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** D5: embedding-cosine near-dup. Sign-random-projection buckets
-    * (16 planes) prefilter candidates; exact cosine >= threshold
-    * verifies. Random vectors rarely collide on all 16 signs unless
-    * genuinely close, so bucket sizes stay bounded at scale.
+  /** D5: embedding-cosine near-dup — multi-table, multi-probe SRP
+    * candidates + exact-cosine verification.
+    *
+    * Candidate generation is the [[Similarity.srpTableBuckets]]
+    * machinery (native no-shuffle signatures): `tables` independent
+    * `planes`-bit signatures per vector; the probe side explodes every
+    * bucket into its Hamming-ball of radius `probeRadius`, so a pair
+    * is a candidate iff its signatures differ by <= probeRadius bits
+    * in SOME table. Recall argument (the single-16-plane-exact-bucket
+    * design this replaced had none: a cos 0.9 pair agreed on all 16
+    * signs only ~79% of the time): per-bit collision probability for
+    * a pair at angle θ is p = 1 - θ/π; at cos = 0.9 (θ ≈ 0.4510),
+    * p ≈ 0.8564, so one table of 12 bits catches Hamming<=1 with
+    * p^12 + 12·p^11(1-p) ≈ 0.47 and MISSING all 8 tables happens with
+    * (1-0.47)^8 ≈ 0.006 — expected recall ≈ 0.994 at the threshold
+    * itself, higher above it (spec-pinned >= 0.95 on a corpus with
+    * planted near-dup pairs). Exact verification keeps precision 1.
+    *
+    * Scale shape: signatures are narrow; the probe fan-out is
+    * ×(1 + planes) rows on the probe side only; [[capBuckets]] bounds
+    * degenerate buckets; vectors are joined back by id for the exact
+    * verify, so they never travel through the bucket join.
     */
-  def dedupEmbed(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val withSig = emb.join(
-      Similarity.srpBuckets(emb, "vec_id", "embedding", planes = 16), "vec_id")
-    val cand = withSig.as("x").join(withSig.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("x.embedding").as("ea"),
-        col("y.vec_id").as("b"), col("y.embedding").as("eb"))
-      .withColumn("cos", graft.functions.cosine(col("ea"), col("eb")))
-      .filter(col("cos") >= threshold)
-    val neighborMin = cand.select(col("a").as("vec_id"), col("b").as("nbr"))
-      .unionByName(cand.select(col("b").as("vec_id"), col("a").as("nbr")))
+  def dedupEmbed(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
+    dedupEmbedOn(
+      Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      threshold)
+
+  /** [[dedupEmbed]] on an arbitrary (vec_id, embedding) frame — the
+    * seam the planted-near-dup recall spec drives.
+    */
+  def dedupEmbedOn(emb: DataFrame, threshold: Double = 0.9, tables: Int = 8,
+      planes: Int = 12, probeRadius: Int = 1): DataFrame = {
+    val pairs = embedPairs(emb, threshold, tables, planes, probeRadius)
+    val neighborMin = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
+      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
       .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))
     emb.select(col("vec_id"))
       .join(neighborMin, Seq("vec_id"), "left")
       .select(col("vec_id"),
         least(coalesce(col("min_nbr"), col("vec_id")), col("vec_id")).as("keep_id"))
       .orderBy("vec_id")
+  }
+
+  /** Exact-cosine-verified near-dup pairs (a < b) from the multi-table
+    * multi-probe SRP candidate generator.
+    */
+  private[ops] def embedPairs(emb: DataFrame, threshold: Double, tables: Int = 8,
+      planes: Int = 12, probeRadius: Int = 1): DataFrame = {
+    require(tables >= 1 && planes >= 1 && planes < 63 &&
+        probeRadius >= 0 && probeRadius <= planes,
+      s"invalid dials: tables=$tables planes=$planes probeRadius=$probeRadius")
+    // checkpointed: feeds both sides of the bucket join (and the sig
+    // projection, though native and narrow, reads the full vectors)
+    val sigs = Similarity.srpTableBuckets(emb, "vec_id", "embedding",
+      planes, tables).localCheckpoint()
+    val indexed = capBuckets(sigs, Seq("tbl", "bucket"))
+    // Hamming-ball flip masks; one probe direction suffices (the ball
+    // relation is symmetric, and the a < b constraint below picks the
+    // smaller id as the prober)
+    val flips: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+    val probes = sigs.withColumn("bucket", explode(array(
+      flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
+    val cand = probes.as("x").join(indexed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos", graft.functions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
   }
 
   /** D1: exact dedup — group by content digest, keep smallest id.

@@ -21,12 +21,15 @@ import graft.functions.cosine
   *  - SRP hyperplanes are deterministic (component sign p,i =
   *    murmur3(p, i) parity) so buckets are reproducible across runs
   *    and cluster sizes;
-  *  - signatures are computed via posexplode + one partial-aggregated
-  *    groupBy — each vector component is read once for all planes,
-  *    and the aggregation is an optimizer barrier so CollapseProject
-  *    cannot re-inline the signature tree into every consumer (the
-  *    naive HOF formulation recompiles a 12-aggregate expression per
-  *    probe branch — measured 85s vs 3s on the same data);
+  *  - signatures are computed by the native one-pass
+  *    [[graft.functions.SrpSig]] expression — a row-local projection,
+  *    ZERO shuffle (the posexplode + partial-aggregated groupBy it
+  *    replaced shuffled the exploded corpus; and the naive HOF
+  *    formulation before that hit the CollapseProject recompute
+  *    blowup — measured 85s vs 3s — which a single opaque native
+  *    expression is immune to). The explode formulations are kept
+  *    below as spec oracles ([[srpBucketsSql]]/[[srpTableBucketsSql]],
+  *    bit-equality pinned in NativeExprFuzzSpec);
   *  - multi-probe flips each single signature bit ON THE QUERY SIDE
   *    only: the corpus is bucketed once, queries explode
   *    ×(planes+1) — the small side pays the fan-out.
@@ -34,10 +37,19 @@ import graft.functions.cosine
 object Similarity {
 
   /** (id, bucket) for every row of `df`: SRP bucket bit p = sign of
-    * Σ_i vec[i] * r(p,i), r(p,i) = ±1 by murmur3(p,i) parity.
-    * One explode + one partial-aggregated groupBy on `id`.
+    * Σ_i vec[i] * r(p,i), r(p,i) = ±1 by murmur3(p,i) parity. A narrow
+    * projection via the native [[graft.functions.SrpSig]] — no shuffle.
     */
-  def srpBuckets(df: DataFrame, id: String, vec: String, planes: Int): DataFrame = {
+  def srpBuckets(df: DataFrame, id: String, vec: String, planes: Int): DataFrame =
+    df.select(col(id),
+      element_at(graft.functions.srpSig(col(vec), planes, 1), 1).as("bucket"))
+
+  /** The posexplode + groupBy formulation [[srpBuckets]] replaced —
+    * kept as the fuzz-spec oracle. Docs with EMPTY vectors vanish here
+    * (no exploded rows) but get bucket 0 from the native expression.
+    */
+  private[ops] def srpBucketsSql(df: DataFrame, id: String, vec: String,
+      planes: Int): DataFrame = {
     val comp = df.select(col(id), posexplode(col(vec)).as(Seq("i", "x")))
     val signed = (0 until planes).map { p =>
       sum(when(hash(lit(p), col("i")).bitwiseAND(lit(1)) === 1, col("x"))
@@ -96,14 +108,23 @@ object Similarity {
   private val NTables = 8        // independent hyperplane tables
   private val PlanesPerTable = 6 // bits per table (2^6 buckets)
 
-  /** Per-table SRP buckets: `tables` independent sets of `planes`
-    * hyperplanes, all projections computed in ONE explode + one
-    * partial-aggregated groupBy (each component read once for every
-    * table), then exploded to `(id, tbl, bucket)` — `tables` index
-    * rows per vector. Hyperplane (t, p) is the deterministic murmur3
-    * family at global index t*planes + p.
+  /** Per-table SRP buckets `(id, tbl, bucket)` — `tables` index rows
+    * per vector, hyperplane (t, p) at global murmur3 index
+    * t*planes + p. One narrow native [[graft.functions.SrpSig]]
+    * projection + a posexplode of the tables-element result: no
+    * shuffle anywhere in the signature stage (PlanSpec-guarded).
     */
   def srpTableBuckets(df: DataFrame, id: String, vec: String,
+      planes: Int, tables: Int): DataFrame =
+    df.select(col(id),
+      posexplode(graft.functions.srpSig(col(vec), planes, tables))
+        .as(Seq("tbl", "bucket")))
+
+  /** The explode + groupBy formulation [[srpTableBuckets]] replaced —
+    * kept as the fuzz-spec oracle (same empty-vector caveat as
+    * [[srpBucketsSql]]).
+    */
+  private[ops] def srpTableBucketsSql(df: DataFrame, id: String, vec: String,
       planes: Int, tables: Int): DataFrame = {
     val comp = df.select(col(id), posexplode(col(vec)).as(Seq("i", "x")))
     val signed = (0 until tables * planes).map { g =>

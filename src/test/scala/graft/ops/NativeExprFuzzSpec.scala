@@ -180,4 +180,33 @@ class NativeExprFuzzSpec extends SparkSpec {
     assert(native.keySet === sql.keySet)
     native.foreach { case (id, sig) => assert(sig === sql(id), s"doc $id diverges") }
   }
+
+  test("fuzz: SrpSig == posexplode+groupBy SRP buckets on random float vectors") {
+    import spark.implicits._
+    // adversarial components: zeros, denormals, huge magnitudes, and
+    // sign-boundary sums all exercise the double-accumulation order
+    val compGen: Gen[Float] = Gen.frequency(
+      6 -> Gen.chooseNum(-1.0f, 1.0f),
+      1 -> Gen.oneOf(0.0f, -0.0f, 1e-30f, -1e-30f, 1e30f, -1e30f))
+    val vecGen: Gen[Seq[Float]] =
+      Gen.chooseNum(1, 64).flatMap(n => Gen.listOfN(n, compGen).map(_.toSeq))
+    val vecs = samples(vecGen, 20260812L, 200)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    for ((planes, tables) <- Seq((16, 1), (12, 8), (6, 8))) {
+      val native = Similarity.srpTableBuckets(df, "vec_id", "embedding", planes, tables)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val sql = Similarity.srpTableBucketsSql(df, "vec_id", "embedding", planes, tables)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(native === sql, s"planes=$planes tables=$tables")
+      // the single-table wrapper agrees with its oracle too
+      if (tables == 1) {
+        val n1 = Similarity.srpBuckets(df, "vec_id", "embedding", planes)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val s1 = Similarity.srpBucketsSql(df, "vec_id", "embedding", planes)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(n1 === s1)
+      }
+    }
+  }
 }

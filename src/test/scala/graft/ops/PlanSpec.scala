@@ -120,6 +120,22 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().length === 10)
   }
 
+  test("native SrpSig: codegen'd, SRP signature stage needs no shuffle") {
+    import org.apache.spark.sql.functions._
+    // filter, not limit: GlobalLimit inserts its own single-partition
+    // exchange and would mask what this guard watches
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+    val df = Similarity.srpTableBuckets(emb, "vec_id", "embedding", 12, 8)
+    val plan = planOf(df)
+    assert(plan.contains("srp_sig"), s"no srp_sig in:\n$plan")
+    // the point: signatures + table explode are narrow — no Exchange
+    // (the posexplode + 96-column groupBy formulation shuffled the
+    // whole exploded corpus)
+    assert(!plan.contains("Exchange"), s"SRP signature stage shuffles in:\n$plan")
+    assert(df.collect().length === 80) // 8 tables x 10 vectors
+  }
+
   test("bucketed tables join with zero shuffle (the co-located join scale lever)") {
     import org.apache.spark.sql.functions._
     // SURVEY §4 claims bucketing removes the shuffle from repeated
