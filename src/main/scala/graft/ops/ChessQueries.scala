@@ -7,14 +7,46 @@ import graft.chess.{ChessPipeline, SamplePgn}
 /** Chess-pipeline query surface (SURVEY §2.A): the DSv2 PGN source +
   * ChessPipeline driven end-to-end on the deterministic sample corpus
   * (the driver's sf dirs hold only parquet, so PGN queries generate
-  * their input; rows-only checks — the windowed-stats semantics are
-  * oracled via their `events`-table analogs in [[Relational]] and
-  * unit-tested in ChessPipelineSpec).
+  * their input).
+  *
+  * Oracle strategy: the EDA queries run over [[GamesPq]] — the parsed
+  * games materialized once per JVM to a deterministic parquet path —
+  * so DuckDB can `read_parquet` the SAME rows and hash-check them
+  * (hard oracle green instead of rows-only). `chess_pipeline` /
+  * `pgn_games` still read the PGN source directly (they demonstrate
+  * the scan itself), and the HLL query stays rows-only by nature.
   */
 object ChessQueries {
 
   private def rawPgn(s: SparkSession): DataFrame =
     s.read.format("pgn").load(SamplePgn.ensureWritten())
+
+  /** Parsed sample games as parquet at a fixed path, rewritten once
+    * per JVM (deterministic input, so cross-JVM overwrite is
+    * idempotent). Queries re-read the files Spark-side; the driver's
+    * DuckDB oracle reads them via `read_parquet` — both engines see
+    * byte-identical rows, which is what upgrades the chess EDA checks
+    * from rows-only to full hash compare.
+    */
+  private object GamesPq {
+    val path: String = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_chess_games_pq")
+      .toString
+    @volatile private var written = false
+    def apply(s: SparkSession): DataFrame = {
+      if (!written) synchronized {
+        if (!written) {
+          ChessPipeline.parseGames(rawPgn(s))
+            .write.mode("overwrite").parquet(path)
+          written = true
+        }
+      }
+      s.read.parquet(path)
+    }
+  }
+
+  private def pq(cols: String = "*"): String =
+    s"SELECT $cols FROM read_parquet('${GamesPq.path}/*.parquet')"
 
   /** A1/A2: raw distributed PGN scan (tags + movetext). */
   def pgnGames(s: SparkSession, dir: String): DataFrame =
@@ -49,8 +81,7 @@ object ChessQueries {
       .limit(20)
   }
 
-  private def games(s: SparkSession): DataFrame =
-    ChessPipeline.parseGames(rawPgn(s))
+  private def games(s: SparkSession): DataFrame = GamesPq(s)
 
   /** eda.ipynb "Total number of games". */
   def chessCount(s: SparkSession, dir: String): DataFrame =
@@ -109,13 +140,44 @@ object ChessQueries {
   val queries: Seq[Q] = Seq(
     Q("pgn_games", pgnGames, None),
     Q("chess_pipeline", chessPipeline, None),
-    Q("chess_top_players", chessTopPlayers, None),
-    Q("chess_count", chessCount, None),
-    Q("chess_approx_players", chessApproxPlayers, None),
-    Q("chess_winner_prop", chessWinnerProp, None),
-    Q("chess_termination", chessTermination, None),
-    Q("chess_daily_counts", chessDailyCounts, None),
-    Q("chess_daily_high_elo", (s, d) => chessDailyHighElo(s, d), None),
-    Q("chess_top_openings", chessTopOpenings, None)
+    Q("chess_top_players", chessTopPlayers, Some(
+      s"""WITH g AS (${pq()}),
+         |w AS (SELECT White AS player, count(*) AS count_white FROM g GROUP BY 1),
+         |b AS (SELECT Black AS player, count(*) AS count_black FROM g GROUP BY 1)
+         |SELECT w.player, count_white + count_black AS n_games
+         |FROM w JOIN b USING (player)
+         |ORDER BY n_games DESC, player LIMIT 20""".stripMargin)),
+    Q("chess_count", chessCount, Some(
+      s"SELECT count(*) AS num_games FROM (${pq()})")),
+    Q("chess_approx_players", chessApproxPlayers, None), // HLL: rows-only by nature
+    Q("chess_winner_prop", chessWinnerProp, Some(
+      s"""WITH c AS (
+         |  SELECT CASE WHEN Result = '1-0' THEN 'white'
+         |              WHEN Result = '0-1' THEN 'black'
+         |              WHEN Result = '1/2-1/2' THEN 'draw' END AS winner,
+         |         count(*) AS cnt
+         |  FROM (${pq()})
+         |  WHERE Result IN ('1-0', '0-1', '1/2-1/2')
+         |  GROUP BY 1)
+         |SELECT winner, cnt,
+         |       CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS proportion
+         |FROM c ORDER BY proportion DESC, winner""".stripMargin)),
+    Q("chess_termination", chessTermination, Some(
+      s"""WITH c AS (
+         |  SELECT Termination, count(*) AS cnt FROM (${pq()}) GROUP BY 1)
+         |SELECT Termination, cnt,
+         |       CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS proportion
+         |FROM c ORDER BY cnt DESC, Termination""".stripMargin)),
+    Q("chess_daily_counts", chessDailyCounts, Some(
+      s"""SELECT CAST(DateTime AS DATE) AS day, count(*) AS cnt
+         |FROM (${pq()}) GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("chess_daily_high_elo", (s, d) => chessDailyHighElo(s, d), Some(
+      s"""SELECT CAST(DateTime AS DATE) AS day, count(*) AS cnt
+         |FROM (${pq()})
+         |WHERE WhiteElo > 2000 AND BlackElo > 2000
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("chess_top_openings", chessTopOpenings, Some(
+      s"""SELECT Opening, count(*) AS cnt FROM (${pq()})
+         |GROUP BY 1 ORDER BY cnt DESC, Opening LIMIT 20""".stripMargin))
   )
 }

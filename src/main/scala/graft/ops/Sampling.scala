@@ -19,9 +19,10 @@ import graft.Tables
   *  - split: a row-local projection (no shuffle at any scale);
   *  - stratified take-k: one shuffle on the stratum key, bounded by
   *    the skew note on [[sampleStratified]];
-  *  - packing: the bucketed two-phase cumulative sum of
-  *    [[graft.chess.ChessPipeline]]'s running stats (local windows +
-  *    tiny cross-bucket offsets), no single-reducer global window.
+  *  - packing: hierarchical bucketed cumulative sums (local windows +
+  *    recursively-offset buckets, [[Sampling.exclusiveOffsets]]) — no
+  *    window task ever sees more than the fanout (4096) rows at ANY
+  *    corpus size or id sparsity.
   */
 object Sampling {
 
@@ -113,25 +114,35 @@ object Sampling {
     * Same two-phase shape as the skew-resistant running stats
     * ([[graft.chess.ChessPipeline]]).
     */
-  def packContexts(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+  def packContexts(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
+    packContextsOn(Tables.load(s, dir, "documents"), budget)
+
+  /** [[packContexts]] on an arbitrary (doc_id, text) frame — the seam
+    * the sparse-id / forced-recursion equality spec drives.
+    */
+  def packContextsOn(docs: DataFrame, budget: Long = 2048L,
+      fanout: Long = 4096L): DataFrame = {
     // integral DIV for the bucket id too (same exactness rule as the
     // ctx_id below — floor(id/4096.0) happens to stay monotone through
     // double rounding, but the invariant should not rest on that);
     // checkpointed because it feeds BOTH the row branch and the
     // offsets branch of the join below — without materialization the
     // documents scan and the dominant BPE regexp tokenization run
-    // twice (the sigsOf self-join lesson, Dedup.scala)
-    val toks = Tables.load(s, dir, "documents")
+    // twice (the sigsOf self-join lesson, Dedup.scala). Bucketing by
+    // id RANGE (doc_id DIV fanout) needs no density: a sparse range
+    // makes a bucket SMALLER, never bigger, so the per-bucket window
+    // is bounded by `fanout` rows for any id distribution.
+    val toks = docs
       .select(col("doc_id"),
         graft.functions.bpeTokenCount(col("text")).as("tokens"),
-        expr("doc_id DIV 4096").as("bkt"))
+        expr(s"doc_id DIV ${fanout}L").as("bkt"))
       .localCheckpoint()
     val localW = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bktW = Window.orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy("bkt").agg(sum(col("tokens")).as("bkt_tokens"))
-      .select(col("bkt"), coalesce(sum(col("bkt_tokens")).over(bktW), lit(0L)).as("off"))
+    val offsets = exclusiveOffsets(
+      toks.groupBy("bkt").agg(sum(col("tokens")).as("v"))
+        .select(col("bkt").as("k"), col("v")), fanout)
+      .select(col("k").as("bkt"), col("off"))
     toks
       .withColumn("loc", coalesce(sum(col("tokens")).over(localW), lit(0L)))
       .join(offsets, "bkt")
@@ -142,6 +153,40 @@ object Sampling {
         expr(s"cum DIV ${budget}L").as("ctx_id"),
         pmod(col("cum"), lit(budget)).as("ctx_off"))
       .orderBy("doc_id")
+  }
+
+  /** Exclusive prefix sums over one (k, v) row per distinct key,
+    * computed HIERARCHICALLY: level j windows partition by
+    * `k DIV fanout^(j+1)` and order by the level-j key, so no window
+    * task ever buffers more than `fanout` rows no matter the corpus
+    * size (the round-4 formulation ran the cross-bucket window on one
+    * global reducer — fine to ~1e9 docs, 2.4e8 rows through one task
+    * at 1e12). Recursion depth is log_fanout(keys): the driver reads
+    * ONE count scalar per level (like the connected-components round
+    * counter), ~3 tiny jobs at 1e12 docs. Returns (k, off) where off =
+    * Σ v over all keys < k. Works for arbitrarily sparse keys — range
+    * grouping bounds group size from above regardless of density.
+    */
+  private[ops] def exclusiveOffsets(perKey: DataFrame,
+      fanout: Long = 4096L): DataFrame = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    if (perKey.count() <= fanout) {
+      // at most `fanout` rows reach this single-task window
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+      perKey.select(col("k"), coalesce(sum(col("v")).over(w), lit(0L)).as("off"))
+    } else {
+      val withSuper = perKey.withColumn("sk", expr(s"k DIV ${fanout}L"))
+      val localW = Window.partitionBy("sk").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val superOff = exclusiveOffsets(
+        withSuper.groupBy("sk").agg(sum(col("v")).as("v"))
+          .select(col("sk").as("k"), col("v")), fanout)
+        .select(col("k").as("sk"), col("off").as("sup_off"))
+      withSuper
+        .withColumn("loc", coalesce(sum(col("v")).over(localW), lit(0L)))
+        .join(superOff, "sk")
+        .select(col("k"), (col("loc") + col("sup_off")).as("off"))
+    }
   }
 
   private def tokensSql =

@@ -71,4 +71,52 @@ class SamplingSpec extends SparkSpec {
     assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
     assert(ids.last > 0, "budget too large to exercise rollover")
   }
+
+  test("pack_contexts: hierarchical offsets equal the global window on sparse ids") {
+    import spark.implicits._
+    // sparse, adversarially-spread doc_ids (big gaps, dense runs) and
+    // a tiny fanout forcing >= 3 recursion levels: offsets must still
+    // equal the single-reducer global-window answer row-for-row
+    val rng = new scala.util.Random(11)
+    val ids = {
+      var cur = 0L
+      (0 until 700).map { _ =>
+        cur += (if (rng.nextInt(4) == 0) 1L + rng.nextInt(1000000) else 1L + rng.nextInt(3))
+        cur
+      }
+    }
+    val docs = ids.map(id => (id, (0 until rng.nextInt(30)).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 64L
+    val packed = Sampling.packContextsOn(docs, budget, fanout = 4)
+    val gw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val plain = docs
+      .select(col("doc_id"),
+        graft.functions.bpeTokenCount(col("text")).as("tokens"))
+      .withColumn("cum", coalesce(sum(col("tokens")).over(gw), lit(0L)))
+      .select(col("doc_id"), col("tokens"),
+        expr(s"cum DIV ${budget}L").as("ctx_id"),
+        pmod(col("cum"), lit(budget)).as("ctx_off"))
+      .orderBy("doc_id")
+    assert(packed.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("exclusiveOffsets: recursion depth never shows a window more than fanout rows") {
+    import spark.implicits._
+    // direct unit pin on the offsets core: 2000 sparse keys, fanout 8
+    // (depth 4); equals the O(n)-in-one-task formulation
+    val rng = new scala.util.Random(5)
+    var k = 0L
+    val perKey = (0 until 2000).map { _ =>
+      k += 1L + rng.nextInt(5000); (k, rng.nextInt(100).toLong)
+    }.toDF("k", "v")
+    val got = Sampling.exclusiveOffsets(perKey, fanout = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = perKey.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    rows.foreach { case (key, v) =>
+      assert(got(key) === acc, s"key $key")
+      acc += v
+    }
+  }
 }
