@@ -10,7 +10,11 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_volume", "q_top_users",
     "q_sessionize", "dedup_minhash", "ann_bruteforce", "text_quality",
-    "cum_counts")
+    "cum_counts",
+    // round-5 widening: the operators recent rounds made native or
+    // added, previously perf-invisible between rounds
+    "dedup_jaccard", "dedup_clusters", "pack_contexts", "ann_ivf",
+    "ann_lsh", "dedup_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
