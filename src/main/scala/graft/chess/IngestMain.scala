@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.chess.IngestMain <pgnPath> <outDir> [stateDir]
   *
+  * `pgnPath` may instead be `--month=YYYY-MM`: the monthly lichess
+  * dump is then staged via [[Acquire.fetchMonth]] (the reference's
+  * give-me-a-month entry point, ingest_lichess.py:9-27) into
+  * `GRAFT_STAGING_DIR` (default /tmp/graft_staging), honoring
+  * `GRAFT_DUMP_BASE_URL` as a mirror / `file://` override, and the
+  * staged `.pgn.zst` is ingested.
+  *
   * With `stateDir`: reads the prior [[ChessPipeline.statsState]] table
   * if present (counters continue across runs exactly as the
   * reference's `cum_files_{y}_{m}.json.zst` carry-over,
@@ -17,8 +24,17 @@ import org.apache.spark.sql.SparkSession
   */
 object IngestMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: IngestMain <pgnPath> <outDir> [stateDir]")
-    val Array(pgnPath, outDir) = args.take(2)
+    require(args.length >= 2,
+      "usage: IngestMain <pgnPath|--month=YYYY-MM> <outDir> [stateDir]")
+    val MonthArg = """--month=(\d{4})-(\d{2})""".r
+    val pgnPath = args(0) match {
+      case MonthArg(y, m) =>
+        Acquire.fetchMonth(y.toInt, m.toInt,
+          sys.env.getOrElse("GRAFT_STAGING_DIR", "/tmp/graft_staging"),
+          sys.env.get("GRAFT_DUMP_BASE_URL")).toString
+      case p => p
+    }
+    val outDir = args(1)
     val stateDir = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

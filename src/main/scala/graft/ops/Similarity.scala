@@ -166,13 +166,16 @@ object Similarity {
     require(tables >= 1 && planes >= 1 && planes < 63 &&
         probeRadius >= 0 && probeRadius <= planes,
       s"invalid dials: tables=$tables planes=$planes probeRadius=$probeRadius")
-    val corp = corpus(s, dir)
-      .join(srpTableBuckets(corpus(s, dir), "vec_id", "embedding",
-        planes, tables), "vec_id")
-    val q = querySet(s, dir)
-      .join(srpTableBuckets(querySet(s, dir), "q_id", "q_emb",
-        planes, tables)
-        .withColumnRenamed("bucket", "bucket0"), "q_id")
+    // buckets inlined into the scan projection (native SrpSig is
+    // row-local): no self-join back onto the corpus, which the old
+    // aggregate-based signature formulation forced — the corpus-side
+    // candidate index is now scan → project → explode, zero shuffle
+    val corp = corpus(s, dir).select(col("vec_id"), col("embedding"),
+      posexplode(graft.functions.srpSig(col("embedding"), planes, tables))
+        .as(Seq("tbl", "bucket")))
+    val q = querySet(s, dir).select(col("q_id"), col("q_emb"),
+      posexplode(graft.functions.srpSig(col("q_emb"), planes, tables))
+        .as(Seq("tbl", "bucket0")))
     // all flip masks of popcount <= probeRadius (radius 0 probes only
     // the exact bucket)
     val flips: Seq[Long] = (0 to probeRadius).flatMap(r =>

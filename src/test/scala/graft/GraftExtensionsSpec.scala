@@ -54,6 +54,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(2) !== 0L)
       assert(spark.sql("SELECT contains_cjk('a 漢 b')").head().getBoolean(0))
       assert(!spark.sql("SELECT contains_cjk('plain ascii')").head().getBoolean(0))
+      // srp_sig: tables elements, and table 0 of a 1-table call equals
+      // the per-plane sign definition on a hand-checkable vector
+      val srp = spark.sql(
+        """SELECT srp_sig(array(cast(0.5 as float), cast(-1.5 as float)), 6, 8) AS s"""
+      ).head().getSeq[Long](0)
+      assert(srp.length === 8)
+      val srp1 = spark.sql(
+        """SELECT srp_sig(array(cast(0.5 as float), cast(-1.5 as float)), 6, 1) AS s"""
+      ).head().getSeq[Long](0)
+      assert(srp1 === Seq(srp.head))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
