@@ -361,12 +361,20 @@ object Dedup {
       explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // checkpointed: the self-join below consumes prefix TWICE, and an
+    // unmaterialized subtree re-runs the inverted index + df aggregate
+    // + both windows per side (plan-audited round 5: the whole chain
+    // appeared twice in the physical plan; materializing it measured
+    // jaccard 4.0->3.6s, clusters 4.9->4.1s at sf0.1 — partial exchange
+    // reuse had hidden some of the recompute). The materialized
+    // postings are two longs per prefix token.
     val prefix = capBuckets(
       inv.join(dfreq, "shingle")
         .withColumn("rk", row_number().over(byRarity))
         .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
         .select("doc_id", "shingle"),
       Seq("shingle"), maxBucket)
+      .localCheckpoint()
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -78,6 +78,26 @@ class PgnSourceSpec extends SparkSpec {
     assert(packed === plain)
   }
 
+  test("multi-frame .pgn.zst (pzstd-style concatenated frames) reads every frame") {
+    // tools like pzstd and chunked re-compressors emit one zstd FRAME
+    // per chunk; a frame-bounded reader would silently drop everything
+    // after frame 1 — the worst failure mode (truncation, no error)
+    val zDir = Files.createTempDirectory("pgn_zst_frames")
+    val out = Files.newOutputStream(zDir.resolve("multi.pgn.zst"))
+    for (f <- 0 until 3) {
+      // one complete frame per chunk, byte-concatenated like pzstd
+      val src = Files.readAllBytes(Paths.get(dir, f"games_0$f.pgn"))
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(src)
+      z.close()
+      out.write(bos.toByteArray)
+    }
+    out.close()
+    val df = spark.read.format("pgn").load(zDir.toString)
+    assert(df.count() === 150, "frames after the first were dropped")
+  }
+
   test("nested year/month/*.pgn.zst tree: recursive listing, one partition per file") {
     // lichess-style layout: root/2024/01/*.pgn.zst, root/2024/02/...
     val root = Files.createTempDirectory("pgn_tree")
