@@ -61,6 +61,28 @@ object ChessQueries {
   def chessPipeline(s: SparkSession, dir: String): DataFrame =
     ChessPipeline.fromPgn(rawPgn(s))
 
+  /** A5–A7 hard-oracled ON CHESS DATA: the player-game-role doubling
+    * with running per-player stats, computed from the materialized
+    * games parquet (so DuckDB can RECOMPUTE the same semantics —
+    * doubling, cumulative counts, running own-Elo max, the
+    * elo_max_faced == elo_max reference quirk, Elo binning, Result
+    * reversal — from the same input rows with window functions; the
+    * `events`-analog oracles cover these shapes too, but this one
+    * pins them on the real pipeline output). Hash-based random
+    * columns are excluded: xxhash64 is not DuckDB-expressible
+    * (they stay covered by `chess_pipeline` rows + specs).
+    */
+  def chessRoleStats(s: SparkSession, dir: String): DataFrame =
+    ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(GamesPq(s)))
+      .select(col("ID"), col("DateTime"), col("Event"), col("Result"),
+        col("Role_player"), col("Player"), col("Opponent"),
+        col("PlayerElo"), col("OpponentElo"),
+        col("PlayerElo_max"), col("PlayerElo_max_faced"),
+        col("Player_cum_games_total"), col("Player_cum_games_type"),
+        col("Opponent_cum_games_total"), col("Opponent_cum_games_type"),
+        col("PlayerElo_bin"))
+      .orderBy(col("ID"), col("Role_player"))
+
   /** B5 on chess data: most-active players, matching eda.ipynb cell 8
     * exactly — white-counts INNER-joined with black-counts on player
     * (so a player who only ever played one color is dropped, as in the
@@ -178,6 +200,54 @@ object ChessQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("chess_top_openings", chessTopOpenings, Some(
       s"""SELECT Opening, count(*) AS cnt FROM (${pq()})
-         |GROUP BY 1 ORDER BY cnt DESC, Opening LIMIT 20""".stripMargin))
+         |GROUP BY 1 ORDER BY cnt DESC, Opening LIMIT 20""".stripMargin)),
+    // the ingestion core's semantics recomputed independently in
+    // DuckDB window SQL from the same games parquet: role doubling,
+    // Result reversal, cumulative counts, running own-Elo max, the
+    // elo_max_faced == elo_max quirk, and (lo, hi] binning
+    Q("chess_role_stats", chessRoleStats, Some(
+      s"""WITH g AS (${pq()}),
+         |long AS (
+         |  SELECT ID, DateTime, Event, 'White' AS role, White AS name, WhiteElo AS elo FROM g
+         |  UNION ALL
+         |  SELECT ID, DateTime, Event, 'Black' AS role, Black AS name, BlackElo AS elo FROM g),
+         |stats AS (
+         |  SELECT ID, role,
+         |         CAST(count(*) OVER w1 AS INT) AS cum_total,
+         |         CAST(count(*) OVER w2 AS INT) AS cum_type,
+         |         CAST(coalesce(max(elo) OVER w2, 0) AS INT) AS elo_max
+         |  FROM long
+         |  WINDOW w1 AS (PARTITION BY name ORDER BY DateTime, ID
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         w2 AS (PARTITION BY name, Event ORDER BY DateTime, ID
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |wide AS (
+         |  SELECT g.*,
+         |         ws.cum_total AS w_total, ws.cum_type AS w_type, ws.elo_max AS w_max,
+         |         bs.cum_total AS b_total, bs.cum_type AS b_type, bs.elo_max AS b_max
+         |  FROM g
+         |  JOIN stats ws ON ws.ID = g.ID AND ws.role = 'White'
+         |  JOIN stats bs ON bs.ID = g.ID AND bs.role = 'Black'),
+         |pgr AS (
+         |  SELECT ID, DateTime, Event, Result, 'White' AS Role_player,
+         |         White AS Player, Black AS Opponent,
+         |         WhiteElo AS PlayerElo, BlackElo AS OpponentElo,
+         |         w_max AS PlayerElo_max, w_max AS PlayerElo_max_faced,
+         |         w_total AS Player_cum_games_total, w_type AS Player_cum_games_type,
+         |         b_total AS Opponent_cum_games_total, b_type AS Opponent_cum_games_type
+         |  FROM wide
+         |  UNION ALL
+         |  SELECT ID, DateTime, Event,
+         |         CASE WHEN Result = '1-0' THEN '0-1'
+         |              WHEN Result = '0-1' THEN '1-0' ELSE Result END,
+         |         'Black', Black, White, BlackElo, WhiteElo,
+         |         b_max, b_max, b_total, b_type, w_total, w_type
+         |  FROM wide)
+         |SELECT *,
+         |       '(' || CAST(CAST(ceil(PlayerElo / 200.0) * 200 - 200 AS BIGINT) AS VARCHAR)
+         |           || ', '
+         |           || CAST(CAST(ceil(PlayerElo / 200.0) * 200 AS BIGINT) AS VARCHAR)
+         |           || ']' AS PlayerElo_bin
+         |FROM pgr ORDER BY ID, Role_player""".stripMargin))
   )
 }
