@@ -52,7 +52,10 @@ object TextOps {
 
   /** D9: quality scoring from exact integer counts; the composite
     * score uses only rational double arithmetic (no transcendentals)
-    * so it is bit-identical across engines.
+    * so it is bit-identical across engines. `distinct_ratio` is the
+    * token-diversity signal of the C4/Gopher-style repetition filters
+    * (a boilerplate or looped-generation doc repeats tokens, driving
+    * the ratio toward 0; prose sits near 1).
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val nWords = graft.functions.wsTokenCount(col("text"))
@@ -60,11 +63,13 @@ object TextOps {
     // regexp_count(text, profilePattern(StopWords)) — spec-pinned and
     // fuzzed
     val nStop = graft.functions.wordSetHits(col("text"), StopWords)
+    val nDistinct = size(array_distinct(wsTokens(col("text")))).cast("long")
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nWords.as("n_words"),
-        (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"))
+        (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"),
+        (nDistinct.cast("double") / nWords.cast("double")).as("distinct_ratio"))
       .withColumn("quality_score",
         (lit(1.0) - col("stop_ratio")) * (least(col("n_words"), lit(100L)).cast("double") / 100.0))
       .orderBy("doc_id")
@@ -123,10 +128,12 @@ object TextOps {
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS n_distinct,
         |    CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS BIGINT) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_chars, n_words,
         |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_ratio,
         |  (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
         |    * (CAST(least(n_words, 100) AS DOUBLE) / 100.0) AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin)),

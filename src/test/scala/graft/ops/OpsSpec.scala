@@ -238,6 +238,15 @@ class OpsSpec extends SparkSpec {
     val stopRatio = r.getDouble(3)
     // "the" x3 of 14 words
     assert(math.abs(stopRatio - 3.0 / 14.0) < 1e-9)
+    // token diversity: distinct ws-tokens over total, cross-checked
+    // against an independent computation on the same row
+    val expected = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") === 1)
+      .select(size(array_distinct(split(col("text"), "\\s+"))).cast("double") /
+        size(split(col("text"), "\\s+")).cast("double"))
+      .head().getDouble(0)
+    assert(r.getDouble(4) === expected)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
 
   test("langid separates en and de") {
