@@ -86,6 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[functions.BpeTokenCount], functions.BpeTokenCount(_)),
       ("ws_token_count", "whitespace-token count",
         classOf[functions.WsTokenCount], functions.WsTokenCount(_)),
+      ("distinct_token_count", "distinct whitespace-token count",
+        classOf[functions.DistinctTokenCount], functions.DistinctTokenCount(_)),
       ("contains_cjk", "true iff the text contains a CJK ideograph",
         classOf[functions.ContainsCjk], functions.ContainsCjk(_)))
     unary.foreach { case (name, desc, cls, build) =>

@@ -104,6 +104,16 @@ package object functions {
     bridge.column(WsTokenCount(bridge.expression(text)))
   }
 
+  /** DISTINCT whitespace-token count via the native exact-equality
+    * [[DistinctTokenCount]] probe scan — bit-identical to
+    * `size(array_distinct(split(text, "\\s+")))`, no token strings or
+    * arrays materialized.
+    */
+  def distinctTokenCount(text: Column): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(DistinctTokenCount(bridge.expression(text)))
+  }
+
   /** All `tables` SRP-LSH bucket signatures (`planes` bits each) of a
     * float-vector column via the native one-pass [[SrpSig]] expression
     * — element t is table t's bucket. Replaces the posexplode +

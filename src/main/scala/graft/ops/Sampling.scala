@@ -170,12 +170,18 @@ object Sampling {
   private[ops] def exclusiveOffsets(perKey: DataFrame,
       fanout: Long = 4096L): DataFrame = {
     require(fanout >= 2, s"fanout must be >= 2, got $fanout")
-    if (perKey.count() <= fanout) {
+    // checkpoint each level: its frame is consumed by the count, the
+    // super-grouping AND the offsets join — without materialization
+    // every deeper level would re-run the whole chain below it once
+    // per consumer (each level is ~1/fanout the previous one's size,
+    // so the materialization cost telescopes)
+    val pk = perKey.localCheckpoint()
+    if (pk.count() <= fanout) {
       // at most `fanout` rows reach this single-task window
       val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
-      perKey.select(col("k"), coalesce(sum(col("v")).over(w), lit(0L)).as("off"))
+      pk.select(col("k"), coalesce(sum(col("v")).over(w), lit(0L)).as("off"))
     } else {
-      val withSuper = perKey.withColumn("sk", expr(s"k DIV ${fanout}L"))
+      val withSuper = pk.withColumn("sk", expr(s"k DIV ${fanout}L"))
       val localW = Window.partitionBy("sk").orderBy("k")
         .rowsBetween(Window.unboundedPreceding, -1)
       val superOff = exclusiveOffsets(

@@ -63,7 +63,10 @@ object TextOps {
     // regexp_count(text, profilePattern(StopWords)) — spec-pinned and
     // fuzzed
     val nStop = graft.functions.wordSetHits(col("text"), StopWords)
-    val nDistinct = size(array_distinct(wsTokens(col("text")))).cast("long")
+    // native exact-distinct probe scan, bit-identical to
+    // size(array_distinct(split)) — spec-pinned and fuzzed (adding
+    // this column via the built-ins doubled text_quality's bench time)
+    val nDistinct = graft.functions.distinctTokenCount(col("text"))
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),

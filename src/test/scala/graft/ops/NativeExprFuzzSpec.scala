@@ -181,6 +181,19 @@ class NativeExprFuzzSpec extends SparkSpec {
     native.foreach { case (id, sig) => assert(sig === sql(id), s"doc $id diverges") }
   }
 
+  test("fuzz: DistinctTokenCount == size(array_distinct(split)) on 300 random texts") {
+    import spark.implicits._
+    val df = sampleTexts(300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("id"), col("text"),
+        graft.functions.distinctTokenCount(col("text")).as("native"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("sql"))
+      .filter(not(col("native") <=> col("sql")))
+      .collect()
+    assert(bad.isEmpty, s"divergent texts: ${bad.take(3).map(r =>
+      s"'${r.getString(1)}' native=${r.getLong(2)} sql=${r.getLong(3)}").mkString("|")}")
+  }
+
   test("fuzz: SrpSig == posexplode+groupBy SRP buckets on random float vectors") {
     import spark.implicits._
     // adversarial components: zeros, denormals, huge magnitudes, and
