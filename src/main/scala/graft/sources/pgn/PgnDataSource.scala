@@ -81,27 +81,22 @@ class PgnTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"pgn(${paths.mkString(",")})"
   override def schema(): StructType = PgnTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgnScanBuilder(paths, options.asScala.toMap)
 }
 
-class PgnScanBuilder(paths: Seq[String], options: Map[String, String])
-    extends ScanBuilder with Scan with Batch {
-  override def build(): Scan = this
-  override def readSchema(): StructType = PgnTable.Schema
-  override def toBatch: Batch = this
+/** File listing + split planning shared by the batch scan and the
+  * micro-batch stream.
+  */
+object PgnPlanner {
 
-  private def splitSize: Long =
-    options.get("pgn.splitsize").map(_.toLong).getOrElse(128L * 1024 * 1024)
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val codecs = new CompressionCodecFactory(conf)
-    // Recursive listing: lichess-style trees (year/month/*.pgn.zst)
-    // plan one partition per compressed file. Hidden entries (_ / .
-    // prefixes, Spark/Hadoop marker convention) are pruned at EVERY
-    // level, including whole hidden subtrees.
+  /** Recursive listing: lichess-style `year/month/` trees of
+    * `.pgn.zst` files plan one partition per compressed file. Hidden
+    * entries (`_` / `.` prefixes, Spark/Hadoop marker convention) are
+    * pruned at EVERY level, including whole hidden subtrees.
+    */
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] = {
     def list(fs: org.apache.hadoop.fs.FileSystem, st: FileStatus): Seq[FileStatus] = {
       def hidden(s: FileStatus): Boolean = {
         val n = s.getPath.getName
@@ -111,13 +106,18 @@ class PgnScanBuilder(paths: Seq[String], options: Map[String, String])
         fs.listStatus(st.getPath).toSeq.filterNot(hidden).flatMap(list(fs, _))
       else Seq(st)
     }
-    val files: Seq[FileStatus] = paths.flatMap { p =>
+    paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       // the root is listed even if its own name looks hidden — an
       // explicitly-passed path is never pruned
       list(fs, fs.getFileStatus(path))
     }
+  }
+
+  def partitionsFor(files: Seq[FileStatus], splitSize: Long,
+      conf: Configuration): Array[InputPartition] = {
+    val codecs = new CompressionCodecFactory(conf)
     files.flatMap { f =>
       val compressed = PgnPartitionReader.isZstd(f.getPath) ||
         codecs.getCodec(f.getPath) != null
@@ -132,14 +132,32 @@ class PgnScanBuilder(paths: Seq[String], options: Map[String, String])
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // ship a serializable snapshot of the Hadoop conf to executors
-    val confMap = {
-      val conf = SparkSession.active.sessionState.newHadoopConf()
-      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
-    }
-    new PgnReaderFactory(confMap)
+  /** Serializable snapshot of the Hadoop conf for executors. */
+  def confSnapshot(): Map[String, String] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
   }
+}
+
+class PgnScanBuilder(paths: Seq[String], options: Map[String, String])
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = PgnTable.Schema
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : graft.sources.pgn.streaming.PgnMicroBatchStream =
+    new graft.sources.pgn.streaming.PgnMicroBatchStream(paths, splitSize)
+
+  private def splitSize: Long =
+    options.get("pgn.splitsize").map(_.toLong).getOrElse(128L * 1024 * 1024)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    PgnPlanner.partitionsFor(PgnPlanner.listFiles(paths, conf), splitSize, conf)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PgnReaderFactory(PgnPlanner.confSnapshot())
 }
 
 case class PgnInputPartition(path: String, start: Long, length: Long, wholeFile: Boolean)

@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.chess.SamplePgn
+import graft.sources.pgn.streaming.PgnOffset
+
+class PgnStreamSpec extends SparkSpec {
+
+  test("streaming pgn source picks up newly arriving files, ignores hidden staging") {
+    val dir = Files.createTempDirectory("pgn_stream")
+    val src = SamplePgn.ensureWritten() // 4 files x 50 games
+    Files.copy(Paths.get(src, "games_00.pgn"), dir.resolve("m1.pgn"))
+    val stream = spark.readStream.format("pgn").load(dir.toString)
+      .select(element_at(col("tags"), "Site").as("site"))
+    val q = stream.writeStream.format("memory")
+      .queryName("pgn_stream_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pgn_stream_t").count() === 50)
+      // a new dump lands: only it is read in the next batch
+      Files.copy(Paths.get(src, "games_01.pgn"), dir.resolve("m2.pgn"))
+      q.processAllAvailable()
+      assert(spark.table("pgn_stream_t").count() === 100)
+      // a file being staged (hidden name, Acquire-style) is invisible…
+      Files.copy(Paths.get(src, "games_02.pgn"), dir.resolve("_m3.staging"))
+      q.processAllAvailable()
+      assert(spark.table("pgn_stream_t").count() === 100)
+      // …until atomically renamed into place
+      Files.move(dir.resolve("_m3.staging"), dir.resolve("m3.pgn"))
+      q.processAllAvailable()
+      assert(spark.table("pgn_stream_t").count() === 150)
+      // no duplicates: every site id is unique across the three dumps
+      assert(spark.table("pgn_stream_t").select("site").distinct().count() === 150)
+    } finally q.stop()
+  }
+
+  test("offset json round-trips, including quotes and backslashes in paths") {
+    for (files <- Seq(Seq.empty[String], Seq("/a/b.pgn"),
+        Seq("/odd\"name.pgn", "/back\\slash.pgn", "/plain.pgn"))) {
+      assert(PgnOffset.fromJson(PgnOffset(files).json()) === PgnOffset(files))
+    }
+  }
+}
