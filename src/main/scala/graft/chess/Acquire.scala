@@ -43,13 +43,21 @@ object Acquire {
     Files.createDirectories(dir)
     val dest = dir.resolve(fileName)
     if (Files.exists(dest)) return dest // complete by construction (atomic rename)
-    val tmp = dir.resolve(fileName + ".inprogress")
+    // temp name unique PER PROCESS: two overlapping fetches of the
+    // same month (scheduler retry racing a slow first attempt) must
+    // not interleave writes into one shared temp, or the rename could
+    // publish a corrupt file that the exists-check trusts forever
+    val tmp = dir.resolve(fileName + ".inprogress." +
+      java.util.UUID.randomUUID().toString)
     val in: InputStream = new URI(url).toURL.openStream()
-    try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
-    // ATOMIC_MOVE within one directory: either `dest` exists complete
-    // or not at all
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      // ATOMIC_MOVE within one directory: either `dest` exists
+      // complete or not at all (a concurrent winner's complete file
+      // being replaced by ours — also complete — is harmless)
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
     dest
   }
 

@@ -32,6 +32,11 @@ object IngestMain {
         Acquire.fetchMonth(y.toInt, m.toInt,
           sys.env.getOrElse("GRAFT_STAGING_DIR", "/tmp/graft_staging"),
           sys.env.get("GRAFT_DUMP_BASE_URL")).toString
+      case p if p.startsWith("--") =>
+        // a malformed flag must not fall through to "open it as a
+        // path" — that surfaces as a baffling Path-does-not-exist
+        throw new IllegalArgumentException(
+          s"unrecognized option '$p' (expected --month=YYYY-MM)")
       case p => p
     }
     val outDir = args(1)

@@ -81,11 +81,15 @@ object DistinctTokenCount {
 
     // open-addressed probe table on segment-byte hashes; a hash hit
     // byte-compares against the stored segment, so distinctness is
-    // exact string equality (no collision undercount). Same capacity
-    // rule as ShingleIds, computed in Long (2^30 segment bound is
-    // unreachable: a segment needs >= 1 byte + separator).
-    var cap = 8
+    // exact string equality (no collision undercount). Capacity math
+    // in Long with the same loud guard as ShingleIds: a ~1 GB
+    // single-char-token doc reaches 2^29 segments, where the doubling
+    // loop would otherwise overflow Int and spin forever.
     val need = segCount.toLong * 2
+    if (need > (1L << 30))
+      throw new IllegalArgumentException(
+        s"distinct_token_count: document has $segCount tokens; max supported is ${1 << 29}")
+    var cap = 8
     while (cap < need) cap <<= 1
     val mask = cap - 1
     val slotSeg = new Array[Int](cap) // index into starts/ends, -1 = empty

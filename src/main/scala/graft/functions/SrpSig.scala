@@ -93,7 +93,13 @@ object SrpSig {
       var bucket = 0L
       var p = 0
       while (p < planes) {
-        if (proj(t * planes + p) > 0) bucket |= (1L << p)
+        // Double.compare, not `>`: Spark's GreaterThan orders NaN
+        // above every numeric, so a NaN projection (a NaN/Inf vector
+        // component) must set the bit exactly like the SQL
+        // formulation's `col > 0` does — plain Java `>` is false for
+        // NaN and would silently break the bit-equality pin
+        if (java.lang.Double.compare(proj(t * planes + p), 0d) > 0)
+          bucket |= (1L << p)
         p += 1
       }
       out(t) = bucket

@@ -29,16 +29,42 @@ object ChessQueries {
     * from rows-only to full hash compare.
     */
   private object GamesPq {
+    // the version IS the cross-JVM cache key: bump it whenever
+    // parseGames' output schema or semantics change, or a stale dir
+    // from an older build would be reused (stale data stays
+    // SELF-consistent — both engines read the same files — but would
+    // lag the code; ChessPipelineSpec pins the semantics themselves)
+    private val Version = 2
     val path: String = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_chess_games_pq")
+      .get(System.getProperty("java.io.tmpdir"), s"graft_chess_games_pq_v$Version")
       .toString
-    @volatile private var written = false
+    @volatile private var checked = false
     def apply(s: SparkSession): DataFrame = {
-      if (!written) synchronized {
-        if (!written) {
-          ChessPipeline.parseGames(rawPgn(s))
-            .write.mode("overwrite").parquet(path)
-          written = true
+      if (!checked) synchronized {
+        if (!checked) {
+          val dest = java.nio.file.Paths.get(path)
+          if (!java.nio.file.Files.exists(dest.resolve("_SUCCESS"))) {
+            // write to a unique temp dir, publish with one atomic
+            // rename: concurrent JVMs never overwrite files another
+            // process (Spark re-read or the external DuckDB oracle)
+            // may be mid-scan on — the input is deterministic, so a
+            // concurrent winner published identical rows
+            val tmp = java.nio.file.Paths.get(
+              path + ".tmp-" + java.util.UUID.randomUUID())
+            ChessPipeline.parseGames(rawPgn(s))
+              .write.mode("overwrite").parquet(tmp.toString)
+            try java.nio.file.Files.move(tmp, dest,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileSystemException =>
+                // another JVM won the rename; drop our copy
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+                  .sortBy(-_.getNameCount)
+                  .foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          }
+          checked = true
         }
       }
       s.read.parquet(path)

@@ -539,7 +539,11 @@ object Dedup {
     */
   def dedupEmbedOn(emb: DataFrame, threshold: Double = 0.9, tables: Int = 8,
       planes: Int = 12, probeRadius: Int = 1): DataFrame = {
+    // checkpointed: the symmetric union below consumes pairs TWICE —
+    // without materialization the candidate join + exact-cosine verify
+    // subtree runs once per side (the prefix-postings lesson above)
     val pairs = embedPairs(emb, threshold, tables, planes, probeRadius)
+      .localCheckpoint()
     val neighborMin = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
       .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
       .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))

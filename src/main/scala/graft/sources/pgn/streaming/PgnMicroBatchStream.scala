@@ -65,15 +65,28 @@ class PgnMicroBatchStream(paths: Seq[String], splitSize: Long)
   override def stop(): Unit = ()
 }
 
-/** Offset = sorted seen-file list, JSON-array serialized. */
+/** Offset = sorted seen-file list, JSON-array serialized. Control
+  * characters are `\\u`-escaped: Spark's offset log is line-oriented,
+  * so a raw newline from a pathological (but POSIX-legal) file path
+  * would split the record and brick restart recovery.
+  */
 case class PgnOffset(files: Seq[String]) extends Offset {
   override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    files.map(f => "\"" + f.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
 }
 
 object PgnOffset {
+  private val Unescape = """\\u([0-9a-fA-F]{4})|\\(["\\])""".r
   def fromJson(json: String): PgnOffset =
     PgnOffset("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+      .map(m => Unescape.replaceAllIn(m.group(1), u =>
+        scala.util.matching.Regex.quoteReplacement(
+          if (u.group(1) != null) Integer.parseInt(u.group(1), 16).toChar.toString
+          else u.group(2))))
+      .toSeq)
 }

@@ -200,7 +200,10 @@ class NativeExprFuzzSpec extends SparkSpec {
     // sign-boundary sums all exercise the double-accumulation order
     val compGen: Gen[Float] = Gen.frequency(
       6 -> Gen.chooseNum(-1.0f, 1.0f),
-      1 -> Gen.oneOf(0.0f, -0.0f, 1e-30f, -1e-30f, 1e30f, -1e30f))
+      1 -> Gen.oneOf(0.0f, -0.0f, 1e-30f, -1e-30f, 1e30f, -1e30f),
+      // non-finite components: NaN projections must bucket identically
+      // in both formulations (Spark orders NaN above every numeric)
+      1 -> Gen.oneOf(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity))
     val vecGen: Gen[Seq[Float]] =
       Gen.chooseNum(1, 64).flatMap(n => Gen.listOfN(n, compGen).map(_.toSeq))
     val vecs = samples(vecGen, 20260812L, 200)

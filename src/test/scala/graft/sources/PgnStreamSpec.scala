@@ -39,8 +39,13 @@ class PgnStreamSpec extends SparkSpec {
 
   test("offset json round-trips, including quotes and backslashes in paths") {
     for (files <- Seq(Seq.empty[String], Seq("/a/b.pgn"),
-        Seq("/odd\"name.pgn", "/back\\slash.pgn", "/plain.pgn"))) {
-      assert(PgnOffset.fromJson(PgnOffset(files).json()) === PgnOffset(files))
+        Seq("/odd\"name.pgn", "/back\\slash.pgn", "/plain.pgn"),
+        Seq("/new\nline.pgn", "/tab\there.pgn", "/bell.pgn"))) {
+      val json = PgnOffset(files).json()
+      // the offset log is line-oriented: serialized form must never
+      // contain a raw control character
+      assert(!json.exists(_ < ' '), s"raw control char in: $json")
+      assert(PgnOffset.fromJson(json) === PgnOffset(files))
     }
   }
 }
