@@ -24,14 +24,32 @@ import org.apache.spark.sql.SparkSession
   */
 object IngestMain {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args,
+      stagingDir = sys.env.getOrElse("GRAFT_STAGING_DIR", "/tmp/graft_staging"),
+      baseUrl = sys.env.get("GRAFT_DUMP_BASE_URL"))
+    finally spark.stop()
+  }
+
+  /** The whole ingest on a caller-owned session (main wraps it; specs
+    * drive it directly — the e2e path from `--month` staging through
+    * the range-partitioned monthly sink).
+    */
+  def run(spark: SparkSession, args: Array[String],
+      stagingDir: String, baseUrl: Option[String]): Unit = {
     require(args.length >= 2,
       "usage: IngestMain <pgnPath|--month=YYYY-MM> <outDir> [stateDir]")
     val MonthArg = """--month=(\d{4})-(\d{2})""".r
     val pgnPath = args(0) match {
       case MonthArg(y, m) =>
-        Acquire.fetchMonth(y.toInt, m.toInt,
-          sys.env.getOrElse("GRAFT_STAGING_DIR", "/tmp/graft_staging"),
-          sys.env.get("GRAFT_DUMP_BASE_URL")).toString
+        Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl).toString
       case p if p.startsWith("--") =>
         // a malformed flag must not fall through to "open it as a
         // path" — that surfaces as a baffling Path-does-not-exist
@@ -41,14 +59,6 @@ object IngestMain {
     }
     val outDir = args(1)
     val stateDir = args.lift(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val prior = stateDir.flatMap { d =>
       val fs = new org.apache.hadoop.fs.Path(d)
@@ -71,6 +81,5 @@ object IngestMain {
         .getFileSystem(spark.sessionState.newHadoopConf())
       StateSwap.commit(fs, d)
     }
-    spark.stop()
   }
 }

@@ -177,10 +177,13 @@ object Dedup {
     */
   def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val c = shingleCorpus(s, dir)
+    // checkpointed like jaccardPairs' prefix: the self-join consumes
+    // banded twice, re-running the band explode + cap window per side
     val banded = capBuckets(sigsOf(c.sets)
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
+      .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -281,10 +284,12 @@ object Dedup {
     */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val c = simhashCorpus(s, dir)
+    // checkpointed for the same two-consumer reason as dedupMinhash
     val banded = capBuckets(c.uniq.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 16) & 65535 as bhash))")).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
+      .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
