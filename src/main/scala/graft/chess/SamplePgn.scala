@@ -32,7 +32,9 @@ object SamplePgn {
     val blackElo = if (rng.nextInt(10) == 0) "?" else (800 + rng.nextInt(1800)).toString
     val minute = idx % 60
     val hour = (idx / 60) % 24
-    val day = 1 + (idx / 1440) % 28
+    // spread games over ~25 distinct days so daily-grouping queries
+    // (and their DuckDB oracles) compare many rows, not one
+    val day = 1 + (idx / 8) % 28
     val withEval = rng.nextInt(4) == 0
     val moves =
       if (withEval)
@@ -64,8 +66,10 @@ object SamplePgn {
     * JVM temp dir. Returns the directory path.
     */
   def ensureWritten(nFiles: Int = 4, gamesPerFile: Int = 50): String = {
+    // v2: dir name versions the CONTENT (the cross-JVM marker would
+    // otherwise serve a stale corpus after a generator change)
     val dir: Path = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_pgn_sample_${nFiles}x$gamesPerFile")
+      s"graft_pgn_sample_v2_${nFiles}x$gamesPerFile")
     val marker = dir.resolve("_done")
     if (!Files.exists(marker)) {
       Files.createDirectories(dir)

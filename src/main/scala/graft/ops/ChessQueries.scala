@@ -34,7 +34,7 @@ object ChessQueries {
     // from an older build would be reused (stale data stays
     // SELF-consistent — both engines read the same files — but would
     // lag the code; ChessPipelineSpec pins the semantics themselves)
-    private val Version = 2
+    private val Version = 3 // v3: SamplePgn v2 spread games over ~25 days
     val path: String = java.nio.file.Paths
       .get(System.getProperty("java.io.tmpdir"), s"graft_chess_games_pq_v$Version")
       .toString
