@@ -23,7 +23,28 @@ import org.apache.spark.sql.SparkSession
   * windows span everything.
   */
 object IngestMain {
+
+  private val MonthArg = """--month=(\d{4})-(\d{2})""".r
+
+  /** Usage/flag validation, shared by main (BEFORE paying Spark
+    * startup) and run (for direct callers).
+    */
+  private def validateArgs(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IngestMain <pgnPath|--month=YYYY-MM> <outDir> [stateDir]")
+    args(0) match {
+      case MonthArg(_, _) => ()
+      case p if p.startsWith("--") =>
+        // a malformed flag must not fall through to "open it as a
+        // path" — that surfaces as a baffling Path-does-not-exist
+        throw new IllegalArgumentException(
+          s"unrecognized option '$p' (expected --month=YYYY-MM)")
+      case _ => ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    validateArgs(args) // fail usage errors before Spark startup
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,17 +65,10 @@ object IngestMain {
     */
   def run(spark: SparkSession, args: Array[String],
       stagingDir: String, baseUrl: Option[String]): Unit = {
-    require(args.length >= 2,
-      "usage: IngestMain <pgnPath|--month=YYYY-MM> <outDir> [stateDir]")
-    val MonthArg = """--month=(\d{4})-(\d{2})""".r
+    validateArgs(args)
     val pgnPath = args(0) match {
       case MonthArg(y, m) =>
         Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl).toString
-      case p if p.startsWith("--") =>
-        // a malformed flag must not fall through to "open it as a
-        // path" — that surfaces as a baffling Path-does-not-exist
-        throw new IllegalArgumentException(
-          s"unrecognized option '$p' (expected --month=YYYY-MM)")
       case p => p
     }
     val outDir = args(1)

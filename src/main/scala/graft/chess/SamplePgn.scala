@@ -11,6 +11,13 @@ import java.nio.file.{Files, Path, Paths}
   */
 object SamplePgn {
 
+  /** Bump whenever the generated CONTENT changes (day spread, tags,
+    * game count, …): it keys both this object's cross-JVM cache dir
+    * and [[graft.ops.ChessQueries]]'s derived games-parquet cache, so
+    * the two can never skew (v2: games spread over ~25 days).
+    */
+  val ContentVersion = 2
+
   val Players = Vector("alice", "bob", "carol", "dave", "erin", "frank",
     "grace", "heidi", "ivan", "judy")
   val Events = Vector("Rated Blitz game", "Rated Bullet game",
@@ -66,10 +73,10 @@ object SamplePgn {
     * JVM temp dir. Returns the directory path.
     */
   def ensureWritten(nFiles: Int = 4, gamesPerFile: Int = 50): String = {
-    // v2: dir name versions the CONTENT (the cross-JVM marker would
+    // the dir name versions the CONTENT (the cross-JVM marker would
     // otherwise serve a stale corpus after a generator change)
     val dir: Path = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_pgn_sample_v2_${nFiles}x$gamesPerFile")
+      s"graft_pgn_sample_v${ContentVersion}_${nFiles}x$gamesPerFile")
     val marker = dir.resolve("_done")
     if (!Files.exists(marker)) {
       Files.createDirectories(dir)

@@ -16,11 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Segmentation is [[WsTokenCount]]'s exactly (Java `split(_, -1)`
   * semantics: segments = `\s+` runs + 1, leading/trailing empties
   * included, `""` → one empty segment). Distinctness is EXACT string
-  * equality: segments are keyed by xxhash64 of their bytes in an
+  * equality: segments are keyed by a hash of their bytes in an
   * open-addressed table, and a hash hit falls back to a byte compare —
   * so unlike a count-by-hash shortcut there is no collision
   * undercount, and the result is bit-identical to the built-in
-  * formulation on any input (spec-pinned, fuzzed). Null in → null out.
+  * formulation (spec-pinned, fuzzed) for documents up to 2^29 tokens
+  * (~1 GB of single-char tokens); beyond that this throws loudly
+  * where the builtin would still answer — an int-indexed probe table
+  * cannot hold more, and the pre-guard capacity loop spun forever.
+  * Null in → null out.
   */
 case class DistinctTokenCount(child: Expression) extends UnaryExpression {
 

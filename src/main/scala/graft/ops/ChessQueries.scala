@@ -21,24 +21,37 @@ object ChessQueries {
   private def rawPgn(s: SparkSession): DataFrame =
     s.read.format("pgn").load(SamplePgn.ensureWritten())
 
-  /** Parsed sample games as parquet at a fixed path, rewritten once
-    * per JVM (deterministic input, so cross-JVM overwrite is
-    * idempotent). Queries re-read the files Spark-side; the driver's
-    * DuckDB oracle reads them via `read_parquet` — both engines see
-    * byte-identical rows, which is what upgrades the chess EDA checks
-    * from rows-only to full hash compare.
+  /** Parsed sample games as parquet at a fixed versioned path,
+    * written AT MOST ONCE per version: the first JVM to need it
+    * writes to a unique temp dir and publishes with one atomic
+    * rename; every other JVM (and every other thread) reuses the
+    * published copy. Queries re-read the files Spark-side; the
+    * driver's DuckDB oracle reads them via `read_parquet` — both
+    * engines see byte-identical rows, which is what upgrades the
+    * chess EDA checks from rows-only to full hash compare.
     */
   private object GamesPq {
-    // the version IS the cross-JVM cache key: bump it whenever
-    // parseGames' output schema or semantics change, or a stale dir
-    // from an older build would be reused (stale data stays
-    // SELF-consistent — both engines read the same files — but would
-    // lag the code; ChessPipelineSpec pins the semantics themselves)
-    private val Version = 3 // v3: SamplePgn v2 spread games over ~25 days
+    // the cross-JVM cache key: the sample corpus' content version
+    // (shared constant, so a corpus change can't skew the two caches)
+    // plus this object's own schema version (bump when parseGames'
+    // output changes). Stale data would stay SELF-consistent — both
+    // engines read the same files — but lag the code, hence the loud
+    // versioning; ChessPipelineSpec pins the semantics themselves.
+    private val SchemaVersion = 1
     val path: String = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), s"graft_chess_games_pq_v$Version")
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft_chess_games_pq_c${SamplePgn.ContentVersion}s$SchemaVersion")
       .toString
     @volatile private var checked = false
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+
     def apply(s: SparkSession): DataFrame = {
       if (!checked) synchronized {
         if (!checked) {
@@ -51,18 +64,21 @@ object ChessQueries {
             // concurrent winner published identical rows
             val tmp = java.nio.file.Paths.get(
               path + ".tmp-" + java.util.UUID.randomUUID())
-            ChessPipeline.parseGames(rawPgn(s))
-              .write.mode("overwrite").parquet(tmp.toString)
-            try java.nio.file.Files.move(tmp, dest,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              case _: java.nio.file.FileSystemException =>
-                // another JVM won the rename; drop our copy
-                import scala.jdk.CollectionConverters._
-                java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-                  .sortBy(-_.getNameCount)
-                  .foreach(java.nio.file.Files.deleteIfExists(_))
-            }
+            try {
+              ChessPipeline.parseGames(rawPgn(s))
+                .write.mode("overwrite").parquet(tmp.toString)
+              try java.nio.file.Files.move(tmp, dest,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                case e: java.nio.file.FileSystemException =>
+                  // only swallow when a concurrent winner actually
+                  // published a COMPLETE copy — any other move
+                  // failure (permissions, tampered partial dest)
+                  // must surface, not silently pin a broken cache
+                  if (!java.nio.file.Files.exists(dest.resolve("_SUCCESS")))
+                    throw e
+              }
+            } finally deleteRecursively(tmp)
           }
           checked = true
         }
