@@ -223,7 +223,7 @@ object Similarity {
     * 16-element sort, zero data movement.
     */
   private def pivotRanking(emb: Column, piv: Array[(Long, Array[Float])]): Column =
-    reverse(array_sort(array(piv.map { case (pid, v) =>
+    reverse(array_sort(array(piv.toIndexedSeq.map { case (pid, v) =>
       struct(cosine(emb, typedLit(v)).as("cos"), lit(pid).as("pid"))
     }: _*)))
 
