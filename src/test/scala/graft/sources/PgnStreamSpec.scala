@@ -37,6 +37,30 @@ class PgnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart recovers from the offset log: no reprocessing, new files picked up") {
+    val dir = Files.createTempDirectory("pgn_stream_restart")
+    val ckpt = Files.createTempDirectory("pgn_stream_ckpt").toString
+    val out = Files.createTempDirectory("pgn_stream_out").toString
+    val src = SamplePgn.ensureWritten()
+    Files.copy(Paths.get(src, "games_00.pgn"), dir.resolve("m1.pgn"))
+    def start() = spark.readStream.format("pgn").load(dir.toString)
+      .select(element_at(col("tags"), "Site").as("site"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() === 50)
+    // second incarnation resumes from the logged offset
+    // (deserializeOffset path) and reads ONLY the new file
+    Files.copy(Paths.get(src, "games_01.pgn"), dir.resolve("m2.pgn"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val sites = spark.read.parquet(out).select("site")
+      .collect().map(_.getString(0))
+    assert(sites.length === 100)
+    assert(sites.distinct.length === 100, "restart reprocessed already-committed files")
+  }
+
   test("offset json round-trips, including quotes and backslashes in paths") {
     for (files <- Seq(Seq.empty[String], Seq("/a/b.pgn"),
         Seq("/odd\"name.pgn", "/back\\slash.pgn", "/plain.pgn"),
