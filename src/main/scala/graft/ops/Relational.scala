@@ -329,6 +329,48 @@ object Relational {
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
   }
 
+  /** C12c: explicit GROUPING SETS — the general form rollup/cube
+    * specialize; SQL-expressed (the Dataset API has no direct
+    * grouping-sets method), which also exercises the spark.sql entry
+    * path. Aggregates by (region), (mktsegment) and () — a subtotal
+    * layout neither rollup nor cube produces.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("gs_customer")
+    t(s, dir, "nation").createOrReplaceTempView("gs_nation")
+    t(s, dir, "region").createOrReplaceTempView("gs_region")
+    s.sql(
+      """SELECT r_name, c_mktsegment, count(1) AS n_cust
+        |FROM gs_customer
+        |JOIN gs_nation ON c_nationkey = n_nationkey
+        |JOIN gs_region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** C11b: unpivot/melt — the inverse of pivot: wide per-flag
+    * aggregates to long (flag, metric, value) form via
+    * `Dataset.unpivot` (LLM-pipeline shape: per-doc metric columns →
+    * metric rows for a generic scorer). Narrow after the aggregate —
+    * the melt itself moves no data.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      // exact decimal sums cast to double (the q1 convention: double
+      // accumulation is partition-order-dependent; decimal is not)
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        (sum(dec(col("l_discount"), 18, 4)).cast("double") /
+          count(lit(1)).cast("double")).as("avg_disc"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy("l_returnflag", "metric")
+
   /** C10b: EXCEPT — customers with orders but none above 400k. */
   def qExcept(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -446,6 +488,31 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE(r_name, c_mktsegment)
         |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
+    Q("q_grouping_sets", qGroupingSets, Some(
+      """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)),
+    // the melt's oracle is its UNION ALL definition — one select per
+    // melted column, variable names = source column names (Spark's
+    // unpivot convention)
+    Q("q_unpivot", qUnpivot, Some(
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'avg_disc', avg_disc FROM agg)
+        |ORDER BY l_returnflag, metric""".stripMargin)),
     Q("q_except", qExcept, Some(
       """SELECT o_custkey AS custkey FROM orders
         |EXCEPT
