@@ -108,6 +108,21 @@ object Relational {
       .orderBy("day")
   }
 
+  /** C7b: RANGE window frame over event time — each purchase's
+    * trailing-3-day per-user spend. Rows frames bound by ROW COUNT
+    * ([[qMovingAvg]]); range frames bound by VALUE distance (ties are
+    * frame peers), a semantically distinct windowing mode. Bounds in
+    * exact nanoseconds on both engines (`ts_ns`), sums in decimal.
+    */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      .rangeBetween(-3L * 24 * 3600 * 1000000000L, 0L)
+    e.select(col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("trail_3d"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** C8: left-semi (EXISTS). */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
@@ -598,6 +613,14 @@ object Relational {
         |  FROM orders) x
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)),
+    Q("q_range_frame", qRangeFrame, Some(
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |         RANGE BETWEEN 259200000000000 PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS trail_3d
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin)),
     Q("q_moving_avg", qMovingAvg, Some(
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
