@@ -108,6 +108,23 @@ object Relational {
       .orderBy("day")
   }
 
+  /** C6c: window navigation functions — first/last/nth value over the
+    * full partition frame and lead over the running frame, on a
+    * deterministic unique ordering (ts_ns, event_id).
+    */
+  def qWindowNav(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val full = byUser.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    e.select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"),
+        lead(col("event_type"), 1).over(byUser).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** C7b: RANGE window frame over event time — each purchase's
     * trailing-3-day per-user spend. Rows frames bound by ROW COUNT
     * ([[qMovingAvg]]); range frames bound by VALUE distance (ties are
@@ -613,6 +630,17 @@ object Relational {
         |  FROM orders) x
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)),
+    Q("q_window_nav", qWindowNav, Some(
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w_full AS first_type,
+        |  last_value(event_type) OVER w_full AS last_type,
+        |  nth_value(event_type, 2) OVER w_full AS second_type,
+        |  lead(event_type, 1) OVER w_ord AS next_type
+        |FROM events
+        |WINDOW w_ord AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
+        |       w_full AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin)),
     Q("q_range_frame", qRangeFrame, Some(
       """SELECT user_id, event_id,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
