@@ -108,6 +108,26 @@ object Relational {
       .orderBy("day")
   }
 
+  /** C4b: correlated scalar subqueries, SQL-expressed — orders costing
+    * more than twice their customer's average order. Catalyst
+    * DECORRELATES the two scalar subqueries into aggregate+join plans
+    * (RewriteCorrelatedScalarSubquery) — the engine capability this
+    * query pins; the predicate is exact decimal arithmetic
+    * (price × count > 2 × total) so the comparison has no float
+    * boundary for the engines to disagree on.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+    s.sql(
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM sq_orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |             FROM sq_orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** C6c: window navigation functions — first/last/nth value over the
     * full partition frame and lead over the running frame, on a
     * deterministic unique ordering (ts_ns, event_id).
@@ -630,6 +650,14 @@ object Relational {
         |  FROM orders) x
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)),
+    Q("q_scalar_subquery", qScalarSubquery, Some(
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)),
     Q("q_window_nav", qWindowNav, Some(
       """SELECT user_id, event_id,
         |  first_value(event_type) OVER w_full AS first_type,
