@@ -120,6 +120,28 @@ object TextOps {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** D9b: PII redaction — the standard pre-training scrub stage.
+    * Email-shaped spans are masked and counted; the pattern is kept to
+    * a dialect-portable subset (character classes + bounded repeats)
+    * that Java regex (Spark) and RE2 (DuckDB) interpret identically.
+    * The synthetic corpus contains no emails, so the driver oracle
+    * pins cross-engine REGEX DIALECT parity on real text while the
+    * SPEC plants PII and pins the actual redaction semantics — same
+    * split as the planted-near-dup recall spec.
+    */
+  private[ops] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(text, EmailRe, "<EMAIL>")
+
+  def textRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        redact(col("text")).as("redacted"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_redactions"))
+      .orderBy("doc_id")
+
   val queries: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(
       """SELECT doc_id,
@@ -164,6 +186,13 @@ object TextOps {
         |       CASE WHEN cjk THEN 'zh' ELSE lang END AS lang_pred,
         |       CAST(hits AS INTEGER) AS profile_hits
         |FROM u WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
-    Q("text_fingerprint", textFingerprint, None)
+    Q("text_fingerprint", textFingerprint, None),
+    Q("text_redact", textRedact, Some(
+      raw"""SELECT doc_id,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                 '<EMAIL>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -249,6 +249,23 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  test("redaction masks planted emails, counts them, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or bob@sub.domain.org today"),
+      (2L, "no pii here, just words and an @ sign alone"),
+      (3L, "trailing email x@y.io"),
+      (4L, "not-an-email: user@localhost (no dot-tld)")).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), TextOps.redact(col("text")).as("red"),
+        regexp_count(col("text"), lit(TextOps.EmailRe)).as("n"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(1L)._1 === "contact <EMAIL> or <EMAIL> today")
+    assert(r(1L)._2 === 2)
+    assert(r(2L) === (("no pii here, just words and an @ sign alone", 0)))
+    assert(r(3L)._1 === "trailing email <EMAIL>")
+    assert(r(4L)._2 === 0) // a dotless host is not an email-shaped span
+  }
+
   test("langid separates en and de") {
     val rows = TextOps.textLangId(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
