@@ -142,6 +142,20 @@ object TextOps {
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_redactions"))
       .orderBy("doc_id")
 
+  /** D10b: corpus vocabulary — top-k whitespace tokens by frequency,
+    * the counting stage of tokenizer/vocab training. Explode + partial
+    * aggregated count + TakeOrderedAndProject: the token histogram
+    * shuffles one (token, count) row per distinct token, not the
+    * corpus, and the top-k never globally sorts.
+    */
+  def textVocab(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(k)
+
   val queries: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(
       """SELECT doc_id,
@@ -187,6 +201,11 @@ object TextOps {
         |       CAST(hits AS INTEGER) AS profile_hits
         |FROM u WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
     Q("text_fingerprint", textFingerprint, None),
+    Q("text_vocab", (s, d) => textVocab(s, d), Some(
+      raw"""SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
     Q("text_redact", textRedact, Some(
       raw"""SELECT doc_id,
         |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',

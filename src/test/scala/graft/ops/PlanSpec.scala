@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().length === 10)
   }
 
+  test("correlated scalar subqueries decorrelate to aggregate+join plans") {
+    val plan = planOf(Relational.qScalarSubquery(spark, dir))
+    // Catalyst must rewrite both correlated subqueries into
+    // aggregate+join form — a surviving per-row subquery node would
+    // mean O(rows) subquery executions
+    assert(!plan.contains("ScalarSubquery"),
+      s"correlated subquery not decorrelated in:\n$plan")
+    assert(plan.contains("Join"), s"no join in decorrelated plan:\n$plan")
+  }
+
   test("native SrpSig: codegen'd, SRP signature stage needs no shuffle") {
     import org.apache.spark.sql.functions._
     // filter, not limit: GlobalLimit inserts its own single-partition
