@@ -195,6 +195,37 @@ object Sampling {
     }
   }
 
+  /** D18: train/test contamination — for every train-split document,
+    * how many of its distinct word-3-gram shingles appear anywhere in
+    * the test split (decontamination: such docs leak evaluation data
+    * into training and get dropped or cleaned). Reuses [[Dedup]]'s
+    * shingle ids and THIS module's deterministic split, so the check
+    * is a pure function of the corpus.
+    *
+    * Scale shape: the test split is the small side by construction
+    * (~10%); its DISTINCT shingle set is broadcast and the train side
+    * probes it map-side — one partial-aggregated count per
+    * contaminated doc, no shuffle of the exploded train corpus.
+    * For test splits too big to broadcast, drop the hint and the same
+    * plan becomes a shuffle join on the shingle id.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(s, dir, "documents")
+      .withColumn("hk", hexKey(col("doc_id"), "split:"))
+      .select(col("doc_id"),
+        when(col("hk") < "cccccccc", "train")
+          .when(col("hk") < "e6666666", "val")
+          .otherwise("test").as("split"),
+        Dedup.shingles(col("text")).as("sh"))
+    val testSh = sh.filter(col("split") === "test")
+      .select(explode(col("sh")).as("g")).distinct()
+    sh.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(testSh), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      .orderBy("doc_id")
+  }
+
   private def tokensSql =
     raw"""CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)"""
 
@@ -220,6 +251,34 @@ object Sampling {
     // shares the oracle — two physical strategies, one semantic
     Q("sample_stratified_topk", (s, d) => sampleStratifiedBounded(s, d), Some(
       stratifiedOracle)),
+    // shingle-id == string-3-gram equivalence is the same 64-bit
+    // collision budget dedup_jaccard's oracle already relies on; both
+    // sides' per-doc shingles and the test union are distinct, so the
+    // join counts each common shingle exactly once
+    Q("contamination", contamination, Some(
+      raw"""WITH sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(text, '\s+')) - 1),
+        |           i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+2])) AS sh
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |test_sh AS (
+        |  SELECT DISTINCT unnest(sh) AS g
+        |  FROM sets JOIN sp USING (doc_id) WHERE split = 'test'),
+        |train_g AS (
+        |  SELECT doc_id, unnest(sh) AS g
+        |  FROM sets JOIN sp USING (doc_id) WHERE split = 'train')
+        |SELECT doc_id, count(*) AS n_common
+        |FROM train_g JOIN test_sh USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("pack_contexts", (s, d) => packContexts(s, d), Some(
       s"""WITH t AS (
         |  SELECT doc_id, $tokensSql AS tokens FROM documents),
