@@ -130,11 +130,17 @@ object Relational {
 
   /** C6c: window navigation functions — first/last/nth value over the
     * full partition frame and lead over the running frame, on a
-    * deterministic unique ordering (ts_ns, event_id).
+    * deterministic unique ordering. Ordered by MICROSECOND time +
+    * event_id (not raw ts_ns): DuckDB sees the nanos parquet at µs
+    * precision, so a same-user same-µs pair would sort by sub-µs
+    * nanos here but by the event_id tiebreak there — µs on both
+    * sides makes the orderings provably identical (the qAsofJoin
+    * convention).
     */
   def qWindowNav(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
     val full = byUser.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     e.select(col("user_id"), col("event_id"),
@@ -149,12 +155,15 @@ object Relational {
     * trailing-3-day per-user spend. Rows frames bound by ROW COUNT
     * ([[qMovingAvg]]); range frames bound by VALUE distance (ties are
     * frame peers), a semantically distinct windowing mode. Bounds in
-    * exact nanoseconds on both engines (`ts_ns`), sums in decimal.
+    * MICROSECONDS on both sides — the qAsofJoin convention: DuckDB
+    * reads the TIMESTAMP(NANOS) parquet at µs precision, so framing
+    * Spark on raw ts_ns would quantize the 3-day bound differently
+    * in the two engines for sub-µs boundary pairs. Sums in decimal.
     */
   def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).filter(col("event_type") === "purchase")
-    val w = Window.partitionBy("user_id").orderBy("ts_ns")
-      .rangeBetween(-3L * 24 * 3600 * 1000000000L, 0L)
+    val w = Window.partitionBy("user_id").orderBy(expr("ts_ns div 1000"))
+      .rangeBetween(-3L * 24 * 3600 * 1000000L, 0L)
     e.select(col("user_id"), col("event_id"),
         sum(dec(col("value"))).over(w).cast("double").as("trail_3d"))
       .orderBy("user_id", "event_id")
@@ -665,15 +674,15 @@ object Relational {
         |  nth_value(event_type, 2) OVER w_full AS second_type,
         |  lead(event_type, 1) OVER w_ord AS next_type
         |FROM events
-        |WINDOW w_ord AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
-        |       w_full AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |WINDOW w_ord AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |       w_full AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin)),
     Q("q_range_frame", qRangeFrame, Some(
       """SELECT user_id, event_id,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-        |         PARTITION BY user_id ORDER BY epoch_ns(ts)
-        |         RANGE BETWEEN 259200000000000 PRECEDING AND CURRENT ROW)
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
         |         AS DOUBLE) AS trail_3d
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin)),

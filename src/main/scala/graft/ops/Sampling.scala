@@ -40,6 +40,15 @@ object Sampling {
     * 0.9*2^32; the salt decorrelates this split from any other
     * hash-derived sampling on the same ids.
     */
+  /** The 80/10/10 split label from an already-projected hex key —
+    * ONE definition shared by [[sampleSplit]] and [[contamination]],
+    * so the thresholds/salt can never drift between D14 and D18.
+    */
+  private def splitLabel(hk: Column): Column =
+    when(hk < "cccccccc", "train")
+      .when(hk < "e6666666", "val")
+      .otherwise("test")
+
   def sampleSplit(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       // project the key once: a duplicate hexKey inside the second
@@ -47,9 +56,7 @@ object Sampling {
       // recomputes the md5 for every non-train row
       .withColumn("hk", hexKey(col("doc_id"), "split:"))
       .select(col("doc_id"), col("lang"),
-        when(col("hk") < "cccccccc", "train")
-          .when(col("hk") < "e6666666", "val")
-          .otherwise("test").as("split"))
+        splitLabel(col("hk")).as("split"))
       .orderBy("doc_id")
 
   /** D15: exact k-per-stratum deterministic subsample — the k docs
@@ -213,9 +220,7 @@ object Sampling {
     val sh = Tables.load(s, dir, "documents")
       .withColumn("hk", hexKey(col("doc_id"), "split:"))
       .select(col("doc_id"),
-        when(col("hk") < "cccccccc", "train")
-          .when(col("hk") < "e6666666", "val")
-          .otherwise("test").as("split"),
+        splitLabel(col("hk")).as("split"),
         Dedup.shingles(col("text")).as("sh"))
     val testSh = sh.filter(col("split") === "test")
       .select(explode(col("sh")).as("g")).distinct()

@@ -206,12 +206,12 @@ object TextOps {
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+    // EmailRe interpolated, never duplicated: the oracle pins that THE
+    // SAME pattern behaves identically under Java regex and RE2
     Q("text_redact", textRedact, Some(
-      raw"""SELECT doc_id,
-        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-        |                 '<EMAIL>', 'g') AS redacted,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_redactions
+      s"""SELECT doc_id,
+        |  regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_redactions
         |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
