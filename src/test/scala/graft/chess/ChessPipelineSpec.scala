@@ -335,6 +335,25 @@ class ChessPipelineSpec extends SparkSpec {
       back.filter(month(col("DateTime")) === 4).count())
   }
 
+  test("eval flag reads the KEPT moves: late-eval games flag under Full, not Truncated") {
+    // an eval annotation appearing only from move 4 onward is invisible
+    // to the truncated default (faithful to the reference, which checks
+    // `"eval" in moves` on ITS kept string) but visible under Full
+    val d = Files.createTempDirectory("pgn_late_eval")
+    Files.writeString(d.resolve("g.pgn"),
+      """[Event "Rated Blitz game"]
+        |[Site "https://lichess.org/late1"]
+        |[Result "1-0"]
+        |
+        |1. e4 e5 2. Nf3 Nc6 3. Bb5 a6 4. Ba4 { [%eval 0.3] } Nf6 1-0
+        |""".stripMargin)
+    val raw = spark.read.format("pgn").load(d.toString)
+    assert(!ChessPipeline.parseGames(raw)
+      .select("Evaluation_flag").head().getBoolean(0))
+    assert(ChessPipeline.parseGames(raw, ChessPipeline.MovesMode.Full)
+      .select("Evaluation_flag").head().getBoolean(0))
+  }
+
   test("include-moves knob: Truncated default, Full round-trips, Omitted drops") {
     // default unchanged: truncate at "4." (reference include_moves=True)
     val g1Default = ChessPipeline.parseGames(raw)
