@@ -27,6 +27,14 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object Acquire {
 
+  /** Transport timeouts: a stalled dump download must fail (and be
+    * retried by the caller) rather than hang the ingest forever — a
+    * raw `openStream()` has NO timeout and blocks indefinitely on a
+    * half-open connection.
+    */
+  val ConnectTimeoutMs = 30000
+  val ReadTimeoutMs = 120000
+
   /** The reference's URL scheme (ingester.py:89-90). */
   def monthlyDumpUrl(year: Int, month: Int): String =
     f"https://database.lichess.org/standard/${monthlyDumpName(year, month)}"
@@ -46,10 +54,17 @@ object Acquire {
     // temp name unique PER PROCESS: two overlapping fetches of the
     // same month (scheduler retry racing a slow first attempt) must
     // not interleave writes into one shared temp, or the rename could
-    // publish a corrupt file that the exists-check trusts forever
-    val tmp = dir.resolve(fileName + ".inprogress." +
+    // publish a corrupt file that the exists-check trusts forever.
+    // DOT-PREFIXED: the PGN planner (batch and streaming) prunes
+    // hidden names at every level, so a scan or stream tailing the
+    // staging dir can never discover a partially-downloaded temp —
+    // the invisibility contract PgnMicroBatchStream documents.
+    val tmp = dir.resolve("." + fileName + ".inprogress." +
       java.util.UUID.randomUUID().toString)
-    val in: InputStream = new URI(url).toURL.openStream()
+    val conn = new URI(url).toURL.openConnection()
+    conn.setConnectTimeout(ConnectTimeoutMs)
+    conn.setReadTimeout(ReadTimeoutMs)
+    val in: InputStream = conn.getInputStream
     try {
       try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
       finally in.close()

@@ -398,6 +398,14 @@ object ChessPipeline {
       numFiles: Option[Int] = None): Unit =
     partitionedForWrite(df, numFiles)
       .write.mode("overwrite")
+      // DYNAMIC partition overwrite: only the year_month partitions
+      // present in THIS batch are replaced — a month-by-month
+      // incremental ingest (IngestMain range runs) appends new months
+      // without clobbering earlier ones, and re-running a crashed
+      // month is idempotent (its partitions are replaced, not
+      // doubled). Assumes dumps are month-aligned, which lichess's
+      // are: the month-M dump holds exactly games played in M.
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year_month")
       .parquet(outDir)
 

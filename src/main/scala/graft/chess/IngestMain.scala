@@ -6,14 +6,30 @@ import org.apache.spark.sql.SparkSession
   * ingest_lichess.py CLI: PGN in, month-partitioned player-game-role
   * parquet out, with resumable per-player state for incremental runs.
   *
-  * Usage: runMain graft.chess.IngestMain <pgnPath> <outDir> [stateDir]
+  * Usage:
+  *   runMain graft.chess.IngestMain <pgnPath> <outDir> [stateDir]
+  *   runMain graft.chess.IngestMain --month=YYYY-MM <outDir> [stateDir]
+  *   runMain graft.chess.IngestMain --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]
   *
-  * `pgnPath` may instead be `--month=YYYY-MM`: the monthly lichess
-  * dump is then staged via [[Acquire.fetchMonth]] (the reference's
-  * give-me-a-month entry point, ingest_lichess.py:9-27) into
-  * `GRAFT_STAGING_DIR` (default /tmp/graft_staging), honoring
-  * `GRAFT_DUMP_BASE_URL` as a mirror / `file://` override, and the
-  * staged `.pgn.zst` is ingested.
+  * `--month`: the monthly lichess dump is staged via
+  * [[Acquire.fetchMonth]] (the reference's give-me-a-month entry
+  * point, ingest_lichess.py:9-27) into `GRAFT_STAGING_DIR` (default
+  * /tmp/graft_staging), honoring `GRAFT_DUMP_BASE_URL` as a mirror /
+  * `file://` override, and the staged `.pgn.zst` is ingested.
+  *
+  * `--start`/`--end`: the reference's RANGE entry point
+  * (ingest_lichess.py:18-27 loops `range(start, end)` years × a month
+  * list; flags at :31-33) — each month in the inclusive [start, end]
+  * month range is fetched and ingested in order, with the per-player
+  * counters carried month to month exactly as the reference's
+  * in-process loop carries them (its `cum_files_{y}_{m}` state,
+  * ingester.py:60-86). Divergence, documented: the range here is
+  * month-granular and end-INCLUSIVE (the reference takes year
+  * endpoints, end-exclusive, with an optional month subset) — the
+  * same ranges are expressible, without the surprise of `--end`'s
+  * year never being processed. If no `stateDir` is given, the carry
+  * still happens through a run-local state dir; pass one to make the
+  * range resumable across invocations too.
   *
   * With `stateDir`: reads the prior [[ChessPipeline.statsState]] table
   * if present (counters continue across runs exactly as the
@@ -25,20 +41,45 @@ import org.apache.spark.sql.SparkSession
 object IngestMain {
 
   private val MonthArg = """--month=(\d{4})-(\d{2})""".r
+  private val StartArg = """--start=(\d{4})-(\d{2})""".r
+  private val EndArg = """--end=(\d{4})-(\d{2})""".r
+
+  private val Usage =
+    "usage: IngestMain <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
+      "   or: IngestMain --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
+
+  /** Inclusive month range (y1, m1) .. (y2, m2) in chronological
+    * order, as the month index y*12 + (m-1) back-projected.
+    */
+  private[chess] def monthRange(y1: Int, m1: Int, y2: Int, m2: Int): Seq[(Int, Int)] = {
+    require(m1 >= 1 && m1 <= 12 && m2 >= 1 && m2 <= 12,
+      s"month out of range: $m1 / $m2")
+    val a = y1 * 12 + (m1 - 1)
+    val b = y2 * 12 + (m2 - 1)
+    require(a <= b, f"--start=$y1%04d-$m1%02d is after --end=$y2%04d-$m2%02d")
+    (a to b).map(i => (i / 12, i % 12 + 1))
+  }
 
   /** Usage/flag validation, shared by main (BEFORE paying Spark
     * startup) and run (for direct callers).
     */
   private def validateArgs(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: IngestMain <pgnPath|--month=YYYY-MM> <outDir> [stateDir]")
+    require(args.length >= 2, Usage)
     args(0) match {
+      case StartArg(y1, m1) =>
+        require(args.length >= 3, Usage)
+        args(1) match {
+          case EndArg(y2, m2) =>
+            monthRange(y1.toInt, m1.toInt, y2.toInt, m2.toInt) // order check
+          case p => throw new IllegalArgumentException(
+            s"--start must be followed by --end=YYYY-MM, got '$p'")
+        }
       case MonthArg(_, _) => ()
       case p if p.startsWith("--") =>
         // a malformed flag must not fall through to "open it as a
         // path" — that surfaces as a baffling Path-does-not-exist
         throw new IllegalArgumentException(
-          s"unrecognized option '$p' (expected --month=YYYY-MM)")
+          s"unrecognized option '$p' (expected --month=YYYY-MM or --start/--end)")
       case _ => ()
     }
   }
@@ -60,20 +101,39 @@ object IngestMain {
   }
 
   /** The whole ingest on a caller-owned session (main wraps it; specs
-    * drive it directly — the e2e path from `--month` staging through
-    * the range-partitioned monthly sink).
+    * drive it directly — the e2e path from `--month`/range staging
+    * through the range-partitioned monthly sink).
     */
   def run(spark: SparkSession, args: Array[String],
       stagingDir: String, baseUrl: Option[String]): Unit = {
     validateArgs(args)
-    val pgnPath = args(0) match {
+    args(0) match {
+      case StartArg(y1, m1) =>
+        val EndArg(y2, m2) = (args(1): @unchecked)
+        val outDir = args(2)
+        // the month-to-month counter carry is NOT optional for a
+        // range (the reference's loop carries counters in one
+        // process): without a caller-provided stateDir the carry
+        // still runs through a run-local state dir
+        val stateDir = args.lift(3).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_range_state").toString)
+        for ((y, m) <- monthRange(y1.toInt, m1.toInt, y2.toInt, m2.toInt)) {
+          val staged = Acquire.fetchMonth(y, m, stagingDir, baseUrl)
+          ingestOne(spark, staged.toString, outDir, Some(stateDir))
+        }
       case MonthArg(y, m) =>
-        Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl).toString
-      case p => p
+        val staged = Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl)
+        ingestOne(spark, staged.toString, args(1), args.lift(2))
+      case pgnPath =>
+        ingestOne(spark, pgnPath, args(1), args.lift(2))
     }
-    val outDir = args(1)
-    val stateDir = args.lift(2)
+  }
 
+  /** One PGN input → the month-partitioned sink, with the optional
+    * prior-state read and crash-safe state write-back.
+    */
+  private def ingestOne(spark: SparkSession, pgnPath: String, outDir: String,
+      stateDir: Option[String]): Unit = {
     val prior = stateDir.flatMap { d =>
       val fs = new org.apache.hadoop.fs.Path(d)
         .getFileSystem(spark.sessionState.newHadoopConf())

@@ -86,13 +86,15 @@ object DistinctTokenCount {
     // open-addressed probe table on segment-byte hashes; a hash hit
     // byte-compares against the stored segment, so distinctness is
     // exact string equality (no collision undercount). Capacity math
-    // in Long with the same loud guard as ShingleIds: a ~1 GB
-    // single-char-token doc reaches 2^29 segments, where the doubling
-    // loop would otherwise overflow Int and spin forever.
+    // in Long with the same loud guard as ShingleIds, bounded at 2^26
+    // tokens — a MEMORY-realistic ceiling (cap 2^27 ints = 512 MiB of
+    // probe table for a >=128 MiB single doc), so the guard fires
+    // before the executor OOMs rather than only at the theoretical
+    // int-overflow bound.
     val need = segCount.toLong * 2
-    if (need > (1L << 30))
+    if (need > (1L << 27))
       throw new IllegalArgumentException(
-        s"distinct_token_count: document has $segCount tokens; max supported is ${1 << 29}")
+        s"distinct_token_count: document has $segCount tokens; max supported is ${1 << 26}")
     var cap = 8
     while (cap < need) cap <<= 1
     val mask = cap - 1

@@ -98,15 +98,16 @@ object ShingleIds {
     val m = tokCount - 2
     val out = new Array[Long](m)
     var outN = 0
-    // capacity math in Long: `m * 2` overflows Int for m >= 2^30 (a
-    // ~2 GB single-token-dense string), leaving cap at 8 and turning
-    // the full-table linear probe below into an infinite loop. Such a
-    // document can't be probed in an int-indexed table anyway — fail
-    // loudly instead of spinning.
+    // capacity math in Long (`m * 2` overflows Int for m >= 2^30,
+    // leaving cap at 8 and turning the full-table linear probe below
+    // into an infinite loop), with the ceiling at 2^26 shingles: a
+    // MEMORY-realistic bound (cap 2^27 longs = 1 GiB probe table for
+    // a >=128 MiB single doc), so the guard fires before the executor
+    // OOMs rather than only at the theoretical int-overflow bound.
     val need = m.toLong * 2
-    if (need > (1L << 30))
+    if (need > (1L << 27))
       throw new IllegalArgumentException(
-        s"shingle_ids: document has $m shingles; max supported is ${1 << 29}")
+        s"shingle_ids: document has $m shingles; max supported is ${1 << 26}")
     var cap = 8
     while (cap < need) cap <<= 1
     val table = new Array[Long](cap)

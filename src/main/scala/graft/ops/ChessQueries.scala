@@ -47,7 +47,10 @@ object ChessQueries {
     private def deleteRecursively(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        // Files.walk's documented contract is try-with-resources: the
+        // stream holds directory handles until closed, not until GC
+        scala.util.Using.resource(java.nio.file.Files.walk(p))(
+          _.iterator().asScala.toSeq)
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
@@ -169,7 +172,7 @@ object ChessQueries {
       .groupBy("winner").agg(count(lit(1)).as("cnt"))
     counts.withColumn("proportion",
         col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
       .orderBy(desc("proportion"), col("winner"))
   }
 
@@ -178,7 +181,7 @@ object ChessQueries {
     val counts = games(s).groupBy("Termination").agg(count(lit(1)).as("cnt"))
     counts.withColumn("proportion",
         col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
       .orderBy(desc("cnt"), col("Termination"))
   }
 

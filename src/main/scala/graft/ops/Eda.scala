@@ -47,7 +47,7 @@ object Eda {
     counts
       .withColumn("proportion",
         col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
       .orderBy(desc("proportion"), col("status"))
   }
 
@@ -58,7 +58,7 @@ object Eda {
     counts
       .withColumn("proportion",
         col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
       .orderBy(desc("cnt"), col("event_type"))
   }
 

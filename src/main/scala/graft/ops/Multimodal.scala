@@ -1,48 +1,146 @@
 package graft.ops
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Multimodal-column plumbing (SURVEY §2.D12): image/audio/video as
-  * opaque `binary` columns + typed metadata, with decode / feature
-  * extraction as batched per-partition transforms.
+/** Multimodal-column plumbing (SURVEY §2.D12): image/audio as opaque
+  * `binary` columns + typed metadata, with REAL decode / resize /
+  * frame-sampling as batched per-partition transforms.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked STUB (deterministic fake dimensions derived from the
-  * payload hash). Everything Spark-side is real and is what would ship:
-  *  - schema: (media_id, media BINARY, meta STRUCT<format, n_bytes,
-  *    crc>) — the payload stays opaque bytes end-to-end, no base64
-  *    round-trips, no driver collection;
+  * Decode is real JDK work, no stubs: PNG/JPEG through
+  * `javax.imageio` (actual pixel decode → width/height), WAV through
+  * a RIFF fmt/data chunk parse (actual PCM frame reads) — both ship
+  * with the JDK, so the operators work offline with zero added
+  * dependencies. The Spark-side shape:
+  *  - schema: (media_id, media BINARY) — payloads stay opaque bytes
+  *    end-to-end, no base64 round-trips, no driver collection;
   *  - format sniffing on magic bytes is a plain Catalyst expression
-  *    (narrow, codegen);
+  *    (narrow, codegen) — the "query metadata without decoding" path;
   *  - decode runs via `mapPartitions` over a typed Dataset in fixed
-  *    batches of 64 records — the same batch shape `mapInPandas`/Arrow
-  *    would use — so a real codec drops in by replacing
-  *    [[StubCodec.decode]] only;
+  *    batches of 64 records — the same batch shape `mapInPandas`/
+  *    Arrow would use — so an Arrow-vectorized codec drops in by
+  *    replacing [[JdkCodec]] only;
   *  - partitioning: decode is narrow (no shuffle); at 100 TB you size
   *    `spark.sql.files.maxPartitionBytes` so one partition's payloads
   *    fit in executor memory, which this plumbing respects by never
   *    materializing more than one batch per task at a time.
+  *
+  * The corpus is a PLANTED FIXTURE of real media ([[MediaGen]]):
+  * each document row becomes a real PNG, JPEG or WAV whose
+  * dimensions / sample count are pure functions of `doc_id` — so the
+  * driver's DuckDB oracle can recompute what a correct decoder MUST
+  * report (width, height, frame counts, even per-frame sample peaks)
+  * from arithmetic alone, without itself decoding anything. A broken
+  * encoder or decoder shows up as an oracle mismatch, not a silently
+  * self-consistent stub.
   */
 object Multimodal {
 
   val PngMagic: Array[Byte] = Array(0x89.toByte, 'P', 'N', 'G')
-  val JpegMagic: Array[Byte] = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  // JPEG = SOI + marker prefix (FF D8 FF); the next byte varies by
+  // flavor (E0 JFIF, E1 Exif, DB bare), so sniff only the invariant 3
+  val JpegMagic: Array[Byte] = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
   val WavMagic: Array[Byte] = Array('R', 'I', 'F', 'F')
 
-  /** Deterministic synthetic media table derived from `documents`:
-    * payload = magic(doc_id%3) ++ utf8(text). Stands in for a real
-    * parquet/Lance scan of a binary column.
+  /** Samples per audio "frame" (the unit the frame sampler plans
+    * over) and the sampling stride: every [[FrameStep]]-th frame.
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
+  val FrameSamples = 256
+  val FrameStep = 4
+  val ResizeBox = 256
+  val BatchSize = 64
+
+  /** Deterministic REAL-media fixture generator: doc_id % 3 selects
+    * png / jpeg / wav; dimensions and PCM content are pure functions
+    * of doc_id (the contract the oracles recompute in SQL). Encoding
+    * is real (`ImageIO.write`, RIFF/PCM bytes), executor-side and
+    * narrow — at 100 TB this generator is replaced by a parquet/Lance
+    * scan of a binary column, which is exactly what [[mediaTable]]'s
+    * output schema models.
+    */
+  object MediaGen {
+    val SampleRate = 8000
+
+    def format(id: Long): String = (id % 3) match {
+      case 0 => "png"
+      case 1 => "jpeg"
+      case _ => "wav"
+    }
+
+    // image dims: 8..307 x 8..207 — straddles ResizeBox so the
+    // box-fit path exercises both the shrink and the no-upscale arms
+    def imageWidth(id: Long): Int = (8 + (id * 7) % 300).toInt
+    def imageHeight(id: Long): Int = (8 + (id * 13) % 200).toInt
+
+    // wav: 256..12255 mono 16-bit samples => 1..48 frames of 256
+    def wavSampleCount(id: Long): Int = (256 + (id * 37) % 12000).toInt
+
+    /** PCM sample k of doc id, in [-10000, 10000] (fits int16). */
+    def sampleAt(id: Long, k: Int): Int =
+      ((id * 31 + k.toLong * 7) % 20001 - 10000).toInt
+
+    def pixelAt(id: Long, x: Int, y: Int): Int =
+      (((id * 2654435761L + x * 31L + y * 17L) >>> 8) & 0xFFFFFF).toInt
+
+    def payload(id: Long): Array[Byte] = format(id) match {
+      case "wav" => wavBytes(id)
+      case f => imageBytes(id, f)
+    }
+
+    private def imageBytes(id: Long, fmt: String): Array[Byte] = {
+      val (w, h) = (imageWidth(id), imageHeight(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, pixelAt(id, x, y)); x += 1 }
+        y += 1
+      }
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, if (fmt == "jpeg") "jpg" else "png", baos)
+      baos.toByteArray
+    }
+
+    def wavBytes(id: Long): Array[Byte] = {
+      val n = wavSampleCount(id)
+      val dataLen = n * 2 // mono, 16-bit
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataLen)
+        .put("WAVE".getBytes(US_ASCII))
+      buf.put("fmt ".getBytes(US_ASCII)).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // channels
+        .putInt(SampleRate)
+        .putInt(SampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      buf.put("data".getBytes(US_ASCII)).putInt(dataLen)
+      var k = 0
+      while (k < n) { buf.putShort(sampleAt(id, k).toShort); k += 1 }
+      buf.array()
+    }
+  }
+
+  /** The media scan: one real payload per document row. Generation is
+    * executor-side `mapPartitions` (narrow, deterministic, no driver
+    * work) — the stand-in for reading a binary column off parquet.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(col("doc_id").as("media_id"),
-        concat(
-          element_at(
-            array(lit(PngMagic), lit(JpegMagic), lit(WavMagic)),
-            (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
-          encode(col("text"), "UTF-8")).as("media"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, MediaGen.payload(id))))
+      .toDF("media_id", "media")
+  }
 
   /** Magic-byte format sniff — pure expression, no decode. */
   def sniffFormat(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -52,125 +150,209 @@ object Multimodal {
       .otherwise("unknown")
 
   final case class MediaIn(media_id: Long, media: Array[Byte], format: String)
-  final case class Decoded(media_id: Long, format: String, n_bytes: Long,
-      crc: Long, width: Int, height: Int, n_frames: Int)
+  final case class Decoded(media_id: Long, format: String,
+      width: Int, height: Int, n_frames: Int)
   final case class Resized(media_id: Long, format: String,
-      src_w: Int, src_h: Int, dst_w: Int, dst_h: Int, thumb_crc: Long)
+      src_w: Int, src_h: Int, dst_w: Int, dst_h: Int, thumb: Array[Byte])
   final case class Frame(media_id: Long, frame_idx: Int, n_frames: Int,
-      frame_crc: Long)
+      frame_peak: Int)
 
-  /** STUB codec — the one seam a real deployment replaces. Deterministic
-    * fake: dimensions from a payload hash. Signature (batch in, batch
-    * out) matches an Arrow-batched decoder.
+  /** Parsed WAV container header (RIFF fmt + data chunks). Header
+    * parse reads ~44 bytes — no sample decode — which is what makes
+    * header-planned frame sampling cheaper than decode-then-sample.
     */
-  object StubCodec {
-    private def crcOf(bytes: Array[Byte]): Long = {
-      val crc = new java.util.zip.CRC32
-      crc.update(bytes)
-      crc.getValue
+  final case class WavHeader(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, blockAlign: Int, dataOffset: Int, dataLen: Int) {
+    def nSamples: Int = dataLen / blockAlign
+    def frameCount(frameSamples: Int): Int =
+      (nSamples + frameSamples - 1) / frameSamples
+  }
+
+  /** Real JDK codec behind the batch seam: `javax.imageio` for
+    * PNG/JPEG, RIFF chunk-walk + PCM reads for WAV. Signature (batch
+    * in, batch out) matches an Arrow-batched decoder, so a vectorized
+    * native codec replaces this object without touching the plan.
+    */
+  object JdkCodec {
+    // no disk scratch files from executors (ImageIO's default cache
+    // writes temp files per decode)
+    ImageIO.setUseCache(false)
+
+    private def readImage(m: MediaIn): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(m.media))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"media ${m.media_id}: undecodable ${m.format} payload")
+      img
     }
 
-    /** Single source of truth for the stub's frame-count model (shared
-      * by [[decode]] and [[frameCount]] so the metadata and the sample
-      * plan can never disagree).
-      */
-    private def framesOf(h: Long, format: String): Int =
-      if (format == "wav") (h % 300).toInt + 1 else 1
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, US_ASCII)
 
-    def decode(batch: Seq[MediaIn]): Seq[Decoded] = batch.map { m =>
-      val h = crcOf(m.media)
-      Decoded(m.media_id, m.format, m.media.length.toLong, h,
-        width = (h % 1920).toInt + 1, height = (h % 1080).toInt + 1,
-        n_frames = framesOf(h, m.format))
-    }
-
-    /** Decode + scale into a bounding box, aspect ratio preserved. The
-      * box-fit arithmetic is the real thing; the pixel work is the
-      * stub (thumb_crc stands in for the resized payload).
-      */
-    def resize(batch: Seq[MediaIn], box: Int): Seq[Resized] =
-      decode(batch).map { d =>
-        val scale = math.min(1.0, box.toDouble / math.max(d.width, d.height))
-        val dw = math.max(1, math.round(d.width * scale).toInt)
-        val dh = math.max(1, math.round(d.height * scale).toInt)
-        Resized(d.media_id, d.format, d.width, d.height, dw, dh,
-          thumb_crc = crcOf(s"${d.crc}:${dw}x$dh".getBytes("UTF-8")))
+    /** RIFF chunk walk: find `fmt ` and `data`, nothing else decoded. */
+    def parseWav(b: Array[Byte]): WavHeader = {
+      require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        s"not a RIFF/WAVE payload (${b.length} bytes)")
+      var p = 12
+      var channels, sampleRate, bits, blockAlign = 0
+      var dataOffset, dataLen = -1
+      while (p + 8 <= b.length && (blockAlign == 0 || dataOffset < 0)) {
+        val id = tag(b, p)
+        val size = le32(b, p + 4)
+        require(size >= 0 && p + 8 + size <= b.length,
+          s"corrupt $id chunk: size $size at offset $p of ${b.length}")
+        if (id == "fmt ") {
+          require(size >= 16, s"fmt chunk too small: $size")
+          require(le16(b, p + 8) == 1, "only PCM (format tag 1) supported")
+          channels = le16(b, p + 10)
+          sampleRate = le32(b, p + 12)
+          blockAlign = le16(b, p + 20)
+          bits = le16(b, p + 22)
+        } else if (id == "data") {
+          dataOffset = p + 8
+          dataLen = size
+        }
+        p += 8 + size + (size & 1) // chunks are word-aligned
       }
+      require(blockAlign > 0 && dataOffset >= 0,
+        "missing fmt or data chunk")
+      WavHeader(channels, sampleRate, bits, blockAlign, dataOffset, dataLen)
+    }
 
-    /** Container-header frame count — real codecs read this without
-      * decoding any frames, which is what makes sample-then-decode
-      * cheaper than decode-then-sample.
+    /** Decode one batch to typed metadata: images pay a real pixel
+      * decode (ImageIO), audio a header parse. Images are one frame;
+      * audio frames follow the [[FrameSamples]] model.
       */
-    def frameCount(m: MediaIn): Int = framesOf(crcOf(m.media), m.format)
+    def decode(batch: Seq[MediaIn]): Seq[Decoded] = batch.map { m =>
+      m.format match {
+        case "png" | "jpeg" =>
+          val img = readImage(m)
+          Decoded(m.media_id, m.format, img.getWidth, img.getHeight, 1)
+        case "wav" =>
+          val h = parseWav(m.media)
+          Decoded(m.media_id, m.format, 0, 0, h.frameCount(FrameSamples))
+        case f =>
+          throw new IllegalArgumentException(
+            s"media ${m.media_id}: unsupported format '$f'")
+      }
+    }
 
-    /** Decode ONLY the requested frames of one media payload. The
-      * payload hash is computed ONCE, not per frame — decode cost must
-      * scale with frames kept.
+    /** Decode + scale into a bounding box (aspect preserved, never
+      * upscaled) + re-encode PNG. Real pixel work via Graphics2D
+      * bilinear scaling.
+      */
+    def resize(batch: Seq[MediaIn], box: Int): Seq[Resized] = batch.map { m =>
+      val img = readImage(m)
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val scale = math.min(1.0, box.toDouble / math.max(sw, sh))
+      val dw = math.max(1, math.round(sw * scale).toInt)
+      val dh = math.max(1, math.round(sh * scale).toInt)
+      val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, dw, dh, null)
+      } finally g.dispose()
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", baos)
+      Resized(m.media_id, m.format, sw, sh, dw, dh, baos.toByteArray)
+    }
+
+    /** Container-header frame count — no sample decode. */
+    def frameCount(m: MediaIn): Int = parseWav(m.media).frameCount(FrameSamples)
+
+    /** Decode ONLY the requested frames: each frame reads its own
+      * PCM byte range out of the data chunk — decode cost scales with
+      * frames KEPT, not frames stored (the entire point of
+      * header-planned sampling at 100 TB). frame_peak = max |sample|
+      * over the frame, the real decoded value the oracle recomputes.
       */
     def decodeFrames(m: MediaIn, idxs: Seq[Int], total: Int): Seq[Frame] = {
-      val h = crcOf(m.media)
-      idxs.map(i => Frame(m.media_id, i, total,
-        frame_crc = crcOf(s"$h#$i".getBytes("UTF-8"))))
+      val h = parseWav(m.media)
+      require(h.channels == 1 && h.bitsPerSample == 16,
+        s"frame sampler expects 16-bit mono PCM, got ${h.bitsPerSample}-bit x${h.channels}")
+      idxs.map { i =>
+        val lo = i * FrameSamples
+        val hi = math.min((i + 1) * FrameSamples, h.nSamples)
+        var peak = 0
+        var k = lo
+        while (k < hi) {
+          val s = le16(m.media, h.dataOffset + k * 2).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          k += 1
+        }
+        Frame(m.media_id, i, total, peak)
+      }
     }
   }
 
-  val BatchSize = 64
-
-  /** D12: sniff → batched stub-decode → typed metadata rows. */
+  /** D12: sniff → batched real decode → typed metadata rows. */
   def mmMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val in = mediaTable(s, dir)
       .withColumn("format", sniffFormat(col("media")))
       .as[MediaIn]
     in.mapPartitions(rows =>
-        rows.grouped(BatchSize).flatMap(b => StubCodec.decode(b.toSeq)))
+        rows.grouped(BatchSize).flatMap(b => JdkCodec.decode(b.toSeq)))
       .toDF()
       .orderBy("media_id")
   }
 
-  val ResizeBox = 256
-  val FrameStep = 30
-
-  /** D12b: batched resize-to-thumbnail — decode, fit into a
-    * [[ResizeBox]]² box (aspect preserved, never upscaled), re-encode.
-    * Narrow `mapPartitions` in [[BatchSize]] batches, same seam as
-    * [[mmMeta]]: a real image library replaces [[StubCodec.resize]]
-    * only; the batching, schema and box-fit math ship as-is.
+  /** D12b: batched resize-to-thumbnail over the IMAGE media — decode,
+    * fit into a [[ResizeBox]]² box (aspect preserved, never
+    * upscaled), re-encode PNG. Narrow `mapPartitions` in
+    * [[BatchSize]] batches, same seam as [[mmMeta]]. The registered
+    * query projects the dimension columns (oracle-checkable
+    * arithmetic); the thumb payload itself is spec-checked by
+    * decoding it back.
     */
   def mmResize(s: SparkSession, dir: String): DataFrame =
-    resizeOf(mediaTable(s, dir)).orderBy("media_id")
+    resizeOf(mediaTable(s, dir))
+      .select("media_id", "format", "src_w", "src_h", "dst_w", "dst_h")
+      .orderBy("media_id")
 
-  /** The resize pipeline on a prepared media table — split out so
-    * specs can vary the INPUT partitioning (batch boundaries form
-    * inside `mapPartitions`, so only input partitioning exercises
-    * them).
+  /** The resize pipeline on a prepared media table (thumb bytes
+    * included) — split out so specs can vary the INPUT partitioning
+    * (batch boundaries form inside `mapPartitions`, so only input
+    * partitioning exercises them) and decode the thumbs back.
     */
   private[ops] def resizeOf(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
     media
       .withColumn("format", sniffFormat(col("media")))
+      // resize is an image op: filter BEFORE decode, on the sniffed
+      // (never decoded) column
+      .filter(col("format").isin("png", "jpeg"))
       .as[MediaIn]
       .mapPartitions(rows =>
-        rows.grouped(BatchSize).flatMap(b => StubCodec.resize(b.toSeq, ResizeBox)))
+        rows.grouped(BatchSize).flatMap(b => JdkCodec.resize(b.toSeq, ResizeBox)))
       .toDF()
   }
 
-  /** D12c: frame sampling — every [[FrameStep]]-th frame of each
-    * media payload (always including frame 0). The sample plan comes
-    * from the container HEADER ([[StubCodec.frameCount]], no frame
-    * decode), so only sampled frames are ever decoded — decode cost
-    * scales with frames KEPT, not frames stored, which is the entire
-    * point of sampling at 100 TB. One narrow pass; output is one row
-    * per sampled frame.
+  /** D12c: frame sampling over the AUDIO media — every [[FrameStep]]-th
+    * frame (always including frame 0). The sample plan comes from the
+    * container HEADER ([[JdkCodec.frameCount]], ~44 bytes read, no
+    * sample decode); only sampled frames' PCM ranges are then decoded
+    * — decode cost scales with frames KEPT, not frames stored. One
+    * narrow pass; output is one row per sampled frame with the
+    * frame's real decoded peak amplitude.
     */
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .withColumn("format", sniffFormat(col("media")))
+      .filter(col("format") === "wav")
       .as[MediaIn]
       .mapPartitions(_.flatMap { m =>
-        val total = StubCodec.frameCount(m)
-        StubCodec.decodeFrames(m, 0 until total by FrameStep, total)
+        val total = JdkCodec.frameCount(m)
+        JdkCodec.decodeFrames(m, 0 until total by FrameStep, total)
       })
       .toDF()
       .orderBy("media_id", "frame_idx")
@@ -181,25 +363,65 @@ object Multimodal {
     */
   def mmFormatDist(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
-      .select(sniffFormat(col("media")).as("format"),
-        length(col("media")).cast("long").as("n_bytes"))
+      .select(sniffFormat(col("media")).as("format"))
       .groupBy("format")
-      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+      .agg(count(lit(1)).as("n"))
       .orderBy("format")
 
+  /** The fixture contract, restated for the oracles: every dimension
+    * below is the SQL twin of a [[MediaGen]] pure function, so DuckDB
+    * recomputes what a correct decode must report without decoding.
+    */
   val queries: Seq[Q] = Seq(
-    Q("mm_meta", mmMeta, None),
-    // CRC-derived dims are not SQL-expressible: rows-only + specs
-    Q("mm_resize", mmResize, None),
-    Q("mm_frames", mmFrameSample, None),
-    // the media table derives deterministically from documents
-    // (magic(doc_id%3) ++ utf8(text)), so the no-decode metadata path
-    // is SQL-expressible and oracled
+    Q("mm_meta", mmMeta, Some(
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |            ELSE 'wav' END AS format,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |                 ELSE 8 + (doc_id * 7) % 300 END AS INT) AS width,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |                 ELSE 8 + (doc_id * 13) % 200 END AS INT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2
+        |                 THEN ceil((256 + (doc_id * 37) % 12000) / 256.0)
+        |                 ELSE 1 END AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin)),
+    Q("mm_resize", mmResize, Some(
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |         8 + (doc_id * 7) % 300 AS w,
+        |         8 + (doc_id * 13) % 200 AS h
+        |  FROM documents WHERE doc_id % 3 < 2),
+        |s AS (SELECT *, least(1.0, 256.0 / greatest(w, h)) AS sc FROM d)
+        |SELECT media_id, format,
+        |       CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+        |       CAST(greatest(1, floor(w * sc + 0.5)) AS INT) AS dst_w,
+        |       CAST(greatest(1, floor(h * sc + 0.5)) AS INT) AS dst_h
+        |FROM s ORDER BY media_id""".stripMargin)),
+    Q("mm_frames", mmFrameSample, Some(
+      """WITH w AS (
+        |  SELECT doc_id AS media_id,
+        |         256 + (doc_id * 37) % 12000 AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id, n_samples,
+        |         CAST(ceil(n_samples / 256.0) AS INT) AS n_frames
+        |  FROM w),
+        |idx AS (
+        |  SELECT media_id, n_samples, n_frames,
+        |         CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx
+        |  FROM f)
+        |SELECT media_id, frame_idx, n_frames,
+        |       CAST(list_max(list_transform(
+        |              range(frame_idx * 256,
+        |                    least((frame_idx + 1) * 256, n_samples)),
+        |              k -> abs((media_id * 31 + k * 7) % 20001 - 10000)))
+        |            AS INT) AS frame_peak
+        |FROM idx ORDER BY media_id, frame_idx""".stripMargin)),
     Q("mm_format_dist", mmFormatDist, Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |            ELSE 'wav' END AS format,
-        |       count(*) AS n,
-        |       CAST(sum(octet_length(encode(text)) + 4) AS BIGINT) AS total_bytes
+        |       count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY format""".stripMargin))
   )
 }

@@ -100,7 +100,11 @@ object Relational {
     val daily = t(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(dec(col("o_totalprice"))).as("t"), count(lit(1)).as("n"))
-    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    // one row per DAY reaches this window (bounded by the calendar,
+    // not the corpus); the constant partition key keeps WindowExec
+    // from logging its single-partition warning for a frame that is
+    // bounded by construction
+    val w = Window.partitionBy(lit(0)).orderBy("day").rowsBetween(-6, 0)
     daily.select(
         col("day"),
         col("t").cast("double").as("day_total"),

@@ -184,8 +184,13 @@ object Sampling {
     // so the materialization cost telescopes)
     val pk = perKey.localCheckpoint()
     if (pk.count() <= fanout) {
-      // at most `fanout` rows reach this single-task window
-      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+      // at most `fanout` rows reach this single-task window; the
+      // constant partition key makes that boundedness explicit in the
+      // plan (an empty partitionSpec would log WindowExec's
+      // single-partition warning on every run despite being bounded
+      // by construction here)
+      val w = Window.partitionBy(lit(0)).orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
       pk.select(col("k"), coalesce(sum(col("v")).over(w), lit(0L)).as("off"))
     } else {
       val withSuper = pk.withColumn("sk", expr(s"k DIV ${fanout}L"))

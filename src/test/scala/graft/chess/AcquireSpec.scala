@@ -2,6 +2,8 @@ package graft.chess
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions._
+
 /** Acquisition layer: URL scheme parity with the reference, atomic
   * staging, idempotent skip, and the give-me-a-month ingest end to
   * end. Driven over `file://` mirrors — this environment has no
@@ -71,6 +73,83 @@ class AcquireSpec extends graft.SparkSpec {
     assert(back.count() === 100) // 50 games x 2 roles
     assert(back.select("year_month").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("2024_01")) // sample UTCDate month
+  }
+
+  test("range ingest equals chained single-month runs, counters carried") {
+    // two month dumps with DIFFERENT game months and a shared player:
+    // alice is White in every game, so her cumulative count in April
+    // proves (or disproves) the March->April carry
+    def gameTxt(i: Int, date: String, time: String): String =
+      s"""[Event "Rated Blitz game"]
+         |[Site "https://lichess.org/range$i"]
+         |[White "alice"]
+         |[Black "bob"]
+         |[Result "1-0"]
+         |[UTCDate "$date"]
+         |[UTCTime "$time"]
+         |[WhiteElo "1500"]
+         |[BlackElo "1400"]
+         |[ECO "A00"]
+         |[Opening "Polish Opening"]
+         |[TimeControl "300+0"]
+         |[Termination "Normal"]
+         |
+         |1. e4 e5 1-0
+         |""".stripMargin
+    val march = gameTxt(1, "2024.03.05", "10:00:00") + "\n" +
+      gameTxt(2, "2024.03.20", "11:00:00")
+    val april = gameTxt(3, "2024.04.02", "09:00:00") + "\n" +
+      gameTxt(4, "2024.04.25", "12:00:00")
+    val mirror = Files.createTempDirectory("lichess_mirror_range")
+    def zst(name: String, body: String): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(body.getBytes("UTF-8")); z.close()
+      Files.write(mirror.resolve(name), bos.toByteArray)
+    }
+    zst(Acquire.monthlyDumpName(2024, 3), march)
+    zst(Acquire.monthlyDumpName(2024, 4), april)
+    val base = Some(mirror.toUri.toString)
+
+    val outA = Files.createTempDirectory("range_out").toString
+    val stateA = Files.createTempDirectory("range_state").toString
+    IngestMain.run(spark, Array("--start=2024-03", "--end=2024-04", outA, stateA),
+      stagingDir = Files.createTempDirectory("range_staging").toString,
+      baseUrl = base)
+
+    val outB = Files.createTempDirectory("chain_out").toString
+    val stateB = Files.createTempDirectory("chain_state").toString
+    val stagingB = Files.createTempDirectory("chain_staging").toString
+    IngestMain.run(spark, Array("--month=2024-03", outB, stateB), stagingB, base)
+    IngestMain.run(spark, Array("--month=2024-04", outB, stateB), stagingB, base)
+
+    def rows(dir: String) = {
+      val df = spark.read.parquet(dir)
+      df.orderBy("ID", "Role_player")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    }
+    val (a, b) = (rows(outA), rows(outB))
+    assert(a.length === 8) // 4 games x 2 roles
+    assert(a === b)
+    // both months survived in the sink (dynamic partition overwrite:
+    // the April write must NOT clobber the March partition)
+    assert(spark.read.parquet(outA).select("year_month").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("2024_03", "2024_04"))
+    // the carry is non-vacuous: alice's count in her last April game
+    // is 4 (2 March + 2 April), not 2
+    val lastApril = spark.read.parquet(outA)
+      .filter(col("Player") === "alice" && col("year_month") === "2024_04")
+      .agg(max(col("Player_cum_games_total"))).head().getInt(0)
+    assert(lastApril === 4)
+    // and the two state tables agree
+    def state(d: String) = {
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val p = StateSwap.resolve(fs, d).get.toString
+      spark.read.parquet(p).orderBy("name", "Event")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    }
+    assert(state(stateA) === state(stateB))
   }
 
   test("a failed fetch leaves no trusted file behind") {

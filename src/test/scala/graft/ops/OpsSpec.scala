@@ -281,22 +281,52 @@ class OpsSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
-  test("multimodal: sniffed formats and batched stub decode") {
+  test("multimodal: real ImageIO/WAV decode reports the planted dimensions") {
+    import Multimodal.MediaGen
     val meta = Multimodal.mmMeta(spark, dir).collect()
     assert(meta.length === 7)
+    // columns: media_id, format, width, height, n_frames
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === MediaGen.format(id))
+      MediaGen.format(id) match {
+        case "wav" =>
+          assert((r.getInt(2), r.getInt(3)) === ((0, 0)))
+          val n = MediaGen.wavSampleCount(id)
+          assert(r.getInt(4) === (n + Multimodal.FrameSamples - 1) / Multimodal.FrameSamples)
+        case _ =>
+          // the decoded-back dims must equal the INTENDED dims — this
+          // is the non-circular check: encode and decode are
+          // independent JDK paths, and the expectation is arithmetic
+          assert(r.getInt(2) === MediaGen.imageWidth(id))
+          assert(r.getInt(3) === MediaGen.imageHeight(id))
+          assert(r.getInt(4) === 1)
+      }
+    }
+    // doc_id % 3: 1->jpeg, 2->wav, 3->png
     val byId = meta.map(r => r.getLong(0) -> r.getString(1)).toMap
-    // doc_id % 3: 1->jpeg(idx1), 2->wav, 3->png, ...
     assert(byId(3L) === "png")
     assert(byId(1L) === "jpeg")
     assert(byId(2L) === "wav")
-    val m1 = meta.filter(_.getLong(0) == 1).head
-    assert(m1.getLong(2) > 4) // magic + payload bytes
-    assert(m1.getInt(5) >= 1 && m1.getInt(5) <= 1920)
   }
 
-  test("multimodal resize: box-fit math, no upscale, deterministic") {
-    val rs = Multimodal.mmResize(spark, dir).collect()
-    assert(rs.length === 7)
+  test("multimodal: PNG pixels round-trip the codec exactly") {
+    import Multimodal.MediaGen
+    // PNG is lossless: decoding the generated payload must return the
+    // exact pixelAt values (JPEG is lossy — dims-only, checked above)
+    val id = 3L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaGen.payload(id)))
+    assert(img.getWidth === MediaGen.imageWidth(id))
+    for (x <- 0 until img.getWidth by 7; y <- 0 until img.getHeight by 5)
+      assert((img.getRGB(x, y) & 0xFFFFFF) === MediaGen.pixelAt(id, x, y),
+        s"pixel ($x,$y)")
+  }
+
+  test("multimodal resize: box-fit, no upscale, thumbs decode back to dst dims") {
+    val rs = Multimodal.resizeOf(Multimodal.mediaTable(spark, dir))
+      .orderBy("media_id").collect()
+    assert(rs.length === 5) // images only: wav (ids 2, 5) excluded
     rs.foreach { r =>
       val (sw, sh, dw, dh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
       assert(dw <= Multimodal.ResizeBox && dh <= Multimodal.ResizeBox)
@@ -308,33 +338,59 @@ class OpsSpec extends SparkSpec {
         assert(math.abs(dw - sw * scale) <= 0.5 + 1e-9)
         assert(math.abs(dh - sh * scale) <= 0.5 + 1e-9)
       } else assert(dw === sw && dh === sh)
+      // the thumb is a real PNG whose decoded dims ARE (dst_w, dst_h)
+      val thumb = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("thumb")))
+      assert(thumb.getWidth === dw && thumb.getHeight === dh)
     }
     // repartitioning the INPUT must not change the result — batch
     // boundaries form inside mapPartitions, so the input partitioning
-    // is what actually varies them
-    val again = Multimodal.resizeOf(
-        Multimodal.mediaTable(spark, dir).repartition(5))
-      .orderBy("media_id").collect()
-    assert(again.toSeq === Multimodal.mmResize(spark, dir).collect().toSeq)
+    // is what actually varies them (thumb bytes compared as Seq: PNG
+    // encode of identical pixels is deterministic within one JVM)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("media_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getInt(5), r.getAs[Array[Byte]](6).toSeq)).toSeq
+    assert(rows(Multimodal.resizeOf(
+        Multimodal.mediaTable(spark, dir).repartition(5))) ===
+      rows(Multimodal.resizeOf(Multimodal.mediaTable(spark, dir))))
   }
 
-  test("multimodal frame sample: every FrameStep-th frame, header-planned") {
+  test("multimodal frame sample: header-planned, real PCM peaks") {
+    import Multimodal.MediaGen
     val fs = Multimodal.mmFrameSample(spark, dir).collect()
     val byId = fs.groupBy(_.getLong(0))
-    // non-wav media have exactly one frame (frame 0)
-    val meta = Multimodal.mmMeta(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(6))).toMap
+    assert(byId.keySet === Set(2L, 5L)) // the wav docs
     byId.foreach { case (id, rows) =>
-      val (fmt, total) = meta(id)
+      val n = MediaGen.wavSampleCount(id)
+      val total = (n + Multimodal.FrameSamples - 1) / Multimodal.FrameSamples
       val idxs = rows.map(_.getInt(1)).sorted.toSeq
       assert(idxs === (0 until total by Multimodal.FrameStep).toSeq,
-        s"media $id ($fmt, $total frames): wrong sample plan $idxs")
-      rows.foreach(r => assert(r.getInt(2) === total))
-      // sampled-frame count is ceil(total/step) — decode cost scales
-      // with frames KEPT
-      assert(rows.length === (total + Multimodal.FrameStep - 1) / Multimodal.FrameStep)
+        s"media $id ($total frames): wrong sample plan $idxs")
+      rows.foreach { r =>
+        assert(r.getInt(2) === total)
+        // decoded peak == peak recomputed from the waveform's pure
+        // function (independent of the RIFF writer/parser pair)
+        val i = r.getInt(1)
+        val expect = (i * Multimodal.FrameSamples until
+            math.min((i + 1) * Multimodal.FrameSamples, n))
+          .map(k => math.abs(MediaGen.sampleAt(id, k))).max
+        assert(r.getInt(3) === expect, s"media $id frame $i peak")
+      }
     }
-    assert(byId.keySet === meta.keySet)
+  }
+
+  test("multimodal: WAV header parse on a hand-built fixture") {
+    val b = Multimodal.MediaGen.wavBytes(2L)
+    val h = Multimodal.JdkCodec.parseWav(b)
+    assert(h.channels === 1)
+    assert(h.sampleRate === Multimodal.MediaGen.SampleRate)
+    assert(h.bitsPerSample === 16)
+    assert(h.nSamples === Multimodal.MediaGen.wavSampleCount(2L))
+    // truncated payload fails loudly, not with garbage rows
+    intercept[IllegalArgumentException] {
+      Multimodal.JdkCodec.parseWav(b.take(b.length - 10))
+    }
   }
 
   test("native CosineSim matches the HOF formulation") {
