@@ -40,8 +40,14 @@ object Scale {
     big.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     System.err.println(s"[scale] corpus: ${n * copies} docs ($copies x $n) at $dir")
 
+    // the dedup family (exact-collapse dup-invariance is THE property
+    // under test) plus the two round-5 heavies whose bounded-window /
+    // broadcast claims deserve measured numbers on the same corpus:
+    // contamination broadcasts the test-split shingle set (which GROWS
+    // with the corpus here) and pack_contexts exercises the
+    // hierarchical offsets at forced fanout depth
     for (name <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_jaccard", "dedup_clusters")) {
+        "dedup_jaccard", "dedup_clusters", "contamination", "pack_contexts")) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -104,9 +104,12 @@ object Dedup {
     val c = shingleCorpus(s, dir); c.sets.join(sigsOf(c.sets), "doc_id")
   }
 
-  private def shingleCorpus(s: SparkSession, dir: String): ShingleCorpus = {
+  private def shingleCorpus(s: SparkSession, dir: String): ShingleCorpus =
+    shingleCorpusOf(Tables.load(s, dir, "documents"))
+
+  private def shingleCorpusOf(docs: DataFrame): ShingleCorpus = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("setkey")
-    val grouped = Tables.load(s, dir, "documents")
+    val grouped = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       // set identity = two independent hashes of the sorted id array
@@ -175,27 +178,15 @@ object Dedup {
     * docToRep with the rep-level result — no pairwise work at doc
     * granularity.
     */
-  def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val c = shingleCorpus(s, dir)
-    // checkpointed like jaccardPairs' prefix: the self-join consumes
-    // banded twice, re-running the band explode + cap window per side
-    val banded = capBuckets(sigsOf(c.sets)
-      .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bhash")),
-      Seq("band", "bhash"))
-      .localCheckpoint()
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val withSets = cand
-      .join(c.sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(c.sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
+  def dedupMinhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    dedupMinhashOn(Tables.load(s, dir, "documents"), threshold)
+
+  /** [[dedupMinhash]] on an arbitrary (doc_id, text) frame — the seam
+    * the planted-pair recall spec drives.
+    */
+  def dedupMinhashOn(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val c = shingleCorpusOf(docs)
+    val withSets = minhashPairs(c.sets, threshold)
     val neighborMin = withSets.select(col("a").as("rep"), col("b").as("nbr"))
       .unionByName(withSets.select(col("b").as("rep"), col("a").as("nbr")))
       .groupBy("rep").agg(min(col("nbr")).as("min_nbr"))
@@ -205,11 +196,39 @@ object Dedup {
         least(coalesce(col("min_nbr"), col("rep")), col("rep")).as("keep_rep"))
     // join base = raw table: docs with <3 tokens have no shingles (and
     // no rep) but must still appear with keep_id = themselves.
-    Tables.load(s, dir, "documents").select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(c.docToRep, Seq("doc_id"), "left")
       .join(repKeep, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("keep_rep"), col("doc_id")).as("keep_id"))
       .orderBy("doc_id")
+  }
+
+  /** Exact-Jaccard-verified candidate pairs (a < b, rep level) from
+    * the MinHash LSH banding — the probabilistic recall surface the
+    * planted-pair spec measures (a pair at jaccard j is a candidate
+    * with p = 1 - (1 - j^4)^16 under 16 bands x 4 rows: ~0.64 right
+    * AT a 0.5 threshold, >=0.97 from j ~ 0.65 up).
+    */
+  private[ops] def minhashPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    // checkpointed like jaccardPairs' prefix: the self-join consumes
+    // banded twice, re-running the band explode + cap window per side
+    val banded = capBuckets(sigsOf(sets)
+      .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bhash")),
+      Seq("band", "bhash"))
+      .localCheckpoint()
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per doc via the native one-pass
@@ -230,9 +249,12 @@ object Dedup {
     */
   private case class SimhashCorpus(docToRep: DataFrame, uniq: DataFrame)
 
-  private def simhashCorpus(s: SparkSession, dir: String): SimhashCorpus = {
+  private def simhashCorpus(s: SparkSession, dir: String): SimhashCorpus =
+    simhashCorpusOf(Tables.load(s, dir, "documents"))
+
+  private def simhashCorpusOf(docs: DataFrame): SimhashCorpus = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("tkey")
-    val grouped = Tables.load(s, dir, "documents")
+    val grouped = docs
       .select(col("doc_id"), col("text"))
       .withColumn("tkey", md5(col("text").cast("binary")))
       .withColumn("rep", min(col("doc_id")).over(w))
@@ -282,21 +304,38 @@ object Dedup {
     * across 4 bands at least one band matches exactly), verify with
     * bit_count(xor) <= 3.
     */
-  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val c = simhashCorpus(s, dir)
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    dedupSimhashOn(Tables.load(s, dir, "documents"), maxHamming)
+
+  /** Hamming-verified candidate pairs (a < b, rep level) from the
+    * 4x16-bit banding. For maxHamming <= 3 the banding loses NOTHING
+    * (pigeonhole: <= 3 differing bits can dirty at most 3 of the 4
+    * bands), so — unlike MinHash banding — recall here is exactly 1
+    * modulo [[capBuckets]]; the planted-pair spec asserts equality
+    * with the exact all-pairs answer, not a floor.
+    */
+  private[ops] def simhashPairs(uniq: DataFrame, maxHamming: Int): DataFrame = {
     // checkpointed for the same two-consumer reason as dedupMinhash
-    val banded = capBuckets(c.uniq.select(col("doc_id"), col("simhash"),
+    val banded = capBuckets(uniq.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 16) & 65535 as bhash))")).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
       .localCheckpoint()
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
         col("y.doc_id").as("b"), col("y.simhash").as("hb"))
       .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+  }
+
+  /** [[dedupSimhash]] on an arbitrary (doc_id, text) frame — the seam
+    * the planted-pair recall spec drives.
+    */
+  def dedupSimhashOn(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val c = simhashCorpusOf(docs)
+    val cand = simhashPairs(c.uniq, maxHamming)
     val neighborMin = cand.select(col("a").as("rep"), col("b").as("nbr"))
       .unionByName(cand.select(col("b").as("rep"), col("a").as("nbr")))
       .groupBy("rep").agg(min(col("nbr")).as("min_nbr"))

@@ -156,7 +156,50 @@ object TextOps {
       .orderBy(desc("cnt"), col("token"))
       .limit(k)
 
+  /** D9c: duplicate n-gram fraction — the Gopher-family repetition
+    * filter at the PHRASE level (Rae et al. 2021 §A1.1 use duplicate
+    * 2–4-gram character/ngram fractions; [[textQuality]]'s
+    * `distinct_ratio` is the single-token version). rep_ratio =
+    * 1 - distinct-3-grams / total-3-grams: looped generations and
+    * boilerplate repeat whole phrases, driving it toward 1, while
+    * prose sits near 0. Composes the native one-pass
+    * [[graft.functions.ShingleIds]] scan (distinct count) with plain
+    * arithmetic for the total — narrow projection, no shuffle, no new
+    * expression needed. Same 64-bit shingle-collision budget as the
+    * dedup/contamination oracles.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), "\\s+")) - 2, lit(0))
+          .cast("long").as("n_shingles"),
+        size(graft.functions.shingleIds(col("text")))
+          .cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
   val queries: Seq[Q] = Seq(
+    // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
+    // tokens contain no whitespace) — distinct-string count ==
+    // distinct-shingle-id count modulo the documented hash budget
+    Q("text_repetition", textRepetition, Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(string_split_regex(text, '\s+')) - 2, 0) AS BIGINT) AS n_shingles,
+        |    CAST(len(list_distinct(list_transform(
+        |      range(1, len(string_split_regex(text, '\s+')) - 1),
+        |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+2]))) AS BIGINT) AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_shingles, n_distinct,
+        |  CASE WHEN n_shingles > 0
+        |       THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |       ELSE 0.0 END AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin)),
     Q("text_tokens", textTokens, Some(
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,

@@ -266,6 +266,30 @@ class OpsSpec extends SparkSpec {
     assert(r(4L)._2 === 0) // a dotless host is not an email-shaped span
   }
 
+  test("text_repetition: looped phrases raise the ratio, prose stays at 0") {
+    import spark.implicits._
+    // the fixture docs have no repeated 3-grams => ratio exactly 0
+    val base = TextOps.textRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(base(1L)._3 === 0.0)
+    assert(base(1L)._1 === base(1L)._2) // total == distinct
+    assert(base(5L) === ((0L, 0L, 0.0))) // "too short": no shingles
+    // a looped generation: "spam ham eggs" x 20 => 58 total 3-grams,
+    // only 3 distinct phrase starts => ratio 55/58
+    val loopDir = Files.createTempDirectory("rep_spec").toString
+    val looped = Seq(
+      Doc(1, Seq.fill(20)("spam ham eggs").mkString(" "), "en", "s", 0),
+      Doc(2, "every word here is different from all other words", "en", "s", 0))
+      .toDF()
+    looped.write.mode("overwrite").parquet(s"$loopDir/documents.parquet")
+    val r = TextOps.textRepetition(spark, loopDir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._1 === 58L)
+    assert(r(1L)._2 === 3L)
+    assert(math.abs(r(1L)._3 - 55.0 / 58.0) < 1e-12)
+    assert(r(2L)._3 === 0.0)
+  }
+
   test("langid separates en and de") {
     val rows = TextOps.textLangId(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -391,6 +415,37 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.JdkCodec.parseWav(b.take(b.length - 10))
     }
+  }
+
+  test("chess_approx_players: HLL estimate within 5% of exact counts") {
+    // the one chess EDA twin that stays rows-only in the driver check
+    // (HLL is not DuckDB-reproducible) gets its floor here: the
+    // estimate must sit within ±5% of the exact distinct counts over
+    // the same corpus (HLL++ at relativeSD 0.05, and exact by sparse
+    // representation at this cardinality)
+    val games = graft.chess.ChessPipeline.parseGames(
+      spark.read.format("pgn").load(graft.chess.SamplePgn.ensureWritten()))
+    val exact = games.agg(
+      countDistinct(col("White")).as("w"),
+      countDistinct(col("Black")).as("b")).head()
+    val est = ChessQueries.chessApproxPlayers(spark, dir).head()
+    for ((e, x) <- Seq((est.getLong(0), exact.getLong(0)),
+        (est.getLong(1), exact.getLong(1))))
+      assert(math.abs(e - x) <= math.max(1L, math.round(0.05 * x)),
+        s"HLL estimate $e vs exact $x")
+  }
+
+  test("q_approx_distinct: HLL within 5% of the exact twin") {
+    // the events-analog HLL query gets the same tolerance floor as
+    // the chess twin above
+    val sf = "/root/testdata/sf0.001"
+    val est = Eda.qApproxDistinct(spark, sf).head()
+    val exactUsers = Eda.qDistinctExact(spark, sf).head().getLong(0)
+    val exactTypes = graft.Tables.events(spark, sf)
+      .agg(countDistinct(col("event_type"))).head().getLong(0)
+    for ((e, x) <- Seq((est.getLong(0), exactUsers), (est.getLong(1), exactTypes)))
+      assert(math.abs(e - x) <= math.max(1L, math.round(0.05 * x)),
+        s"HLL estimate $e vs exact $x")
   }
 
   test("native CosineSim matches the HOF formulation") {
