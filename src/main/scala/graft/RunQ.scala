@@ -14,7 +14,8 @@ object RunQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
     for (name <- args.tail) {
       val t0 = System.nanoTime()
       try {

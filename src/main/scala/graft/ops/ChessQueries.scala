@@ -170,18 +170,14 @@ object ChessQueries {
     val counts = games(s).select(winner.as("winner"))
       .filter(col("winner").isNotNull)
       .groupBy("winner").agg(count(lit(1)).as("cnt"))
-    counts.withColumn("proportion",
-        col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
+    Eda.withProportion(counts)
       .orderBy(desc("proportion"), col("winner"))
   }
 
   /** eda.ipynb "how did the game end?". */
   def chessTermination(s: SparkSession, dir: String): DataFrame = {
     val counts = games(s).groupBy("Termination").agg(count(lit(1)).as("cnt"))
-    counts.withColumn("proportion",
-        col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
+    Eda.withProportion(counts)
       .orderBy(desc("cnt"), col("Termination"))
   }
 

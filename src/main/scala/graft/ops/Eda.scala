@@ -38,16 +38,27 @@ object Eda {
       approx_count_distinct(col("user_id")).as("n_users_approx"),
       approx_count_distinct(col("event_type")).as("n_types_approx"))
 
+  /** Share-of-total over an already-aggregated tiny frame: broadcast
+    * the one-row grand total and divide, instead of an unpartitioned
+    * `sum over ()` window — identical values (long counts sum
+    * exactly; one double division either way), but no
+    * single-partition WindowExec (and none of its warning noise in
+    * every log). Used by both the driver-table and the chess EDA
+    * proportion queries.
+    */
+  private[ops] def withProportion(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("_total"))))
+      .withColumn("proportion",
+        col("cnt").cast("double") / col("_total").cast("double"))
+      .drop("_total")
+
   /** B3: recode map + share-of-total (winner proportions analog). */
   def qResultProportion(s: SparkSession, dir: String): DataFrame = {
     val status = when(col("o_orderstatus") === "O", "open")
       .when(col("o_orderstatus") === "F", "filled")
       .otherwise("pending").as("status")
     val counts = t(s, dir, "orders").groupBy(status).agg(count(lit(1)).as("cnt"))
-    counts
-      .withColumn("proportion",
-        col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
+    withProportion(counts)
       .orderBy(desc("proportion"), col("status"))
   }
 
@@ -55,10 +66,7 @@ object Eda {
   def qGroupDist(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(s, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
-    counts
-      .withColumn("proportion",
-        col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))).cast("double"))
+    withProportion(counts)
       .orderBy(desc("cnt"), col("event_type"))
   }
 

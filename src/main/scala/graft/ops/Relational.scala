@@ -100,15 +100,40 @@ object Relational {
     val daily = t(s, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(dec(col("o_totalprice"))).as("t"), count(lit(1)).as("n"))
-    // one row per DAY reaches this window (bounded by the calendar,
-    // not the corpus); the constant partition key keeps WindowExec
-    // from logging its single-partition warning for a frame that is
-    // bounded by construction
-    val w = Window.partitionBy(lit(0)).orderBy("day").rowsBetween(-6, 0)
+    // one row per DAY reaches this window — bounded by the calendar,
+    // not the corpus, so WindowExec's single-partition warning is a
+    // documented bounded case here (cf. the qNtile scale note; a
+    // constant partition key would not silence it — foldable keys are
+    // optimized out of the partition spec)
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
     daily.select(
         col("day"),
         col("t").cast("double").as("day_total"),
         (sum(col("t")).over(w).cast("double") / sum(col("n")).over(w).cast("double")).as("ma7"))
+      .orderBy("day")
+  }
+
+  /** C18: time-series gap fill — daily counts of a sparse event class
+    * with MISSING calendar days materialized as zero rows (the
+    * resample-to-daily step every time-series pipeline needs before
+    * windowed math; a rows-frame moving average like [[qMovingAvg]]
+    * is only calendar-correct on a gap-free spine). The calendar
+    * spine is generated from the observed min/max with `sequence()`
+    * — one tiny agg row exploded executor-side, never a driver loop —
+    * and left-joined; spine size is #days, broadcastable at any
+    * corpus scale.
+    */
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("day")
   }
 
@@ -700,6 +725,17 @@ object Relational {
         |       CAST(SUM(t) OVER w AS DOUBLE) / CAST(SUM(n) OVER w AS DOUBLE) AS ma7
         |FROM d
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin)),
+    Q("q_gapfill", qGapfill, Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT s.day, COALESCE(d.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN daily d USING (day)
         |ORDER BY day""".stripMargin)),
     Q("q_semi_join", qSemiJoin, Some(
       """SELECT c_custkey, c_name FROM customer

@@ -184,14 +184,22 @@ object Sampling {
     // so the materialization cost telescopes)
     val pk = perKey.localCheckpoint()
     if (pk.count() <= fanout) {
-      // at most `fanout` rows reach this single-task window; the
-      // constant partition key makes that boundedness explicit in the
-      // plan (an empty partitionSpec would log WindowExec's
-      // single-partition warning on every run despite being bounded
-      // by construction here)
-      val w = Window.partitionBy(lit(0)).orderBy("k")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pk.select(col("k"), coalesce(sum(col("v")).over(w), lit(0L)).as("off"))
+      // at most `fanout` rows remain: explicit single-slice running
+      // sum via a typed mapPartitions over the sorted rows — the same
+      // execution shape an unpartitioned window would use, WITHOUT
+      // WindowExec's single-partition warning flooding every bench /
+      // ingest log (the boundedness is by construction here, and a
+      // constant partition key does not silence it — foldable keys
+      // are optimized out of the partition spec before execution)
+      import pk.sparkSession.implicits._
+      pk.select(col("k").cast("long"), col("v").cast("long"))
+        .toDF("_1", "_2").as[(Long, Long)]
+        .coalesce(1).sortWithinPartitions("_1")
+        .mapPartitions { it =>
+          var run = 0L
+          it.map { case (key, v) => val off = run; run += v; (key, off) }
+        }
+        .toDF("k", "off")
     } else {
       val withSuper = pk.withColumn("sk", expr(s"k DIV ${fanout}L"))
       val localW = Window.partitionBy("sk").orderBy("k")

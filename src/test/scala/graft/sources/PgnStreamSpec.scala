@@ -37,6 +37,46 @@ class PgnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a stream tailing the staging dir sees exactly what Acquire publishes") {
+    // end-to-end over the REAL acquisition path: Acquire.fetchMonth
+    // stages through its dot-prefixed temp + atomic rename into a dir
+    // a stream is already tailing — the published .pgn.zst dump (and
+    // nothing else: no temp, no partial rows) must arrive exactly once
+    val staging = Files.createTempDirectory("acq_stream")
+    val mirror = Files.createTempDirectory("acq_stream_mirror")
+    val src = SamplePgn.ensureWritten()
+    def dumpOf(file: String, year: Int, month: Int): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(Files.readAllBytes(Paths.get(src, file))); z.close()
+      Files.write(
+        mirror.resolve(graft.chess.Acquire.monthlyDumpName(year, month)),
+        bos.toByteArray)
+    }
+    dumpOf("games_00.pgn", 2024, 1)
+    dumpOf("games_01.pgn", 2024, 2)
+
+    val stream = spark.readStream.format("pgn").load(staging.toString)
+      .select(element_at(col("tags"), "Site").as("site"))
+    val q = stream.writeStream.format("memory")
+      .queryName("acq_stream_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("acq_stream_t").count() === 0)
+      graft.chess.Acquire.fetchMonth(2024, 1, staging.toString,
+        baseUrl = Some(mirror.toUri.toString))
+      q.processAllAvailable()
+      assert(spark.table("acq_stream_t").count() === 50)
+      graft.chess.Acquire.fetchMonth(2024, 2, staging.toString,
+        baseUrl = Some(mirror.toUri.toString))
+      q.processAllAvailable()
+      assert(spark.table("acq_stream_t").count() === 100)
+      // exactly once, all rows complete games
+      assert(spark.table("acq_stream_t").select("site").distinct().count() === 100)
+      assert(spark.table("acq_stream_t").filter(col("site").isNull).count() === 0)
+    } finally q.stop()
+  }
+
   test("restart recovers from the offset log: no reprocessing, new files picked up") {
     val dir = Files.createTempDirectory("pgn_stream_restart")
     val ckpt = Files.createTempDirectory("pgn_stream_ckpt").toString
