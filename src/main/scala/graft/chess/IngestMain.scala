@@ -17,6 +17,20 @@ import org.apache.spark.sql.SparkSession
   * /tmp/graft_staging), honoring `GRAFT_DUMP_BASE_URL` as a mirror /
   * `file://` override, and the staged `.pgn.zst` is ingested.
   *
+  * `--include-moves`: the reference CLI's flag (ingest_lichess.py:34,
+  * default False): without it no Moves column is written
+  * (`MovesMode.Omitted`, the reference default); with it the first 3
+  * moves are kept (`MovesMode.Truncated` — the reference's True also
+  * truncates). `ChessPipeline.parseGames`'s own default stays
+  * Truncated for library callers (SURVEY A3 documents the
+  * divergence); the CLI matches the reference exactly.
+  *
+  * `--dir-ndjson=DIR`: the reference CLI's debug knob
+  * (ingest_lichess.py:37): additionally dump the parsed games as
+  * JSON lines (one subdir per input). Debug output only — the
+  * reference uses ndjson as its parser's internal spill format, which
+  * a columnar pipeline has no equivalent of.
+  *
   * `--start`/`--end`: the reference's RANGE entry point
   * (ingest_lichess.py:18-27 loops `range(start, end)` years × a month
   * list; flags at :31-33) — each month in the inclusive [start, end]
@@ -43,10 +57,12 @@ object IngestMain {
   private val MonthArg = """--month=(\d{4})-(\d{2})""".r
   private val StartArg = """--start=(\d{4})-(\d{2})""".r
   private val EndArg = """--end=(\d{4})-(\d{2})""".r
+  private val MovesFlag = "--include-moves"
+  private val NdjsonArg = """--dir-ndjson=(.+)""".r
 
   private val Usage =
-    "usage: IngestMain <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
-      "   or: IngestMain --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
+    "usage: IngestMain [--include-moves] [--dir-ndjson=DIR] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
+      "   or: IngestMain [--include-moves] [--dir-ndjson=DIR] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
 
   /** Inclusive month range (y1, m1) .. (y2, m2) in chronological
     * order, as the month index y*12 + (m-1) back-projected.
@@ -85,7 +101,7 @@ object IngestMain {
   }
 
   def main(args: Array[String]): Unit = {
-    validateArgs(args) // fail usage errors before Spark startup
+    validateArgs(args.filterNot(_ == MovesFlag)) // fail usage before Spark startup
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -104,8 +120,27 @@ object IngestMain {
     * drive it directly — the e2e path from `--month`/range staging
     * through the range-partitioned monthly sink).
     */
-  def run(spark: SparkSession, args: Array[String],
+  def run(spark: SparkSession, rawArgs: Array[String],
       stagingDir: String, baseUrl: Option[String]): Unit = {
+    // the reference CLI's --include-moves (ingest_lichess.py:34,
+    // default False): absent => no Moves column (MovesMode.Omitted,
+    // the reference default); present => first 3 moves
+    // (MovesMode.Truncated, the reference's include_moves=True —
+    // which also truncates, ingester.py:258-259). Position-free, like
+    // argparse.
+    val movesMode =
+      if (rawArgs.contains(MovesFlag)) ChessPipeline.MovesMode.Truncated
+      else ChessPipeline.MovesMode.Omitted
+    // the reference's --dir-ndjson debug knob (ingest_lichess.py:37,
+    // "only recommended for debugging"): also dump the PARSED GAMES
+    // as JSON lines — Spark's json sink IS ndjson — one subdir per
+    // input. In the reference ndjson is the parser's internal spill
+    // format; here the pipeline is columnar end-to-end, so this is
+    // debug output only, not a processing stage (no --ndjson-size:
+    // file sizing is the writer's partitioning).
+    val ndjsonDir = rawArgs.collectFirst { case NdjsonArg(d) => d }
+    val args = rawArgs.filterNot(a =>
+      a == MovesFlag || NdjsonArg.matches(a))
     validateArgs(args)
     args(0) match {
       case StartArg(y1, m1) =>
@@ -119,13 +154,15 @@ object IngestMain {
           java.nio.file.Files.createTempDirectory("graft_range_state").toString)
         for ((y, m) <- monthRange(y1.toInt, m1.toInt, y2.toInt, m2.toInt)) {
           val staged = Acquire.fetchMonth(y, m, stagingDir, baseUrl)
-          ingestOne(spark, staged.toString, outDir, Some(stateDir))
+          ingestOne(spark, staged.toString, outDir, Some(stateDir), movesMode,
+            ndjsonDir)
         }
       case MonthArg(y, m) =>
         val staged = Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl)
-        ingestOne(spark, staged.toString, args(1), args.lift(2))
+        ingestOne(spark, staged.toString, args(1), args.lift(2), movesMode,
+          ndjsonDir)
       case pgnPath =>
-        ingestOne(spark, pgnPath, args(1), args.lift(2))
+        ingestOne(spark, pgnPath, args(1), args.lift(2), movesMode, ndjsonDir)
     }
   }
 
@@ -133,7 +170,9 @@ object IngestMain {
     * prior-state read and crash-safe state write-back.
     */
   private def ingestOne(spark: SparkSession, pgnPath: String, outDir: String,
-      stateDir: Option[String]): Unit = {
+      stateDir: Option[String],
+      movesMode: ChessPipeline.MovesMode = ChessPipeline.MovesMode.Omitted,
+      ndjsonDir: Option[String] = None): Unit = {
     val prior = stateDir.flatMap { d =>
       val fs = new org.apache.hadoop.fs.Path(d)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -142,7 +181,11 @@ object IngestMain {
       StateSwap.resolve(fs, d).map(p => spark.read.parquet(p.toString))
     }
     val raw = spark.read.format("pgn").load(pgnPath)
-    val games = ChessPipeline.parseGames(raw)
+    val games = ChessPipeline.parseGames(raw, movesMode)
+    ndjsonDir.foreach { d =>
+      val name = new org.apache.hadoop.fs.Path(pgnPath).getName
+      games.write.mode("overwrite").json(s"$d/$name")
+    }
     ChessPipeline.writePartitioned(
       ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior)), outDir)
     stateDir.foreach { d =>

@@ -152,6 +152,30 @@ class AcquireSpec extends graft.SparkSpec {
     assert(state(stateA) === state(stateB))
   }
 
+  test("--include-moves matches the reference CLI: absent drops Moves, present truncates") {
+    val src = SamplePgn.ensureWritten()
+    val staging = Files.createTempDirectory("moves_staging").toString
+    // default = reference include_moves=False: NO Moves column
+    val out1 = Files.createTempDirectory("moves_off").toString
+    IngestMain.run(spark, Array(src, out1), staging, None)
+    assert(!spark.read.parquet(out1).columns.contains("Moves"))
+    // flag = reference True: Moves present AND truncated at move 4;
+    // --dir-ndjson dumps the parsed games as JSON lines alongside
+    val out2 = Files.createTempDirectory("moves_on").toString
+    val nd = Files.createTempDirectory("ndjson_dbg").toString
+    IngestMain.run(spark,
+      Array("--include-moves", s"--dir-ndjson=$nd", src, out2), staging, None)
+    val withMoves = spark.read.parquet(out2)
+    assert(withMoves.columns.contains("Moves"))
+    val moves = withMoves.select("Moves").collect().map(_.getString(0))
+    assert(moves.nonEmpty && moves.forall(m => m.nonEmpty && !m.contains("4.")))
+    // the ndjson debug dump holds every parsed GAME (pre-doubling) as
+    // one JSON object per line
+    val back = spark.read.json(s"$nd/*")
+    assert(back.count() === withMoves.count() / 2)
+    assert(back.columns.contains("Moves"))
+  }
+
   test("a failed fetch leaves no trusted file behind") {
     val staging = Files.createTempDirectory("graft_staging2").toString
     val missing = Files.createTempDirectory("empty_mirror")
