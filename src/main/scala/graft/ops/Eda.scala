@@ -43,14 +43,21 @@ object Eda {
     * `sum over ()` window — identical values (long counts sum
     * exactly; one double division either way), but no
     * single-partition WindowExec (and none of its warning noise in
-    * every log). Used by both the driver-table and the chess EDA
-    * proportion queries.
+    * every log). The counts frame is localCheckpoint'ed first: it
+    * feeds BOTH the row side and the grand-total side, and without
+    * materialization each side would re-run the full corpus
+    * aggregation beneath it (plan-audited: two parquet scans — at
+    * 100 TB that doubles the query; the checkpoint is #groups rows).
+    * Used by both the driver-table and the chess EDA proportion
+    * queries.
     */
-  private[ops] def withProportion(counts: DataFrame): DataFrame =
-    counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("_total"))))
+  private[ops] def withProportion(counts: DataFrame): DataFrame = {
+    val c = counts.localCheckpoint()
+    c.crossJoin(broadcast(c.agg(sum(col("cnt")).as("_total"))))
       .withColumn("proportion",
         col("cnt").cast("double") / col("_total").cast("double"))
       .drop("_total")
+  }
 
   /** B3: recode map + share-of-total (winner proportions analog). */
   def qResultProportion(s: SparkSession, dir: String): DataFrame = {

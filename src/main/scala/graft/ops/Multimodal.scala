@@ -106,7 +106,10 @@ object Multimodal {
         y += 1
       }
       val baos = new ByteArrayOutputStream()
-      ImageIO.write(img, if (fmt == "jpeg") "jpg" else "png", baos)
+      // ImageIO.write returns FALSE (no exception) when no writer
+      // handles the format — that would silently yield empty payloads
+      require(ImageIO.write(img, if (fmt == "jpeg") "jpg" else "png", baos),
+        s"no ImageIO writer for $fmt")
       baos.toByteArray
     }
 
@@ -260,7 +263,7 @@ object Multimodal {
         g.drawImage(img, 0, 0, dw, dh, null)
       } finally g.dispose()
       val baos = new ByteArrayOutputStream()
-      ImageIO.write(out, "png", baos)
+      require(ImageIO.write(out, "png", baos), "no ImageIO png writer")
       Resized(m.media_id, m.format, sw, sh, dw, dh, baos.toByteArray)
     }
 
