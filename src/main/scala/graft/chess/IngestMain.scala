@@ -100,8 +100,15 @@ object IngestMain {
     }
   }
 
+  /** Positional args with the position-free flags removed — main and
+    * run MUST share this, or a flag order main rejects would be one
+    * run accepts.
+    */
+  private def stripFlags(args: Array[String]): Array[String] =
+    args.filterNot(a => a == MovesFlag || NdjsonArg.matches(a))
+
   def main(args: Array[String]): Unit = {
-    validateArgs(args.filterNot(_ == MovesFlag)) // fail usage before Spark startup
+    validateArgs(stripFlags(args)) // fail usage errors before Spark startup
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -139,8 +146,7 @@ object IngestMain {
     // debug output only, not a processing stage (no --ndjson-size:
     // file sizing is the writer's partitioning).
     val ndjsonDir = rawArgs.collectFirst { case NdjsonArg(d) => d }
-    val args = rawArgs.filterNot(a =>
-      a == MovesFlag || NdjsonArg.matches(a))
+    val args = stripFlags(rawArgs)
     validateArgs(args)
     args(0) match {
       case StartArg(y1, m1) =>

@@ -38,6 +38,12 @@ object StreamIngest {
   /** Start the continuous ingest; the returned query runs until
     * stopped. `checkpointDir` is the streaming offset log (restart
     * resumes there); `stateDir` carries the per-player counters.
+    *
+    * `checkpointDir` and `stateDir` must live and die TOGETHER: the
+    * replay protection compares this stream's batch ids against the
+    * marker in the state copy, so pointing a FRESH checkpoint (ids
+    * restart at 0) at an old state dir would silently skip batches.
+    * Starting over means clearing both (and the sink).
     */
   def start(spark: SparkSession, stagingDir: String, outDir: String,
       stateDir: String, checkpointDir: String,
