@@ -37,13 +37,7 @@ object Bench {
       out.toString)
     val dt = (System.nanoTime() - t0) / 1e9
     // don't bloat /tmp across the 4 timed+warm-up runs
-    locally {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(out))(
-          _.iterator().asScala.toSeq)
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    LocalFs.deleteRecursively(out)
     dt
   }
 

@@ -394,19 +394,29 @@ object ChessPipeline {
     * spark.sql.shuffle.partitions decide — at cluster scale size it so
     * each task writes ~128 MB–1 GB).
     */
+  /** `extraPartitionCols`: additional partition key(s) UNDER
+    * year_month — the streaming ingest passes its batch id so that
+    * dynamic overwrite stays idempotent per batch without letting a
+    * later batch of the SAME month replace an earlier one's rows
+    * (a month split across two micro-batches must accumulate, not
+    * clobber). Constant within a batch, so the range partitioning
+    * and in-task sort below are unaffected.
+    */
   def writePartitioned(df: DataFrame, outDir: String,
-      numFiles: Option[Int] = None): Unit =
+      numFiles: Option[Int] = None,
+      extraPartitionCols: Seq[String] = Nil): Unit =
     partitionedForWrite(df, numFiles)
       .write.mode("overwrite")
-      // DYNAMIC partition overwrite: only the year_month partitions
-      // present in THIS batch are replaced — a month-by-month
-      // incremental ingest (IngestMain range runs) appends new months
-      // without clobbering earlier ones, and re-running a crashed
-      // month is idempotent (its partitions are replaced, not
-      // doubled). Assumes dumps are month-aligned, which lichess's
-      // are: the month-M dump holds exactly games played in M.
+      // DYNAMIC partition overwrite: only the partitions present in
+      // THIS batch are replaced — a month-by-month incremental ingest
+      // (IngestMain range runs) appends new months without clobbering
+      // earlier ones, and re-running a crashed month is idempotent
+      // (its partitions are replaced, not doubled). The batch CLI
+      // assumes dumps are month-aligned, which lichess's are: the
+      // month-M dump holds exactly games played in M; the streaming
+      // path drops that assumption via `extraPartitionCols`.
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("year_month")
+      .partitionBy(("year_month" +: extraPartitionCols): _*)
       .parquet(outDir)
 
   /** The pre-write plan of [[writePartitioned]], exposed so PlanSpec

@@ -43,7 +43,13 @@ import org.apache.spark.sql.SparkSession
   * same ranges are expressible, without the surprise of `--end`'s
   * year never being processed. If no `stateDir` is given, the carry
   * still happens through a run-local state dir; pass one to make the
-  * range resumable across invocations too.
+  * range resumable across invocations too: months recorded in the
+  * committed state's applied-id set ([[StateSwap.Applied]]) are
+  * SKIPPED on a re-run (the reference's "exists. Skipping" check,
+  * ingest_lichess.py:24-26, keyed on the state commit so a crashed
+  * range resumes without double-applying committed months' games to
+  * the counters — re-ingesting a month from scratch means clearing
+  * the state dir and the sink together).
   *
   * With `stateDir`: reads the prior [[ChessPipeline.statsState]] table
   * if present (counters continue across runs exactly as the
@@ -159,18 +165,47 @@ object IngestMain {
         val stateDir = args.lift(3).getOrElse(
           java.nio.file.Files.createTempDirectory("graft_range_state").toString)
         for ((y, m) <- monthRange(y1.toInt, m1.toInt, y2.toInt, m2.toInt)) {
-          val staged = Acquire.fetchMonth(y, m, stagingDir, baseUrl)
-          ingestOne(spark, staged.toString, outDir, Some(stateDir), movesMode,
-            ndjsonDir)
+          // already-applied months are skipped BEFORE fetching (the
+          // reference's "exists. Skipping" check,
+          // ingest_lichess.py:24-26, keyed on committed STATE rather
+          // than output existence) — which is also what makes a
+          // crashed range re-run safe: committed months are no-ops
+          // instead of double-applying their games to the counters
+          if (!alreadyApplied(spark, Some(stateDir), monthId(y, m))) {
+            val staged = Acquire.fetchMonth(y, m, stagingDir, baseUrl)
+            ingestOne(spark, staged.toString, outDir, Some(stateDir), movesMode,
+              ndjsonDir, appliedId = Some(monthId(y, m)))
+          } else
+            System.err.println(f"[ingest] $y%04d-$m%02d already applied. Skipping...")
         }
       case MonthArg(y, m) =>
-        val staged = Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl)
-        ingestOne(spark, staged.toString, args(1), args.lift(2), movesMode,
-          ndjsonDir)
+        val id = monthId(y.toInt, m.toInt)
+        if (!alreadyApplied(spark, args.lift(2), id)) {
+          val staged = Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl)
+          ingestOne(spark, staged.toString, args(1), args.lift(2), movesMode,
+            ndjsonDir, appliedId = Some(id))
+        } else
+          System.err.println(s"[ingest] ${args(0).stripPrefix("--month=")} already applied. Skipping...")
       case pgnPath =>
+        // arbitrary-path inputs have no natural work-unit id: no skip
         ingestOne(spark, pgnPath, args(1), args.lift(2), movesMode, ndjsonDir)
     }
   }
+
+  private def monthId(y: Int, m: Int): Long = y.toLong * 12 + (m - 1)
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Is this work unit already folded into the committed state? */
+  private def alreadyApplied(spark: SparkSession, stateDir: Option[String],
+      id: Long): Boolean =
+    stateDir.exists { d =>
+      val fs = fsFor(spark, d)
+      StateSwap.resolve(fs, d)
+        .exists(p => StateSwap.appliedIds(fs, p).contains(id))
+    }
 
   /** One PGN input → the month-partitioned sink, with the optional
     * prior-state read and crash-safe state write-back.
@@ -178,31 +213,41 @@ object IngestMain {
   private def ingestOne(spark: SparkSession, pgnPath: String, outDir: String,
       stateDir: Option[String],
       movesMode: ChessPipeline.MovesMode = ChessPipeline.MovesMode.Omitted,
-      ndjsonDir: Option[String] = None): Unit = {
-    val prior = stateDir.flatMap { d =>
-      val fs = new org.apache.hadoop.fs.Path(d)
-        .getFileSystem(spark.sessionState.newHadoopConf())
+      ndjsonDir: Option[String] = None,
+      appliedId: Option[Long] = None): Unit = {
+    val curState = stateDir.flatMap { d =>
       // StateSwap.resolve recovers the committed copy after a crash at
       // any point of a previous run's commit
-      StateSwap.resolve(fs, d).map(p => spark.read.parquet(p.toString))
+      StateSwap.resolve(fsFor(spark, d), d)
     }
+    val prior = curState.map(p => spark.read.parquet(p.toString))
     val raw = spark.read.format("pgn").load(pgnPath)
-    val games = ChessPipeline.parseGames(raw, movesMode)
-    ndjsonDir.foreach { d =>
-      val name = new org.apache.hadoop.fs.Path(pgnPath).getName
-      games.write.mode("overwrite").json(s"$d/$name")
-    }
-    ChessPipeline.writePartitioned(
-      ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior)), outDir)
-    stateDir.foreach { d =>
-      // stage the updated state, then run the crash-safe three-step
-      // swap (see StateSwap: a crash at any point leaves a committed
-      // copy that resolve() finds on the next run)
-      ChessPipeline.statsState(games, prior)
-        .write.mode("overwrite").parquet(s"$d/${StateSwap.Next}")
-      val fs = new org.apache.hadoop.fs.Path(d)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      StateSwap.commit(fs, d)
-    }
+    // parsed once: the sink, the state aggregation and the optional
+    // ndjson dump all consume `games` — uncached, each would re-run
+    // the full decompress+parse (the dominant cost of an ingest)
+    val games = ChessPipeline.parseGames(raw, movesMode).cache()
+    try {
+      ndjsonDir.foreach { d =>
+        val name = new org.apache.hadoop.fs.Path(pgnPath).getName
+        games.write.mode("overwrite").json(s"$d/$name")
+      }
+      ChessPipeline.writePartitioned(
+        ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior)), outDir)
+      stateDir.foreach { d =>
+        // stage the updated state (counters + carried applied-id set),
+        // then run the crash-safe three-step swap (see StateSwap: a
+        // crash at any point leaves a committed copy that resolve()
+        // finds on the next run)
+        val next = s"$d/${StateSwap.Next}"
+        ChessPipeline.statsState(games, prior)
+          .write.mode("overwrite").parquet(next)
+        val fs = fsFor(spark, d)
+        val applied = curState
+          .map(p => StateSwap.appliedIds(fs, p)).getOrElse(Set.empty)
+        StateSwap.writeApplied(fs, new org.apache.hadoop.fs.Path(next),
+          applied ++ appliedId)
+        StateSwap.commit(fs, d)
+      }
+    } finally games.unpersist()
   }
 }

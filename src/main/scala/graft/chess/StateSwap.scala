@@ -20,6 +20,36 @@ object StateSwap {
   val Old = "player_state_old"
   val Next = "player_state_next"
 
+  /** Applied-work marker: the ids of work units (stream batch ids,
+    * range month indexes) already folded into a state copy's
+    * counters, stored as a newline-separated `_applied` file INSIDE
+    * the copy — underscore-prefixed so parquet readers ignore it, and
+    * committed ATOMICALLY with the counters it describes by the same
+    * directory swap. Re-applying an id in the set would double-count
+    * its games, so ingest drivers check it before applying and carry
+    * it forward on every commit. Id spaces are driver-local (stream
+    * batch ids vs month indexes): one driver owns a state dir.
+    */
+  val Applied = "_applied"
+
+  def appliedIds(fs: FileSystem, stateCopy: Path): Set[Long] = {
+    val p = new Path(stateCopy, Applied)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  def writeApplied(fs: FileSystem, stateCopy: Path, ids: Set[Long]): Unit = {
+    val out = fs.create(new Path(stateCopy, Applied), true)
+    try out.write(ids.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** The last committed state, if any: `cur` normally; `old` if a
     * crash hit between the retire and the final rename.
     *

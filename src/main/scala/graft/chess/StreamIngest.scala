@@ -1,8 +1,6 @@
 package graft.chess
 
-import java.nio.charset.StandardCharsets.UTF_8
-
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -16,13 +14,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Exactly-once across crashes: `foreachBatch` replays a batch whose
   * streaming offset was not yet committed, so the state commit
-  * records the applied batch id INSIDE the committed state copy
-  * (`_applied_batch`, an underscore file parquet readers ignore).
-  * Replays are then no-ops ([[applyBatch]] checks the marker first),
-  * and a crash BEFORE the state commit re-runs both writes — safe,
-  * because the sink's dynamic partition overwrite is idempotent for
-  * the same batch over the same prior state. Either way each dump's
-  * games are applied to the counters exactly once.
+  * records the applied batch ids INSIDE the committed state copy
+  * ([[StateSwap.Applied]], an underscore file parquet readers
+  * ignore, swapped atomically WITH the counters). Replays are then
+  * no-ops ([[applyBatch]] checks the set first), and a crash BEFORE
+  * the state commit re-runs both writes — safe, because the sink
+  * partitions by (year_month, ingest_batch): dynamic overwrite
+  * replaces exactly this batch's own partitions on a re-run, and a
+  * month whose games arrive across SEVERAL batches accumulates one
+  * subdirectory per batch instead of the last batch clobbering the
+  * earlier ones. Either way each dump's games land in the sink and
+  * the counters exactly once.
   *
   * This is the architecture a 100 TB continuous pipeline wants: the
   * incremental core stays one battle-tested BATCH path (identical
@@ -32,8 +34,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * to drift.
   */
 object StreamIngest {
-
-  private val Marker = "_applied_batch"
 
   /** Start the continuous ingest; the returned query runs until
     * stopped. `checkpointDir` is the streaming offset log (restart
@@ -66,33 +66,22 @@ object StreamIngest {
       movesMode: ChessPipeline.MovesMode): Unit = {
     val fs = new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
     val cur = StateSwap.resolve(fs, stateDir)
-    if (cur.exists(p => readMarker(fs, p).exists(_ >= batchId)))
+    val applied = cur.map(p => StateSwap.appliedIds(fs, p)).getOrElse(Set.empty)
+    if (applied.contains(batchId))
       return // replayed batch, already fully applied and committed
     val prior = cur.map(p => spark.read.parquet(p.toString))
-    val games = ChessPipeline.parseGames(rawBatch, movesMode)
-    ChessPipeline.writePartitioned(
-      ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior)),
-      outDir)
-    val next = s"$stateDir/${StateSwap.Next}"
-    ChessPipeline.statsState(games, prior)
-      .write.mode("overwrite").parquet(next)
-    writeMarker(fs, new Path(next), batchId)
-    StateSwap.commit(fs, stateDir)
-  }
-
-  private def readMarker(fs: FileSystem, stateCopy: Path): Option[Long] = {
-    val p = new Path(stateCopy, Marker)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), UTF_8).trim.toLong)
-      finally in.close()
-    }
-  }
-
-  private def writeMarker(fs: FileSystem, stateCopy: Path, batchId: Long): Unit = {
-    val out = fs.create(new Path(stateCopy, Marker), true)
-    try out.write(batchId.toString.getBytes(UTF_8))
-    finally out.close()
+    // parsed once, consumed twice (sink + state aggregation)
+    val games = ChessPipeline.parseGames(rawBatch, movesMode).cache()
+    try {
+      ChessPipeline.writePartitioned(
+        ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior))
+          .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
+        outDir, extraPartitionCols = Seq("ingest_batch"))
+      val next = s"$stateDir/${StateSwap.Next}"
+      ChessPipeline.statsState(games, prior)
+        .write.mode("overwrite").parquet(next)
+      StateSwap.writeApplied(fs, new Path(next), applied + batchId)
+      StateSwap.commit(fs, stateDir)
+    } finally games.unpersist()
   }
 }

@@ -44,17 +44,6 @@ object ChessQueries {
       .toString
     @volatile private var checked = false
 
-    private def deleteRecursively(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        // Files.walk's documented contract is try-with-resources: the
-        // stream holds directory handles until closed, not until GC
-        scala.util.Using.resource(java.nio.file.Files.walk(p))(
-          _.iterator().asScala.toSeq)
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-
     def apply(s: SparkSession): DataFrame = {
       if (!checked) synchronized {
         if (!checked) {
@@ -81,7 +70,7 @@ object ChessQueries {
                   if (!java.nio.file.Files.exists(dest.resolve("_SUCCESS")))
                     throw e
               }
-            } finally deleteRecursively(tmp)
+            } finally graft.LocalFs.deleteRecursively(tmp)
           }
           checked = true
         }

@@ -43,16 +43,19 @@ object Eda {
     * `sum over ()` window — identical values (long counts sum
     * exactly; one double division either way), but no
     * single-partition WindowExec (and none of its warning noise in
-    * every log). The counts frame is localCheckpoint'ed first: it
-    * feeds BOTH the row side and the grand-total side, and without
-    * materialization each side would re-run the full corpus
-    * aggregation beneath it (plan-audited: two parquet scans — at
-    * 100 TB that doubles the query; the checkpoint is #groups rows).
+    * every log). The counts frame is cache()'d: it feeds BOTH the row
+    * side and the grand-total side, and without materialization each
+    * side would re-run the full corpus aggregation beneath it
+    * (plan-audited: two parquet scans — at 100 TB that doubles the
+    * query). cache() rather than localCheckpoint(): lazy (building
+    * the plan doesn't run a job), evictable AND recomputable (a
+    * checkpoint's blocks are pinned until the session ends — the
+    * accumulation failure mode the CC loop had to unpersist by hand).
     * Used by both the driver-table and the chess EDA proportion
     * queries.
     */
   private[ops] def withProportion(counts: DataFrame): DataFrame = {
-    val c = counts.localCheckpoint()
+    val c = counts.cache()
     c.crossJoin(broadcast(c.agg(sum(col("cnt")).as("_total"))))
       .withColumn("proportion",
         col("cnt").cast("double") / col("_total").cast("double"))

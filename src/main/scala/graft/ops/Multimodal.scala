@@ -275,9 +275,11 @@ object Multimodal {
       * frames KEPT, not frames stored (the entire point of
       * header-planned sampling at 100 TB). frame_peak = max |sample|
       * over the frame, the real decoded value the oracle recomputes.
+      * Takes the already-parsed header so the planner and the decoder
+      * share ONE chunk walk per payload (and can never disagree).
       */
-    def decodeFrames(m: MediaIn, idxs: Seq[Int], total: Int): Seq[Frame] = {
-      val h = parseWav(m.media)
+    def decodeFrames(m: MediaIn, h: WavHeader, idxs: Seq[Int],
+        total: Int): Seq[Frame] = {
       require(h.channels == 1 && h.bitsPerSample == 16,
         s"frame sampler expects 16-bit mono PCM, got ${h.bitsPerSample}-bit x${h.channels}")
       idxs.map { i =>
@@ -354,8 +356,9 @@ object Multimodal {
       .filter(col("format") === "wav")
       .as[MediaIn]
       .mapPartitions(_.flatMap { m =>
-        val total = JdkCodec.frameCount(m)
-        JdkCodec.decodeFrames(m, 0 until total by FrameStep, total)
+        val h = JdkCodec.parseWav(m.media) // one chunk walk: plan + decode
+        val total = h.frameCount(FrameSamples)
+        JdkCodec.decodeFrames(m, h, 0 until total by FrameStep, total)
       })
       .toDF()
       .orderBy("media_id", "frame_idx")

@@ -152,6 +152,44 @@ class AcquireSpec extends graft.SparkSpec {
     assert(state(stateA) === state(stateB))
   }
 
+  test("re-running a range skips committed months — no double counting") {
+    val mirror = Files.createTempDirectory("resume_mirror")
+    val dump = (1 to 2).map(i =>
+      s"""[Event "Rated Blitz game"]
+         |[Site "https://lichess.org/resume$i"]
+         |[White "alice"]
+         |[Black "bob"]
+         |[Result "1-0"]
+         |[UTCDate "2024.03.0$i"]
+         |[UTCTime "10:00:00"]
+         |[WhiteElo "1500"]
+         |[BlackElo "1400"]
+         |[ECO "A00"]
+         |[Opening "Polish Opening"]
+         |[TimeControl "300+0"]
+         |[Termination "Normal"]
+         |
+         |1. e4 e5 1-0
+         |""".stripMargin).mkString("\n")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(dump.getBytes("UTF-8")); z.close()
+    Files.write(mirror.resolve(Acquire.monthlyDumpName(2024, 3)), bos.toByteArray)
+
+    val out = Files.createTempDirectory("resume_out").toString
+    val state = Files.createTempDirectory("resume_state").toString
+    val staging = Files.createTempDirectory("resume_staging").toString
+    val args = Array("--start=2024-03", "--end=2024-03", out, state)
+    IngestMain.run(spark, args, staging, Some(mirror.toUri.toString))
+    // the re-run a user issues after a crash later in a longer range:
+    // the committed month must be a no-op, not a double-apply
+    IngestMain.run(spark, args, staging, Some(mirror.toUri.toString))
+    val df = spark.read.parquet(out)
+    assert(df.count() === 4) // 2 games x 2 roles, once
+    assert(df.filter(col("Player") === "alice")
+      .agg(max(col("Player_cum_games_total"))).head().getInt(0) === 2)
+  }
+
   test("--include-moves matches the reference CLI: absent drops Moves, present truncates") {
     val src = SamplePgn.ensureWritten()
     val staging = Files.createTempDirectory("moves_staging").toString

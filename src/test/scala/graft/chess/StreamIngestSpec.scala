@@ -63,14 +63,47 @@ class StreamIngestSpec extends graft.SparkSpec {
     assert(lastApril === 4)
 
     // and the whole output is row-identical to the BATCH driver run
-    // over the same two dumps in sequence
+    // over the same two dumps in sequence (modulo the streaming
+    // sink's extra ingest_batch partition column)
     val outB = Files.createTempDirectory("si_batch_out").toString
     val stateB = Files.createTempDirectory("si_batch_state").toString
     IngestMain.run(spark,
       Array(staging.resolve("m1.pgn").toString, outB, stateB), "/tmp", None)
     IngestMain.run(spark,
       Array(staging.resolve("m2.pgn").toString, outB, stateB), "/tmp", None)
-    assert(rows(out) === rows(outB))
+    def noBatchCol(dir: String) = {
+      val df = spark.read.parquet(dir).drop("ingest_batch")
+      df.orderBy("ID", "Role_player")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    }
+    assert(noBatchCol(out) === noBatchCol(outB))
+  }
+
+  test("a month split across two micro-batches accumulates — no clobber") {
+    val staging = Files.createTempDirectory("sm_staging")
+    val out = Files.createTempDirectory("sm_out").toString
+    val state = Files.createTempDirectory("sm_state").toString
+    val ckpt = Files.createTempDirectory("sm_ckpt").toString
+    val q = StreamIngest.start(spark, staging.toString, out, state, ckpt)
+    try {
+      // SAME game-month (2024-03) published as two separate files at
+      // different times: under plain year_month dynamic overwrite the
+      // second batch would silently REPLACE the first one's rows
+      Files.writeString(staging.resolve("a.pgn"),
+        gameTxt(1, "2024.03.05") + "\n" + gameTxt(2, "2024.03.10"))
+      q.processAllAvailable()
+      Files.writeString(staging.resolve("b.pgn"),
+        gameTxt(3, "2024.03.15") + "\n" + gameTxt(4, "2024.03.20"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.read.parquet(out)
+    assert(all.count() === 8) // all 4 games x 2 roles survived
+    assert(all.select("year_month").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("2024_03"))
+    // counters ran across the two batches of the one month
+    val lastCum = all.filter(col("Player") === "alice")
+      .agg(max(col("Player_cum_games_total"))).head().getInt(0)
+    assert(lastCum === 4)
   }
 
   test("replaying a committed batch is a no-op (crash between state commit and offset commit)") {
