@@ -244,6 +244,47 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** D19: temperature-based language rebalancing (the mT5/multilingual
+    * data-mixing stage, Xue et al. 2021 §3.1): sample languages with
+    * probability ∝ p_l^α (α < 1 upsamples low-resource languages
+    * relative to their natural share), materialized deterministically —
+    * per-language budgets k_l = ⌊budget · n_l^α / Σ n_l^α⌋ (n_l^α
+    * renormalized IS p_l^α renormalized), then the k_l smallest-hash
+    * docs per language, the [[sampleStratified]] selection rule with a
+    * computed k per stratum.
+    *
+    * Cross-engine exactness: α = 0.5 computes weights with `sqrt`
+    * (IEEE-exact in both engines, unlike `pow`), and the weight-sum
+    * folds over the LANG-SORTED weight list so both engines add in the
+    * same order — float addition is not associative, and a grouped
+    * SUM() leaves the order to the engine. Scale shape: counts and
+    * budgets are #languages rows (driver-free, broadcast); the
+    * selection is the one stratified-sample shuffle.
+    */
+  def sampleTemperature(s: SparkSession, dir: String, budget: Long = 250L,
+      alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val weighted = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("w",
+        if (alpha == 0.5) sqrt(col("n_l").cast("double"))
+        else pow(col("n_l").cast("double"), lit(alpha)))
+    val tot = weighted
+      .agg(aggregate(array_sort(collect_list(struct(col("lang"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("tot"))
+    val budgets = weighted.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(col("n_l"),
+          floor(lit(budget.toDouble) * col("w") / col("tot")).cast("long")).as("k_l"))
+    val byHash = Window.partitionBy("lang")
+      .orderBy(col("hk"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), hexKey(col("doc_id"), "temp:").as("hk"))
+      .withColumn("rk", row_number().over(byHash).cast("long"))
+      .join(broadcast(budgets), "lang")
+      .filter(col("rk") <= col("k_l"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   private def tokensSql =
     raw"""CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)"""
 
@@ -297,6 +338,27 @@ object Sampling {
         |SELECT doc_id, count(*) AS n_common
         |FROM train_g JOIN test_sh USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // list_reduce over the lang-ORDERED weight list = Spark's fold
+    // over the lang-sorted collect_list: both engines sum the weights
+    // left to right in the same order (see sampleTemperature scaladoc)
+    Q("sample_temperature", (s, d) => sampleTemperature(s, d), Some(
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT list_reduce(list(sqrt(CAST(n_l AS DOUBLE)) ORDER BY lang),
+        |                     (a, b) -> a + b) AS tot FROM c),
+        |k AS (
+        |  SELECT lang, least(n_l,
+        |           CAST(floor(250 * sqrt(CAST(n_l AS DOUBLE)) / s.tot) AS BIGINT)) AS k_l
+        |  FROM c, s),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang
+        |FROM r JOIN k USING (lang) WHERE rk <= k_l ORDER BY doc_id""".stripMargin)),
     Q("pack_contexts", (s, d) => packContexts(s, d), Some(
       s"""WITH t AS (
         |  SELECT doc_id, $tokensSql AS tokens FROM documents),

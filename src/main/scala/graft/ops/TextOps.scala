@@ -181,6 +181,54 @@ object TextOps {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
 
+  /** D9d: cross-document duplicate span detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * per doc, how many of its distinct word-3-grams appear in at
+    * least one OTHER document, and the fraction they make up. The
+    * pairwise dedup family answers "which docs are near-dups"; this
+    * answers the span-level question "how much of THIS doc is
+    * boilerplate shared with the rest of the corpus" — the signal
+    * behind substring-level dedup and boilerplate filters.
+    *
+    * Scale shape: exact-dup collapse first (the dedup-family
+    * invariant — a gram's doc count splits into "my exact copies"
+    * [group size, no pairwise work] + "other unique texts" [the
+    * explode runs on UNIQUE content only]), then one explode +
+    * partial-aggregated gram count + join back. The gram-count shuffle
+    * is the unavoidable cross-doc exchange; everything else is narrow.
+    */
+  def textDupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("tkey")
+    val grouped = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("tkey", md5(col("text").cast("binary")))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+    val docToRep = grouped.select(col("doc_id"), col("rep"), col("m"))
+    // shingleIds is already distinct-within-doc, so perRep is a SET
+    // of (rep, gram) rows and count(*) per gram == distinct-rep count
+    val perRep = grouped.filter(col("doc_id") === col("rep"))
+      .select(col("rep"), explode(graft.functions.shingleIds(col("text"))).as("g"))
+    val gramReps = perRep.groupBy("g").agg(count(lit(1)).as("nreps"))
+    val repStats = perRep.join(gramReps, "g")
+      .groupBy("rep").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nreps") >= 2, 1L).otherwise(0L)).as("n_xshared"))
+    // a gram of a doc with m exact copies is shared by definition
+    // (every copy contains it); for singleton texts shared == present
+    // in a second unique text
+    docToRep.join(repStats, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("m") >= 2, coalesce(col("n_grams"), lit(0L)))
+          .otherwise(coalesce(col("n_xshared"), lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_ratio",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -244,6 +292,28 @@ object TextOps {
         |       CAST(hits AS INTEGER) AS profile_hits
         |FROM u WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
     Q("text_fingerprint", textFingerprint, None),
+    // doc-level oracle (no collapse — DuckDB pays the O(docs) explode
+    // the Spark side avoids); distinct-doc gram counts == the
+    // collapsed group-size + distinct-rep decomposition, same 64-bit
+    // shingle-id collision budget as the dedup/contamination oracles
+    Q("text_dup_spans", textDupSpans, Some(
+      raw"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM toks),
+        |c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g),
+        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |      FROM g JOIN c USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_grams, 0) AS n_grams,
+        |  COALESCE(p.n_dup, 0) AS n_dup_grams,
+        |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+        |       THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
     Q("text_vocab", (s, d) => textVocab(s, d), Some(
       raw"""SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)

@@ -290,6 +290,25 @@ class OpsSpec extends SparkSpec {
     assert(r(2L)._3 === 0.0)
   }
 
+  test("text_dup_spans: exact copies fully shared, near-dups partial, unique zero") {
+    val r = TextOps.textDupSpans(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    // exact-dup pairs (1,2) and (6,7): every gram appears in the copy
+    for (id <- Seq(1L, 2L, 6L, 7L)) {
+      assert(r(id)._1 > 0, s"doc $id has grams")
+      assert(r(id)._2 === r(id)._1, s"doc $id fully shared")
+      assert(r(id)._3 === 1.0)
+    }
+    // near-dup doc 3 (one word changed): grams not touching the edit
+    // are shared with docs 1/2, the 3 grams containing it are not
+    assert(r(3L)._3 > 0.5 && r(3L)._3 < 1.0, s"doc 3 ratio ${r(3L)._3}")
+    // unique doc 4 (11 tokens -> 9 trigrams): no gram appears elsewhere
+    assert(r(4L) === ((9L, 0L, 0.0)))
+    // doc 5: too short for 3-grams
+    assert(r(5L) === ((0L, 0L, 0.0)))
+  }
+
   test("langid separates en and de") {
     val rows = TextOps.textLangId(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap

@@ -50,6 +50,38 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sample_temperature flattens language shares toward uniform, deterministically") {
+    val sf = "/root/testdata/sf0.01"
+    val natural = graft.Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = 250L
+    val a = Sampling.sampleTemperature(spark, sf, budget).collect()
+    assert(a.length <= budget)
+    val got = a.groupBy(_.getString(1)).view.mapValues(_.length.toDouble).toMap
+    val n = natural.values.sum.toDouble
+    // alpha = 0.5 moves every share toward uniform: the dominant
+    // language's sampled share must SHRINK vs its natural share and
+    // the rarest language's must GROW (the point of temperature
+    // rebalancing)
+    val maxLang = natural.maxBy(_._2)._1
+    val minLang = natural.minBy(_._2)._1
+    assert(got(maxLang) / a.length < natural(maxLang) / n,
+      s"dominant $maxLang share did not shrink")
+    assert(got(minLang) / a.length > natural(minLang) / n,
+      s"rarest $minLang share did not grow")
+    // per-language budgets follow the closed form k_l = floor(B*w/S)
+    val w = natural.view.mapValues(c => math.sqrt(c.toDouble)).toMap
+    val tot = w.toSeq.sortBy(_._1).map(_._2).sum
+    natural.keys.foreach { l =>
+      val expected = math.min(natural(l), math.floor(budget * w(l) / tot).toLong)
+      assert(got(l).toLong === expected, s"lang $l")
+    }
+    // pure function of (doc_id, lang): re-evaluation is bit-identical
+    val b = Sampling.sampleTemperature(spark, sf, budget).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("pack_contexts: bucketed two-phase cumsum equals the plain global window") {
     val budget = 512L // small budget so contexts roll over often
     val packed = Sampling.packContexts(spark, dir, budget)
