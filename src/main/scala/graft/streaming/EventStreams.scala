@@ -213,6 +213,23 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("purchase_id"))
   }
 
+  /** E7: stream-static enrichment join — the standard streaming
+    * dimension lookup: every micro-batch broadcast-joins the (small)
+    * static side. STATELESS by construction — the static side is
+    * complete at every trigger, so no watermark and no state store
+    * are involved (unlike the stream-stream join above); left join
+    * keeps unmatched stream rows with null dimension columns rather
+    * than silently dropping events whose key is missing from the dim.
+    *
+    * Scale shape: identical to the batch broadcast-dim join
+    * (`q3_shipping`) — the dim ships to every executor once per
+    * micro-batch plan; for dims too big to broadcast, drop the hint
+    * and the same plan becomes a per-batch shuffle join.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** E3: streaming dedup on event_id bounded by the watermark —
     * duplicates arriving within the horizon are dropped, state is
     * evicted beyond it (unbounded-state-free, unlike plain

@@ -282,6 +282,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows === Seq(1L -> 2L, 5L -> 3L), s"wrong join pairs: $rows")
   }
 
+  test("stream-static enrichment joins the broadcast dim, keeps unmatched rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = EventStreams.enrichWithDim(input.toDF(), dim)
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    input.addData(ev(1, 0, user = 1), ev(2, 1, user = 2), ev(3, 2, user = 9))
+    q.processAllAvailable()
+    // stateless: a SECOND batch joins the same dim with no watermark
+    // interplay — user 9 stays unmatched (null tier), matched users
+    // re-enrich identically
+    input.addData(ev(4, 3, user = 1), ev(5, 4, user = 9))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2)).getOrElse("-")).toMap
+    q.stop()
+    assert(rows === Map(1L -> "gold", 2L -> "silver", 3L -> "-",
+      4L -> "gold", 5L -> "-"))
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
