@@ -200,16 +200,23 @@ object TextOps {
   def textDupSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("tkey")
+    // shingles projected BEFORE the group window so the raw text never
+    // crosses the shuffle; checkpointed because the frame feeds BOTH
+    // the doc→rep map and the rep-level gram explode — uncached, each
+    // branch would re-run the scan + shingle projection + group window
+    // (the shingleCorpus lesson, Dedup.scala)
     val grouped = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("tkey", md5(col("text").cast("binary")))
+      .select(col("doc_id"),
+        graft.functions.shingleIds(col("text")).as("sh"),
+        md5(col("text").cast("binary")).as("tkey"))
       .withColumn("rep", min(col("doc_id")).over(w))
       .withColumn("m", count(lit(1)).over(w))
+      .localCheckpoint()
     val docToRep = grouped.select(col("doc_id"), col("rep"), col("m"))
     // shingleIds is already distinct-within-doc, so perRep is a SET
     // of (rep, gram) rows and count(*) per gram == distinct-rep count
     val perRep = grouped.filter(col("doc_id") === col("rep"))
-      .select(col("rep"), explode(graft.functions.shingleIds(col("text"))).as("g"))
+      .select(col("rep"), explode(col("sh")).as("g"))
     val gramReps = perRep.groupBy("g").agg(count(lit(1)).as("nreps"))
     val repStats = perRep.join(gramReps, "g")
       .groupBy("rep").agg(count(lit(1)).as("n_grams"),
