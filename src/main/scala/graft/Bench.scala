@@ -19,7 +19,10 @@ object Bench {
     // stats + role doubling + range-partitioned monthly sink — timed
     // end to end (20k-game corpus, real parquet write; everything
     // else here is analytics over already-ingested data)
-    "pgn_ingest")
+    "pgn_ingest",
+    // round 6 (cont.): the cross-doc duplicate-span scan — corpus-wide
+    // gram exchange, the heaviest new round-6 analytics operator
+    "text_dup_spans")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the
@@ -67,14 +70,23 @@ object Bench {
     // samples. All raw samples are emitted under "runs" for audit.
     val results = headline.map { name =>
       try {
-        def once(): Double =
-          if (name == "pgn_ingest") ingestOnce(spark)
-          else {
-            val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }
+        def once(): Double = {
+          val dt =
+            if (name == "pgn_ingest") ingestOnce(spark)
+            else {
+              val t0 = System.nanoTime()
+              SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+          // every sample rebuilds its plan from scratch, so the
+          // checkpoint blocks it persisted are dead once the sink
+          // finishes — sweep them, or 4 samples x N queries of dead
+          // blocks accumulate in one JVM (the round-5 clusters drift,
+          // generalized to every checkpointing query)
+          Caches.sweep(spark)
+          dt
+        }
         once() // warm-up, discarded
         var samples = Vector(once(), once(), once())
         var extra = 0

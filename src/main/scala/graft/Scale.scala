@@ -52,6 +52,7 @@ object Scale {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       System.err.println(f"[scale] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      Caches.sweep(spark) // each probe measures ITS cost, not leftovers
     }
     spark.stop()
   }

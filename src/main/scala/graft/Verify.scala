@@ -28,6 +28,9 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+        // the result is on disk: the query's localCheckpoint blocks
+        // are dead — keep the 79-query session's memory flat
+        Caches.sweep(spark)
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
