@@ -33,15 +33,17 @@ object Bench {
     import graft.chess.{ChessPipeline, SamplePgn}
     val src = SamplePgn.ensureWritten(nFiles = 8, gamesPerFile = 2500)
     val out = java.nio.file.Files.createTempDirectory("bench_ingest")
-    val t0 = System.nanoTime()
-    ChessPipeline.writePartitioned(
-      ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(
-        ChessPipeline.parseGames(spark.read.format("pgn").load(src)))),
-      out.toString)
-    val dt = (System.nanoTime() - t0) / 1e9
-    // don't bloat /tmp across the 4 timed+warm-up runs
-    LocalFs.deleteRecursively(out)
-    dt
+    try {
+      val t0 = System.nanoTime()
+      ChessPipeline.writePartitioned(
+        ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(
+          ChessPipeline.parseGames(spark.read.format("pgn").load(src)))),
+        out.toString)
+      (System.nanoTime() - t0) / 1e9
+    } finally
+      // don't bloat /tmp across the 4 timed+warm-up runs — including
+      // a failed one's partial write
+      LocalFs.deleteRecursively(out)
   }
 
   def main(args: Array[String]): Unit = {

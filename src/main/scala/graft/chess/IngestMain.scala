@@ -96,7 +96,11 @@ object IngestMain {
           case p => throw new IllegalArgumentException(
             s"--start must be followed by --end=YYYY-MM, got '$p'")
         }
-      case MonthArg(_, _) => ()
+      case MonthArg(_, m) =>
+        // \d{2} alone admits 00/13..99, and monthId would alias those
+        // onto adjacent REAL months (2024-00 == 2023-12): a typo could
+        // silently print "already applied. Skipping" instead of failing
+        require(m.toInt >= 1 && m.toInt <= 12, s"month out of range: $m")
       case p if p.startsWith("--") =>
         // a malformed flag must not fall through to "open it as a
         // path" — that surfaces as a baffling Path-does-not-exist
@@ -194,60 +198,22 @@ object IngestMain {
 
   private def monthId(y: Int, m: Int): Long = y.toLong * 12 + (m - 1)
 
-  private def fsFor(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-
-  /** Is this work unit already folded into the committed state? */
   private def alreadyApplied(spark: SparkSession, stateDir: Option[String],
-      id: Long): Boolean =
-    stateDir.exists { d =>
-      val fs = fsFor(spark, d)
-      StateSwap.resolve(fs, d)
-        .exists(p => StateSwap.appliedIds(fs, p).contains(id))
-    }
+      id: Long): Boolean = IngestCore.alreadyApplied(spark, stateDir, id)
 
-  /** One PGN input → the month-partitioned sink, with the optional
-    * prior-state read and crash-safe state write-back.
+  /** One PGN input → the month-partitioned sink, via the shared
+    * [[IngestCore.applyGames]] (ONE commit protocol for the batch and
+    * streaming drivers).
     */
   private def ingestOne(spark: SparkSession, pgnPath: String, outDir: String,
       stateDir: Option[String],
       movesMode: ChessPipeline.MovesMode = ChessPipeline.MovesMode.Omitted,
       ndjsonDir: Option[String] = None,
       appliedId: Option[Long] = None): Unit = {
-    val curState = stateDir.flatMap { d =>
-      // StateSwap.resolve recovers the committed copy after a crash at
-      // any point of a previous run's commit
-      StateSwap.resolve(fsFor(spark, d), d)
-    }
-    val prior = curState.map(p => spark.read.parquet(p.toString))
     val raw = spark.read.format("pgn").load(pgnPath)
-    // parsed once: the sink, the state aggregation and the optional
-    // ndjson dump all consume `games` — uncached, each would re-run
-    // the full decompress+parse (the dominant cost of an ingest)
-    val games = ChessPipeline.parseGames(raw, movesMode).cache()
-    try {
-      ndjsonDir.foreach { d =>
-        val name = new org.apache.hadoop.fs.Path(pgnPath).getName
-        games.write.mode("overwrite").json(s"$d/$name")
-      }
-      ChessPipeline.writePartitioned(
-        ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior)), outDir)
-      stateDir.foreach { d =>
-        // stage the updated state (counters + carried applied-id set),
-        // then run the crash-safe three-step swap (see StateSwap: a
-        // crash at any point leaves a committed copy that resolve()
-        // finds on the next run)
-        val next = s"$d/${StateSwap.Next}"
-        ChessPipeline.statsState(games, prior)
-          .write.mode("overwrite").parquet(next)
-        val fs = fsFor(spark, d)
-        val applied = curState
-          .map(p => StateSwap.appliedIds(fs, p)).getOrElse(Set.empty)
-        StateSwap.writeApplied(fs, new org.apache.hadoop.fs.Path(next),
-          applied ++ appliedId)
-        StateSwap.commit(fs, d)
-      }
-    } finally games.unpersist()
+    IngestCore.applyGames(spark,
+      ChessPipeline.parseGames(raw, movesMode), outDir, stateDir, appliedId,
+      ndjson = ndjsonDir.map(d =>
+        (d, new org.apache.hadoop.fs.Path(pgnPath).getName)))
   }
 }

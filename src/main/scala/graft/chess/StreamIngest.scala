@@ -1,6 +1,5 @@
 package graft.chess
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -63,25 +62,13 @@ object StreamIngest {
     */
   private[chess] def applyBatch(spark: SparkSession, rawBatch: DataFrame,
       batchId: Long, outDir: String, stateDir: String,
-      movesMode: ChessPipeline.MovesMode): Unit = {
-    val fs = new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = StateSwap.resolve(fs, stateDir)
-    val applied = cur.map(p => StateSwap.appliedIds(fs, p)).getOrElse(Set.empty)
-    if (applied.contains(batchId))
-      return // replayed batch, already fully applied and committed
-    val prior = cur.map(p => spark.read.parquet(p.toString))
-    // parsed once, consumed twice (sink + state aggregation)
-    val games = ChessPipeline.parseGames(rawBatch, movesMode).cache()
-    try {
-      ChessPipeline.writePartitioned(
-        ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(games, prior))
-          .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(batchId)),
-        outDir, extraPartitionCols = Seq("ingest_batch"))
-      val next = s"$stateDir/${StateSwap.Next}"
-      ChessPipeline.statsState(games, prior)
-        .write.mode("overwrite").parquet(next)
-      StateSwap.writeApplied(fs, new Path(next), applied + batchId)
-      StateSwap.commit(fs, stateDir)
-    } finally games.unpersist()
-  }
+      movesMode: ChessPipeline.MovesMode): Unit =
+    // the shared core handles the replay guard (applied-id set), the
+    // parse-once cache window, the sink write and the crash-safe state
+    // commit — ONE protocol with the batch driver, nothing to drift
+    IngestCore.applyGames(spark,
+      ChessPipeline.parseGames(rawBatch, movesMode), outDir, Some(stateDir),
+      appliedId = Some(batchId),
+      extraPartition = Seq(
+        "ingest_batch" -> org.apache.spark.sql.functions.lit(batchId)))
 }

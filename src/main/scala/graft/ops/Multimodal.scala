@@ -207,7 +207,10 @@ object Multimodal {
       while (p + 8 <= b.length && (blockAlign == 0 || dataOffset < 0)) {
         val id = tag(b, p)
         val size = le32(b, p + 4)
-        require(size >= 0 && p + 8 + size <= b.length,
+        // bound computed in Long: a corrupt size near 2^31 would wrap
+        // `p + 8 + size` negative and sail past the Int check, turning
+        // the loud-failure contract into silent garbage metadata
+        require(size >= 0 && p.toLong + 8 + size <= b.length,
           s"corrupt $id chunk: size $size at offset $p of ${b.length}")
         if (id == "fmt ") {
           require(size >= 16, s"fmt chunk too small: $size")

@@ -124,10 +124,13 @@ object Relational {
     * corpus scale.
     */
   def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    // cached (#days rows): the spine's min/max agg AND the left join
+    // both consume it — uncached, the orders scan + groupBy runs twice
     val daily = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("cnt"))
+      .cache()
     val spine = daily
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),

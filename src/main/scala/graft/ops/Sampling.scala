@@ -264,10 +264,14 @@ object Sampling {
   def sampleTemperature(s: SparkSession, dir: String, budget: Long = 250L,
       alpha: Double = 0.5): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // cached (#languages rows): it feeds BOTH the total fold and the
+    // per-language budgets — uncached, each side would re-run the full
+    // corpus aggregation beneath it (the withProportion lesson, Eda)
     val weighted = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
       .withColumn("w",
         if (alpha == 0.5) sqrt(col("n_l").cast("double"))
         else pow(col("n_l").cast("double"), lit(alpha)))
+      .cache()
     val tot = weighted
       .agg(aggregate(array_sort(collect_list(struct(col("lang"), col("w")))),
         lit(0.0), (acc, x) => acc + x.getField("w")).as("tot"))

@@ -152,6 +152,18 @@ class AcquireSpec extends graft.SparkSpec {
     assert(state(stateA) === state(stateB))
   }
 
+  test("--month rejects out-of-range months instead of aliasing them") {
+    // monthId is y*12 + (m-1), so 2024-00 would alias to 2023-12 and
+    // 2024-13 to 2025-01 — a typo must fail, not silently "skip"
+    for (bad <- Seq("2024-00", "2024-13")) {
+      val e = intercept[IllegalArgumentException] {
+        IngestMain.run(spark, Array(s"--month=$bad", "/tmp/never_written"),
+          "/tmp", None)
+      }
+      assert(e.getMessage.contains("month out of range"), s"for $bad")
+    }
+  }
+
   test("re-running a range skips committed months — no double counting") {
     val mirror = Files.createTempDirectory("resume_mirror")
     val dump = (1 to 2).map(i =>

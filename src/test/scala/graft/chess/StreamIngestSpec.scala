@@ -88,12 +88,17 @@ class StreamIngestSpec extends graft.SparkSpec {
     try {
       // SAME game-month (2024-03) published as two separate files at
       // different times: under plain year_month dynamic overwrite the
-      // second batch would silently REPLACE the first one's rows
-      Files.writeString(staging.resolve("a.pgn"),
+      // second batch would silently REPLACE the first one's rows.
+      // Published hidden-temp + rename (Acquire-style): the stream is
+      // LIVE, and a trigger firing between create and write would list
+      // a half-written visible file into the offset log
+      Files.writeString(staging.resolve(".a.tmp"),
         gameTxt(1, "2024.03.05") + "\n" + gameTxt(2, "2024.03.10"))
+      Files.move(staging.resolve(".a.tmp"), staging.resolve("a.pgn"))
       q.processAllAvailable()
-      Files.writeString(staging.resolve("b.pgn"),
+      Files.writeString(staging.resolve(".b.tmp"),
         gameTxt(3, "2024.03.15") + "\n" + gameTxt(4, "2024.03.20"))
+      Files.move(staging.resolve(".b.tmp"), staging.resolve("b.pgn"))
       q.processAllAvailable()
     } finally q.stop()
     val all = spark.read.parquet(out)
