@@ -24,14 +24,8 @@ class AcquireSpec extends graft.SparkSpec {
     // build a local "mirror" holding a zstd month dump
     val mirror = Files.createTempDirectory("lichess_mirror")
     val name = Acquire.monthlyDumpName(2024, 1)
-    val payload = {
-      val src = Files.readAllBytes(
-        Paths.get(SamplePgn.ensureWritten(), "games_00.pgn"))
-      val bos = new java.io.ByteArrayOutputStream()
-      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
-      z.write(src); z.close()
-      bos.toByteArray
-    }
+    val payload = PgnFixtures.zstd(Files.readAllBytes(
+      Paths.get(SamplePgn.ensureWritten(), "games_00.pgn")))
     Files.write(mirror.resolve(name), payload)
 
     val staging = Files.createTempDirectory("graft_staging").toString
@@ -54,12 +48,8 @@ class AcquireSpec extends graft.SparkSpec {
     // mirror holding March 2024 as a zstd dump of 50 sample games
     val mirror = Files.createTempDirectory("lichess_mirror_e2e")
     val name = Acquire.monthlyDumpName(2024, 3)
-    val src = Files.readAllBytes(
-      Paths.get(SamplePgn.ensureWritten(), "games_01.pgn"))
-    val bos = new java.io.ByteArrayOutputStream()
-    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
-    z.write(src); z.close()
-    Files.write(mirror.resolve(name), bos.toByteArray)
+    PgnFixtures.writeDump(mirror, 2024, 3, Files.readAllBytes(
+      Paths.get(SamplePgn.ensureWritten(), "games_01.pgn")))
 
     val staging = Files.createTempDirectory("staging_e2e").toString
     val out = Files.createTempDirectory("ingest_e2e").toString
@@ -80,35 +70,14 @@ class AcquireSpec extends graft.SparkSpec {
     // alice is White in every game, so her cumulative count in April
     // proves (or disproves) the March->April carry
     def gameTxt(i: Int, date: String, time: String): String =
-      s"""[Event "Rated Blitz game"]
-         |[Site "https://lichess.org/range$i"]
-         |[White "alice"]
-         |[Black "bob"]
-         |[Result "1-0"]
-         |[UTCDate "$date"]
-         |[UTCTime "$time"]
-         |[WhiteElo "1500"]
-         |[BlackElo "1400"]
-         |[ECO "A00"]
-         |[Opening "Polish Opening"]
-         |[TimeControl "300+0"]
-         |[Termination "Normal"]
-         |
-         |1. e4 e5 1-0
-         |""".stripMargin
+      PgnFixtures.gameTxt(i, date, time, sitePrefix = "range")
     val march = gameTxt(1, "2024.03.05", "10:00:00") + "\n" +
       gameTxt(2, "2024.03.20", "11:00:00")
     val april = gameTxt(3, "2024.04.02", "09:00:00") + "\n" +
       gameTxt(4, "2024.04.25", "12:00:00")
     val mirror = Files.createTempDirectory("lichess_mirror_range")
-    def zst(name: String, body: String): Unit = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
-      z.write(body.getBytes("UTF-8")); z.close()
-      Files.write(mirror.resolve(name), bos.toByteArray)
-    }
-    zst(Acquire.monthlyDumpName(2024, 3), march)
-    zst(Acquire.monthlyDumpName(2024, 4), april)
+    PgnFixtures.writeDump(mirror, 2024, 3, march.getBytes("UTF-8"))
+    PgnFixtures.writeDump(mirror, 2024, 4, april.getBytes("UTF-8"))
     val base = Some(mirror.toUri.toString)
 
     val outA = Files.createTempDirectory("range_out").toString
@@ -167,26 +136,9 @@ class AcquireSpec extends graft.SparkSpec {
   test("re-running a range skips committed months — no double counting") {
     val mirror = Files.createTempDirectory("resume_mirror")
     val dump = (1 to 2).map(i =>
-      s"""[Event "Rated Blitz game"]
-         |[Site "https://lichess.org/resume$i"]
-         |[White "alice"]
-         |[Black "bob"]
-         |[Result "1-0"]
-         |[UTCDate "2024.03.0$i"]
-         |[UTCTime "10:00:00"]
-         |[WhiteElo "1500"]
-         |[BlackElo "1400"]
-         |[ECO "A00"]
-         |[Opening "Polish Opening"]
-         |[TimeControl "300+0"]
-         |[Termination "Normal"]
-         |
-         |1. e4 e5 1-0
-         |""".stripMargin).mkString("\n")
-    val bos = new java.io.ByteArrayOutputStream()
-    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
-    z.write(dump.getBytes("UTF-8")); z.close()
-    Files.write(mirror.resolve(Acquire.monthlyDumpName(2024, 3)), bos.toByteArray)
+      PgnFixtures.gameTxt(i, s"2024.03.0$i", sitePrefix = "resume"))
+      .mkString("\n")
+    PgnFixtures.writeDump(mirror, 2024, 3, dump.getBytes("UTF-8"))
 
     val out = Files.createTempDirectory("resume_out").toString
     val state = Files.createTempDirectory("resume_state").toString

@@ -12,22 +12,7 @@ import org.apache.spark.sql.functions._
 class StreamIngestSpec extends graft.SparkSpec {
 
   private def gameTxt(i: Int, date: String): String =
-    s"""[Event "Rated Blitz game"]
-       |[Site "https://lichess.org/si$i"]
-       |[White "alice"]
-       |[Black "bob"]
-       |[Result "1-0"]
-       |[UTCDate "$date"]
-       |[UTCTime "10:0${i % 10}:00"]
-       |[WhiteElo "1500"]
-       |[BlackElo "1400"]
-       |[ECO "A00"]
-       |[Opening "Polish Opening"]
-       |[TimeControl "300+0"]
-       |[Termination "Normal"]
-       |
-       |1. e4 e5 1-0
-       |""".stripMargin
+    PgnFixtures.gameTxt(i, date, time = s"10:0${i % 10}:00", sitePrefix = "si")
 
   private def rows(dir: String) =
     spark.read.parquet(dir).orderBy("ID", "Role_player")

@@ -45,14 +45,9 @@ class PgnStreamSpec extends SparkSpec {
     val staging = Files.createTempDirectory("acq_stream")
     val mirror = Files.createTempDirectory("acq_stream_mirror")
     val src = SamplePgn.ensureWritten()
-    def dumpOf(file: String, year: Int, month: Int): Unit = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
-      z.write(Files.readAllBytes(Paths.get(src, file))); z.close()
-      Files.write(
-        mirror.resolve(graft.chess.Acquire.monthlyDumpName(year, month)),
-        bos.toByteArray)
-    }
+    def dumpOf(file: String, year: Int, month: Int): Unit =
+      graft.chess.PgnFixtures.writeDump(mirror, year, month,
+        Files.readAllBytes(Paths.get(src, file)))
     dumpOf("games_00.pgn", 2024, 1)
     dumpOf("games_01.pgn", 2024, 2)
 
