@@ -46,8 +46,12 @@ object Scale {
     // contamination broadcasts the test-split shingle set (which GROWS
     // with the corpus here) and pack_contexts exercises the
     // hierarchical offsets at forced fanout depth
+    // text_dup_spans shares the family's exact-collapse invariant: its
+    // cross-doc gram exchange runs on UNIQUE texts, so doubling the
+    // dup factor must not double its cost either
     for (name <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_jaccard", "dedup_clusters", "contamination", "pack_contexts")) {
+        "dedup_jaccard", "dedup_clusters", "contamination", "pack_contexts",
+        "text_dup_spans")) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
