@@ -236,6 +236,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D20: per-source curation stats — the domain-level view every
+    * web-corpus pipeline curates by (RefinedWeb/C4 keep-or-drop whole
+    * domains on exactly these signals): per source, doc count, total
+    * chars, corpus-level token diversity and the exact-duplicate rate.
+    *
+    * Engine-exactness: diversity is Σ distinct / Σ words (integer sums
+    * divided once), NOT a mean of per-doc double ratios — cross-row
+    * float sums depend on the engine's add order, integer sums don't.
+    * Scale shape: two partial-aggregated shuffles (dup-group keys,
+    * then source) over narrow projections; nothing is quadratic in
+    * docs or sources.
+    */
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.wsTokenCount(col("text")).as("n_words"),
+        graft.functions.distinctTokenCount(col("text")).as("n_distinct"),
+        md5(col("text").cast("binary")).as("tkey"))
+    val copies = perDoc.groupBy("tkey").agg(count(lit(1)).as("copies"))
+    perDoc.join(copies, "tkey")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_distinct")).cast("double") /
+          sum(col("n_words")).cast("double")).as("diversity"),
+        sum(when(col("copies") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_ratio",
+        col("dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -299,6 +331,25 @@ object TextOps {
         |       CAST(hits AS INTEGER) AS profile_hits
         |FROM u WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
     Q("text_fingerprint", textFingerprint, None),
+    // the oracle groups dup keys on the raw TEXT (no hash at all) — an
+    // independent recomputation that would catch an md5-keying bug
+    Q("source_stats", sourceStats, Some(
+      raw"""WITH d AS (
+        |  SELECT source, text,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |k AS (SELECT text, count(*) AS copies FROM d GROUP BY text)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(d.n_distinct) AS DOUBLE) / CAST(sum(d.n_words) AS DOUBLE) AS diversity,
+        |  CAST(sum(CASE WHEN k.copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(sum(CASE WHEN k.copies >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+        |FROM d JOIN k USING (text)
+        |GROUP BY source ORDER BY source""".stripMargin)),
     // doc-level oracle (no collapse — DuckDB pays the O(docs) explode
     // the Spark side avoids); distinct-doc gram counts == the
     // collapsed group-size + distinct-rep decomposition, same 64-bit

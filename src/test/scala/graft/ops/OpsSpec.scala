@@ -309,6 +309,17 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) === ((0L, 0L, 0.0)))
   }
 
+  test("source_stats counts exact-dup docs per source") {
+    val r = TextOps.sourceStats(spark, dir).collect()
+    assert(r.length === 1) // crafted corpus has one source
+    val row = r.head
+    assert(row.getString(0) === "s")
+    assert(row.getLong(1) === 7)
+    // docs 1+2 and 6+7 are exact-dup pairs: 4 docs sit in dup groups
+    assert(row.getLong(4) === 4)
+    assert(row.getDouble(5) === 4.0 / 7.0)
+  }
+
   test("langid separates en and de") {
     val rows = TextOps.textLangId(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
