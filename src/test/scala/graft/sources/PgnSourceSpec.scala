@@ -122,6 +122,40 @@ class PgnSourceSpec extends SparkSpec {
     assert(df.count() === written * 50L)
   }
 
+  test("malformed input: garbage between games and a truncated tail survive") {
+    val d = Files.createTempDirectory("pgn_malformed")
+    val pgn =
+      "[Event \"Good game\"]\n" +
+      "[Site \"https://lichess.org/ok1\"]\n" +
+      "\n" +
+      "1. e4 e5 1-0\n" +
+      "\n" +
+      "%% stray escape line the PGN spec allows\n" +
+      "random garbage that is not a tag pair and not movetext }{[\n" +
+      "\n" +
+      "[Event \"Second game\"]\n" +
+      "[Site \"https://lichess.org/ok2\"]\n" +
+      "[BadTag no quotes here\n" +
+      "\n" +
+      "1. d4 d5 1/2-1/2\n" +
+      "\n" +
+      "[Event \"Truncated at EOF\"]\n" +
+      "[Site \"https://lichess.org/ok3\"]\n" // no blank line, no movetext
+    Files.writeString(d.resolve("bad.pgn"), pgn)
+    val df = spark.read.format("pgn").load(d.toString)
+    // every [Event block surfaces as a game — a malformed tag or a
+    // truncated tail must degrade THAT row, not abort the scan or
+    // swallow the rest of the split
+    assert(df.count() === 3)
+    val sites = df.select(element_at(col("tags"), "Site")).collect()
+      .map(_.getString(0)).toSet
+    assert(sites === Set("https://lichess.org/ok1", "https://lichess.org/ok2",
+      "https://lichess.org/ok3"))
+    // the well-formed tags of the damaged game still parse
+    val second = df.filter(element_at(col("tags"), "Site") === "https://lichess.org/ok2").head()
+    assert(second.getAs[Map[String, String]]("tags")("Event") === "Second game")
+  }
+
   test("handles games with comments, missing tags, CRLF") {
     val d = Files.createTempDirectory("pgn_edge")
     val pgn =
