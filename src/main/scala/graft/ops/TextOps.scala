@@ -236,6 +236,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D10c: approximate top-k tokens via the Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]]) — the heavy-hitters twin of
+    * [[textVocab]]. The exact version shuffles one row per distinct
+    * token per partition; the sketch shuffles ≤ `budget` counters per
+    * partition into one bounded merge — the shape vocabulary-scale
+    * counting needs at web-corpus size, with the rigid N/(budget+1)
+    * error bound. With `budget` ≥ the corpus vocabulary the sketch is
+    * EXACTLY the histogram (how the driver oracle pins it — the same
+    * SQL as text_vocab); the approximation guarantees are spec-pinned
+    * on a forced-overflow corpus.
+    */
+  def textTopkSketch(s: SparkSession, dir: String, budget: Int = 256,
+      k: Int = 50): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAgg(budget))
+    Tables.load(s, dir, "documents")
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .agg(mg(col("token")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.count").as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(k)
+  }
+
   /** D20: per-source curation stats — the domain-level view every
     * web-corpus pipeline curates by (RefinedWeb/C4 keep-or-drop whole
     * domains on exactly these signals): per source, doc count, total
@@ -373,6 +397,14 @@ object TextOps {
         |       ELSE 0.0 END AS dup_ratio
         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
     Q("text_vocab", (s, d) => textVocab(s, d), Some(
+      raw"""SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+    // same SQL as text_vocab: at test scale budget (256) ≥ vocabulary,
+    // where Misra–Gries is provably the exact histogram — the sketch's
+    // approximation path is spec-pinned separately (MisraGriesSpec)
+    Q("text_topk_sketch", (s, d) => textTopkSketch(s, d), Some(
       raw"""SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE token <> ''
