@@ -304,6 +304,27 @@ class EventStreamsSpec extends SparkSpec {
       4L -> "gold", 5L -> "-"))
   }
 
+  test("streaming heavy hitters accumulate across micro-batches with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = TextStreams.topTokens(input.toDF().toDF("text"), budget = 256)
+      .writeStream.format("memory").queryName("hh").outputMode("complete").start()
+    input.addData("spark spark spark flink", "spark beam")
+    q.processAllAvailable()
+    val first = spark.table("hh").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first === Map("spark" -> 4L, "flink" -> 1L, "beam" -> 1L))
+    // a later batch REDUCES INTO the sketch state (no recount of the
+    // first batch): counts are cumulative over the whole stream
+    input.addData("flink flink flink flink")
+    q.processAllAvailable()
+    val second = spark.table("hh").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(second === Map("spark" -> 4L, "flink" -> 5L, "beam" -> 1L))
+  }
+
   test("dropDuplicatesWithinWatermark removes dups inside horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
