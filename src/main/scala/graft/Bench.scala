@@ -72,8 +72,14 @@ object Bench {
     // samples. All raw samples are emitted under "runs" for audit.
     val results = headline.map { name =>
       try {
-        def once(): Double = {
-          val dt =
+        def once(): Double =
+          // every sample rebuilds its plan from scratch, so the
+          // checkpoint blocks it persisted are dead once the sink
+          // finishes OR the attempt throws — sweep both paths, or 4
+          // samples x N queries of dead blocks accumulate in one JVM
+          // (the round-5 clusters drift, generalized to every
+          // checkpointing query)
+          try {
             if (name == "pgn_ingest") ingestOnce(spark)
             else {
               val t0 = System.nanoTime()
@@ -81,14 +87,7 @@ object Bench {
                 .write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9
             }
-          // every sample rebuilds its plan from scratch, so the
-          // checkpoint blocks it persisted are dead once the sink
-          // finishes — sweep them, or 4 samples x N queries of dead
-          // blocks accumulate in one JVM (the round-5 clusters drift,
-          // generalized to every checkpointing query)
-          Caches.sweep(spark)
-          dt
-        }
+          } finally Caches.sweep(spark)
         once() // warm-up, discarded
         var samples = Vector(once(), once(), once())
         var extra = 0

@@ -26,13 +26,13 @@ object RunQ {
         df.write.format("noop").mode("overwrite").save()
         println(f"[runq] $name: materialized in ${(System.nanoTime() - t0) / 1e9}%.1fs")
         if (sys.env.contains("SPARK_GRAFT_SHOW")) df.show(5, 80)
-        Caches.sweep(spark) // per-query checkpoints are dead post-sink
       } catch { case e: Throwable =>
         println(s"[runq] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         e.getStackTrace.take(10).foreach(f => println(s"   at $f"))
         Option(e.getCause).foreach(c =>
           println(s"   cause: ${c.getClass.getName}: ${c.getMessage}"))
-      }
+      // failed or not, the query's checkpoints are dead post-attempt
+      } finally Caches.sweep(spark)
     }
     spark.stop()
   }

@@ -28,14 +28,15 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
-        // the result is on disk: the query's localCheckpoint blocks
-        // are dead — keep the 79-query session's memory flat
-        Caches.sweep(spark)
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
         e.getStackTrace.take(5).foreach(f => System.err.println(s"[verify]   at $f"))
       }
+      // the query is done either way (result on disk, or abandoned):
+      // its checkpoint blocks are dead — keep the 79-query session's
+      // memory flat on the failure path too
+      finally Caches.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

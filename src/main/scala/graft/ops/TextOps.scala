@@ -142,6 +142,27 @@ object TextOps {
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_redactions"))
       .orderBy("doc_id")
 
+  /** Exploded non-empty whitespace tokens of a (…, text) frame — the
+    * ONE tokenize+filter the vocabulary/top-k family shares (batch
+    * exact, batch sketch, and the streaming sketch twin): a tokenizer
+    * tweak edits here or it silently forks the streaming twin from the
+    * batch oracle that pins it.
+    */
+  private[graft] def tokenRows(docs: DataFrame): DataFrame =
+    docs.select(explode(wsTokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+
+  /** The Misra–Gries sketch of a token frame as (token, cnt) rows —
+    * shared by [[textTopkSketch]] and the streaming
+    * [[graft.streaming.TextStreams.topTokens]].
+    */
+  private[graft] def sketchOf(tokens: DataFrame, budget: Int): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAgg(budget))
+    tokens.agg(mg(col("token")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.count").as("cnt"))
+  }
+
   /** D10b: corpus vocabulary — top-k whitespace tokens by frequency,
     * the counting stage of tokenizer/vocab training. Explode + partial
     * aggregated count + TakeOrderedAndProject: the token histogram
@@ -149,9 +170,7 @@ object TextOps {
     * corpus, and the top-k never globally sorts.
     */
   def textVocab(s: SparkSession, dir: String, k: Int = 50): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(explode(wsTokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
+    tokenRows(Tables.load(s, dir, "documents"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("token"))
       .limit(k)
@@ -248,17 +267,10 @@ object TextOps {
     * on a forced-overflow corpus.
     */
   def textTopkSketch(s: SparkSession, dir: String, budget: Int = 256,
-      k: Int = 50): DataFrame = {
-    val mg = udaf(new graft.functions.MisraGriesAgg(budget))
-    Tables.load(s, dir, "documents")
-      .select(explode(wsTokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .agg(mg(col("token")).as("hh"))
-      .select(explode(col("hh")).as("e"))
-      .select(col("e.token").as("token"), col("e.count").as("cnt"))
+      k: Int = 50): DataFrame =
+    sketchOf(tokenRows(Tables.load(s, dir, "documents")), budget)
       .orderBy(desc("cnt"), col("token"))
       .limit(k)
-  }
 
   /** D20: per-source curation stats — the domain-level view every
     * web-corpus pipeline curates by (RefinedWeb/C4 keep-or-drop whole
@@ -273,12 +285,16 @@ object TextOps {
     * docs or sources.
     */
   def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    // cached (narrow, no raw text): it feeds the dup-key aggregate AND
+    // the join probe — uncached, each consumer re-scans the table and
+    // re-hashes every text (the two-consumer pattern again)
     val perDoc = Tables.load(s, dir, "documents")
       .select(col("source"),
         length(col("text")).cast("long").as("n_chars"),
         graft.functions.wsTokenCount(col("text")).as("n_words"),
         graft.functions.distinctTokenCount(col("text")).as("n_distinct"),
         md5(col("text").cast("binary")).as("tkey"))
+      .cache()
     val copies = perDoc.groupBy("tkey").agg(count(lit(1)).as("copies"))
     perDoc.join(copies, "tkey")
       .groupBy("source")

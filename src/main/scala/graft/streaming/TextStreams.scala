@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Streaming text-analytics operators (SURVEY §2.E) over a document
   * stream with a `text` column.
@@ -23,13 +22,8 @@ object TextStreams {
     * Complete output mode (the result is one small top-k table, the
     * dashboard/monitoring shape this operator serves).
     */
-  def topTokens(docs: DataFrame, budget: Int = 256): DataFrame = {
-    val mg = udaf(new graft.functions.MisraGriesAgg(budget))
-    docs
-      .select(explode(split(col("text"), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
-      .agg(mg(col("token")).as("hh"))
-      .select(explode(col("hh")).as("e"))
-      .select(col("e.token").as("token"), col("e.count").as("cnt"))
-  }
+  def topTokens(docs: DataFrame, budget: Int = 256): DataFrame =
+    // tokenization and sketch chain shared with the batch twin
+    // (text_topk_sketch) — the batch oracle pins THIS code path
+    graft.ops.TextOps.sketchOf(graft.ops.TextOps.tokenRows(docs), budget)
 }
