@@ -58,6 +58,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 text/sampling operators keep equi-join form and materialize shared frames") {
+    // text_dup_spans / source_stats: the gram self-exchange and the
+    // stats join-backs must stay equi-joins (a cross product over
+    // grams is corpus²)
+    for (df <- Seq(TextOps.textDupSpans(spark, dir),
+        TextOps.sourceStats(spark, dir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in:\n$plan")
+    }
+    // sample_temperature's broadcast of the ONE-ROW weight total plans
+    // as a BroadcastNestedLoopJoin by design (1 row × #languages — the
+    // withProportion shape); the selection join itself must stay keyed
+    locally {
+      val plan = planOf(Sampling.sampleTemperature(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"budget join lost its lang key:\n$plan")
+    }
+    // the two-consumer aggregates are materialized once (InMemory
+    // relation), not recomputed per consumer — the plan must show the
+    // cache, or each side re-scans the corpus
+    for (df <- Seq(TextOps.sourceStats(spark, dir),
+        Sampling.sampleTemperature(spark, dir),
+        Relational.qGapfill(spark, dir)))
+      assert(planOf(df).contains("InMemoryTableScan"),
+        "two-consumer aggregate lost its cache")
+  }
+
   test("temporal joins keep equi-join form (no cartesian/nested-loop)") {
     // the interval join's time-band predicate must stay a RESIDUAL on
     // a hash join keyed by user_id; losing the equi condition would
