@@ -663,10 +663,52 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** D1b: INCREMENTAL exact dedup — dedup a new batch against the
+    * already-ingested corpus, the shape a continuously-fed pipeline
+    * actually runs (daily crawl vs. full history): history
+    * contributes only its DISTINCT digest set (the persistent index a
+    * deployment materializes once and appends to — the raw historical
+    * text is never rescanned, let alone reshuffled), the batch
+    * anti-joins it on the digest, and within-batch dups collapse to
+    * their first member. Returns the batch doc_ids that survive.
+    *
+    * `splitId` models the history/batch boundary on the test corpus;
+    * a deployment passes an actual digest table for `hist`.
+    */
+  def dedupIncremental(s: SparkSession, dir: String, splitId: Long = 250L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val digest = md5(col("text").cast("binary"))
+    val hist = docs.filter(col("doc_id") < splitId)
+      .select(digest.as("tkey")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tkey").orderBy("doc_id")
+    docs.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), digest.as("tkey"))
+      .join(hist, Seq("tkey"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+    // the oracle anti-joins on raw TEXT (no digest), independently of
+    // the md5 keying
+    Q("dedup_incremental", (s, d) => dedupIncremental(s, d), Some(
+      """WITH hist AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT b.doc_id, b.text FROM documents b
+        |  LEFT JOIN hist h ON b.text = h.text
+        |  WHERE b.doc_id >= 250 AND h.text IS NULL),
+        |first AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        |  FROM batch)
+        |SELECT doc_id FROM first WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
     Q("dedup_minhash", (s, d) => dedupMinhash(s, d), None),
     Q("dedup_simhash", (s, d) => dedupSimhash(s, d), None),
     // brute-force O(n^2) jaccard in DuckDB over string 3-grams: the

@@ -309,6 +309,20 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) === ((0L, 0L, 0.0)))
   }
 
+  test("dedup_incremental drops batch docs duplicating history or earlier batch docs") {
+    // split at 5: history = docs 1-4, batch = docs 5-7. Doc 5 is
+    // unique (kept); docs 6/7 duplicate EACH OTHER but nothing in
+    // history (keep the first, 6). Had the split been at 2, doc 2
+    // would have been dropped against doc 1's history digest.
+    val kept = Dedup.dedupIncremental(spark, dir, splitId = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(5L, 6L))
+    val keptAt2 = Dedup.dedupIncremental(spark, dir, splitId = 2)
+      .collect().map(_.getLong(0)).toSeq
+    // doc 2 dups doc 1 (history); 3,4,5 unique; 6 first of the 6/7 pair
+    assert(keptAt2 === Seq(3L, 4L, 5L, 6L))
+  }
+
   test("source_stats counts exact-dup docs per source") {
     val r = TextOps.sourceStats(spark, dir).collect()
     assert(r.length === 1) // crafted corpus has one source
