@@ -37,11 +37,13 @@ import org.apache.spark.sql.SparkSession
   * month range is fetched and ingested in order, with the per-player
   * counters carried month to month exactly as the reference's
   * in-process loop carries them (its `cum_files_{y}_{m}` state,
-  * ingester.py:60-86). Divergence, documented: the range here is
-  * month-granular and end-INCLUSIVE (the reference takes year
-  * endpoints, end-exclusive, with an optional month subset) — the
-  * same ranges are expressible, without the surprise of `--end`'s
-  * year never being processed. If no `stateDir` is given, the carry
+  * ingester.py:60-86). `--months=M1,M2,...` keeps only those
+  * months-of-year within the range (the reference's explicit month
+  * list — "Januaries of 2015-2020" is not a contiguous range).
+  * Divergence, documented: the range here is month-granular and
+  * end-INCLUSIVE (the reference takes year endpoints, end-exclusive)
+  * — the same ranges are expressible, without the surprise of
+  * `--end`'s year never being processed. If no `stateDir` is given, the carry
   * still happens through a run-local state dir; pass one to make the
   * range resumable across invocations too: months recorded in the
   * committed state's applied-id set ([[StateSwap.Applied]]) are
@@ -65,10 +67,25 @@ object IngestMain {
   private val EndArg = """--end=(\d{4})-(\d{2})""".r
   private val MovesFlag = "--include-moves"
   private val NdjsonArg = """--dir-ndjson=(.+)""".r
+  private val MonthsArg = """--months=(\d{1,2}(?:,\d{1,2})*)""".r
 
   private val Usage =
     "usage: IngestMain [--include-moves] [--dir-ndjson=DIR] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
-      "   or: IngestMain [--include-moves] [--dir-ndjson=DIR] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
+      "   or: IngestMain [--include-moves] [--dir-ndjson=DIR] [--months=M1,M2,...] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
+
+  /** The reference CLI's month-subset flag (ingest_lichess.py:31-33
+    * loops `range(start, end)` years × an explicit month LIST): with
+    * `--months=1,3` a range keeps only Januaries and Marches — a shape
+    * a contiguous month range cannot express. Returns None when the
+    * flag is absent (= all months).
+    */
+  private def monthSubset(rawArgs: Array[String]): Option[Set[Int]] =
+    rawArgs.collectFirst { case MonthsArg(ms) =>
+      val set = ms.split(",").map(_.toInt).toSet
+      require(set.forall(m => m >= 1 && m <= 12),
+        s"--months out of range: ${set.filterNot(m => m >= 1 && m <= 12).mkString(",")}")
+      set
+    }
 
   /** Inclusive month range (y1, m1) .. (y2, m2) in chronological
     * order, as the month index y*12 + (m-1) back-projected.
@@ -115,7 +132,8 @@ object IngestMain {
     * run accepts.
     */
   private def stripFlags(args: Array[String]): Array[String] =
-    args.filterNot(a => a == MovesFlag || NdjsonArg.matches(a))
+    args.filterNot(a =>
+      a == MovesFlag || NdjsonArg.matches(a) || MonthsArg.matches(a))
 
   def main(args: Array[String]): Unit = {
     validateArgs(stripFlags(args)) // fail usage errors before Spark startup
@@ -156,8 +174,11 @@ object IngestMain {
     // debug output only, not a processing stage (no --ndjson-size:
     // file sizing is the writer's partitioning).
     val ndjsonDir = rawArgs.collectFirst { case NdjsonArg(d) => d }
+    val subset = monthSubset(rawArgs)
     val args = stripFlags(rawArgs)
     validateArgs(args)
+    require(subset.isEmpty || args(0).startsWith("--start"),
+      "--months only applies to a --start/--end range")
     args(0) match {
       case StartArg(y1, m1) =>
         val EndArg(y2, m2) = (args(1): @unchecked)
@@ -168,7 +189,8 @@ object IngestMain {
         // still runs through a run-local state dir
         val stateDir = args.lift(3).getOrElse(
           java.nio.file.Files.createTempDirectory("graft_range_state").toString)
-        for ((y, m) <- monthRange(y1.toInt, m1.toInt, y2.toInt, m2.toInt)) {
+        for ((y, m) <- monthRange(y1.toInt, m1.toInt, y2.toInt, m2.toInt)
+            if subset.forall(_.contains(m))) {
           // already-applied months are skipped BEFORE fetching (the
           // reference's "exists. Skipping" check,
           // ingest_lichess.py:24-26, keyed on committed STATE rather

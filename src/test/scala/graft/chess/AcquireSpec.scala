@@ -121,6 +121,33 @@ class AcquireSpec extends graft.SparkSpec {
     assert(state(stateA) === state(stateB))
   }
 
+  test("--months keeps only the listed months-of-year within a range") {
+    // the reference's explicit month list (ingest_lichess.py:31-33):
+    // "only Decembers and Februaries" is not a contiguous range
+    val mirror = Files.createTempDirectory("months_mirror")
+    for ((y, m, d) <- Seq((2023, 12, "2023.12.05"), (2024, 1, "2024.01.05"),
+        (2024, 2, "2024.02.05"), (2024, 3, "2024.03.05")))
+      PgnFixtures.writeDump(mirror, y, m,
+        PgnFixtures.gameTxt(y * 100 + m, d, sitePrefix = "ms").getBytes("UTF-8"))
+    val out = Files.createTempDirectory("months_out").toString
+    val staging = Files.createTempDirectory("months_staging").toString
+    IngestMain.run(spark,
+      Array("--months=12,2", "--start=2023-12", "--end=2024-03", out),
+      staging, Some(mirror.toUri.toString))
+    // only 2023-12 and 2024-02 were fetched and ingested
+    assert(spark.read.parquet(out).select("year_month").distinct().collect()
+      .map(_.getString(0)).toSet === Set("2023_12", "2024_02"))
+    assert(!Files.exists(Paths.get(staging, Acquire.monthlyDumpName(2024, 1))))
+    assert(!Files.exists(Paths.get(staging, Acquire.monthlyDumpName(2024, 3))))
+    // a month outside 1..12 fails loudly, not silently-empty
+    val e = intercept[IllegalArgumentException] {
+      IngestMain.run(spark,
+        Array("--months=0,13", "--start=2024-01", "--end=2024-02", out),
+        staging, Some(mirror.toUri.toString))
+    }
+    assert(e.getMessage.contains("--months out of range"))
+  }
+
   test("--month rejects out-of-range months instead of aliasing them") {
     // monthId is y*12 + (m-1), so 2024-00 would alias to 2023-12 and
     // 2024-13 to 2025-01 — a typo must fail, not silently "skip"
