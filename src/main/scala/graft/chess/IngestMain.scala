@@ -40,10 +40,27 @@ import org.apache.spark.sql.SparkSession
   * ingester.py:60-86). `--months=M1,M2,...` keeps only those
   * months-of-year within the range (the reference's explicit month
   * list — "Januaries of 2015-2020" is not a contiguous range).
-  * Divergence, documented: the range here is month-granular and
+  * Divergences, documented: the range here is month-granular and
   * end-INCLUSIVE (the reference takes year endpoints, end-exclusive)
   * — the same ranges are expressible, without the surprise of
-  * `--end`'s year never being processed. If no `stateDir` is given, the carry
+  * `--end`'s year never being processed. Under a sparse `--months`
+  * subset the reference silently RESTARTS the per-player counters
+  * each month: its state file is keyed by the calendar-PREVIOUS
+  * month (`cum_files_{y}_{m-1}`, ingester.py:60-86), which a subset
+  * never wrote, so its FileNotFoundError fallback recreates empty
+  * counters; here the committed state carries across the months
+  * actually ingested, in order — cumulative over the ingested
+  * sequence, which is what the counters are for. (The reference's
+  * `restart_counter_games` parameter is dead code: defined at
+  * ingest_lichess.py:9 with default True, never forwarded.)
+  *
+  * `--debug`: the reference's verbosity knob (ingest_lichess.py:35,
+  * logging.DEBUG vs INFO) — here it raises the Spark log level from
+  * WARN to INFO (Spark's own DEBUG floods with executor internals a
+  * pipeline operator never wants; INFO is the faithful "show me
+  * per-job progress" level).
+  *
+  * If no `stateDir` is given, the carry
   * still happens through a run-local state dir; pass one to make the
   * range resumable across invocations too: months recorded in the
   * committed state's applied-id set ([[StateSwap.Applied]]) are
@@ -66,12 +83,13 @@ object IngestMain {
   private val StartArg = """--start=(\d{4})-(\d{2})""".r
   private val EndArg = """--end=(\d{4})-(\d{2})""".r
   private val MovesFlag = "--include-moves"
+  private val DebugFlag = "--debug"
   private val NdjsonArg = """--dir-ndjson=(.+)""".r
   private val MonthsArg = """--months=(\d{1,2}(?:,\d{1,2})*)""".r
 
   private val Usage =
-    "usage: IngestMain [--include-moves] [--dir-ndjson=DIR] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
-      "   or: IngestMain [--include-moves] [--dir-ndjson=DIR] [--months=M1,M2,...] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
+    "usage: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
+      "   or: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--months=M1,M2,...] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
 
   /** The reference CLI's month-subset flag (ingest_lichess.py:31-33
     * loops `range(start, end)` years × an explicit month LIST): with
@@ -132,8 +150,8 @@ object IngestMain {
     * run accepts.
     */
   private def stripFlags(args: Array[String]): Array[String] =
-    args.filterNot(a =>
-      a == MovesFlag || NdjsonArg.matches(a) || MonthsArg.matches(a))
+    args.filterNot(a => a == MovesFlag || a == DebugFlag ||
+      NdjsonArg.matches(a) || MonthsArg.matches(a))
 
   def main(args: Array[String]): Unit = {
     validateArgs(stripFlags(args)) // fail usage errors before Spark startup
@@ -144,7 +162,10 @@ object IngestMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the reference's --debug (logging.DEBUG vs INFO): raise Spark's
+    // level to INFO (Spark DEBUG is executor-internals flood)
+    spark.sparkContext.setLogLevel(
+      if (args.contains(DebugFlag)) "INFO" else "WARN")
     try run(spark, args,
       stagingDir = sys.env.getOrElse("GRAFT_STAGING_DIR", "/tmp/graft_staging"),
       baseUrl = sys.env.get("GRAFT_DUMP_BASE_URL"))
