@@ -148,6 +148,27 @@ class AcquireSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("--months out of range"))
   }
 
+  test("re-running a month after state loss overwrites the sink, never doubles it") {
+    // the OTHER crash window: sink written, state commit lost (or the
+    // operator cleared the state dir but not the sink). The re-run
+    // must replace the month's partitions via dynamic overwrite — a
+    // doubled sink here would be silent data corruption
+    val mirror = Files.createTempDirectory("stateloss_mirror")
+    PgnFixtures.writeDump(mirror, 2024, 3,
+      (1 to 2).map(i => PgnFixtures.gameTxt(i, s"2024.03.0$i", sitePrefix = "sl"))
+        .mkString("\n").getBytes("UTF-8"))
+    val out = Files.createTempDirectory("stateloss_out").toString
+    val staging = Files.createTempDirectory("stateloss_staging").toString
+    def runWithFreshState(): Unit = IngestMain.run(spark,
+      Array("--month=2024-03", out,
+        Files.createTempDirectory("stateloss_state").toString),
+      staging, Some(mirror.toUri.toString))
+    runWithFreshState()
+    runWithFreshState() // fresh state dir = the applied-id skip cannot fire
+    val df = spark.read.parquet(out)
+    assert(df.count() === 4, "2 games x 2 roles, once — not doubled")
+  }
+
   test("--month rejects out-of-range months instead of aliasing them") {
     // monthId is y*12 + (m-1), so 2024-00 would alias to 2023-12 and
     // 2024-13 to 2025-01 — a typo must fail, not silently "skip"
