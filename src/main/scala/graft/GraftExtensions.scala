@@ -72,6 +72,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.SrpSig(children.head,
           intConst(children(1), "planes"), intConst(children(2), "tables"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[functions.BloomMightContain].getName, "bloom_might_contain",
+        "bloom_might_contain(bits, key, k) - probe a bigint-array Bloom filter; " +
+          "false means definitely absent"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "bloom_might_contain expects 3 arguments")
+        val k = children(2) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval() match {
+              case i: java.lang.Integer => i.intValue()
+              case other => throw new IllegalArgumentException(
+                s"bloom_might_contain k must be a non-null integer constant, got $other")
+            }
+          case e => throw new IllegalArgumentException(
+            s"bloom_might_contain k must be an integer constant, got $e")
+        }
+        functions.BloomMightContain(children.head, children(1), k)
+      }))
     // the remaining unary text/dedup scans: same one-arg shape. Each
     // tuple carries its implementing class so DESCRIBE FUNCTION
     // reports the right one (not ShingleIds for all five).

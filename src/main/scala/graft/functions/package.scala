@@ -133,4 +133,16 @@ package object functions {
     val bridge = org.apache.spark.sql.graft.bridge
     bridge.column(ContainsCjk(bridge.expression(text)))
   }
+
+  /** Bloom-filter membership probe via the native codegen'd
+    * [[BloomMightContain]] expression: `bits` is an array<bigint>
+    * filter (built by [[BloomBuildAgg]], typically one broadcast
+    * row), `key` a bigint. True = maybe present, false = DEFINITELY
+    * absent.
+    */
+  def bloomMightContain(bits: Column, key: Column, numHashes: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(BloomMightContain(
+      bridge.expression(bits), bridge.expression(key), numHashes))
+  }
 }

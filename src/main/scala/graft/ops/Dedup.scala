@@ -691,6 +691,59 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D1c: Bloom-prefiltered incremental exact dedup — the SAME answer
+    * as [[dedupIncremental]] by construction, through the membership
+    * structure that actually ships at 100 TB. The history digest set
+    * is summarized into a Bloom filter ([[graft.functions.BloomBuildAgg]]
+    * — a mergeable map-side partial aggregate whose shuffle carries
+    * one fixed-size word buffer per partition, never the keys),
+    * broadcast as one row, and probed row-locally on the batch via the
+    * native codegen'd [[graft.functions.BloomMightContain]]. Rows the
+    * filter rejects are DEFINITELY new (Bloom filters have zero false
+    * negatives) and skip the history join entirely; only the
+    * maybe-present slice — true dups plus the (1−e^(−kn/m))^k false
+    * positives — pays the exact anti-join, so the prefilter changes
+    * the JOIN'S INPUT SIZE, never the answer.
+    *
+    * Why it matters at scale: a billion-key history digest set is
+    * ~37 GB of md5s (unbroadcastable — the anti-join shuffles the
+    * entire batch against it), while its 1%-FP Bloom filter is
+    * ~1.2 GB — broadcastable, turning the common case (a mostly-novel
+    * batch) into a narrow map-side scan with only the ~dup fraction
+    * shuffling. The test-scale default (2^16 bits) keeps specs fast;
+    * size m ≈ −n·ln(p)/(ln 2)² for real n.
+    */
+  def dedupIncrementalBloom(s: SparkSession, dir: String,
+      splitId: Long = 250L, numBits: Int = 1 << 16,
+      numHashes: Int = 4): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val digest = md5(col("text").cast("binary"))
+    // cached: feeds the filter build AND the exact-verify anti-join
+    val hist = docs.filter(col("doc_id") < splitId)
+      .select(digest.as("tkey")).distinct()
+      .cache()
+    val bloomAgg = udaf(new graft.functions.BloomBuildAgg(numBits, numHashes))
+    val bf = broadcast(hist.agg(bloomAgg(xxhash64(col("tkey"))).as("bf")))
+    val batch = docs.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), digest.as("tkey"))
+      .crossJoin(bf)
+      .withColumn("maybe", graft.functions.bloomMightContain(
+        col("bf"), xxhash64(col("tkey")), numHashes))
+    val fresh = batch.filter(!col("maybe")).select("doc_id", "tkey")
+    // the USING join reorders (tkey, doc_id) — re-select before the
+    // positional union, or it silently pairs doc_id with tkey
+    val verified = batch.filter(col("maybe")).select("doc_id", "tkey")
+      .join(hist, Seq("tkey"), "left_anti")
+      .select("doc_id", "tkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tkey").orderBy("doc_id")
+    fresh.union(verified)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -698,6 +751,21 @@ object Dedup {
     // the oracle anti-joins on raw TEXT (no digest), independently of
     // the md5 keying
     Q("dedup_incremental", (s, d) => dedupIncremental(s, d), Some(
+      """WITH hist AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT b.doc_id, b.text FROM documents b
+        |  LEFT JOIN hist h ON b.text = h.text
+        |  WHERE b.doc_id >= 250 AND h.text IS NULL),
+        |first AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        |  FROM batch)
+        |SELECT doc_id FROM first WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+    // the Bloom prefilter is answer-preserving (zero false negatives +
+    // exact verify of the maybe slice), so the oracle is the SAME
+    // text-keyed recomputation dedup_incremental is pinned by
+    Q("dedup_incremental_bloom", (s, d) => dedupIncrementalBloom(s, d), Some(
       """WITH hist AS (
         |  SELECT DISTINCT text FROM documents WHERE doc_id < 250),
         |batch AS (

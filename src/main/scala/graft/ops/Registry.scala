@@ -17,6 +17,6 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Eda.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
-      Sampling.queries ++ ChessQueries.queries
+      Similarity.queries ++ TextOps.queries ++ Bpe.queries ++
+      Multimodal.queries ++ Sampling.queries ++ ChessQueries.queries
 }

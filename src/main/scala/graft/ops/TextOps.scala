@@ -308,6 +308,73 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** D21: n-gram LM perplexity scoring — the CCNet quality signal
+    * (Wenzek et al. 2020 filter Common Crawl by the perplexity of a
+    * KenLM n-gram model; Moore–Lewis data selection scores with the
+    * same quantity). A word-bigram LM with add-one smoothing is
+    * trained on the corpus itself and every doc scored by its mean
+    * negative log2 bigram probability (bits/bigram): formulaic or
+    * in-distribution text scores low, gibberish and out-of-domain
+    * docs high — threshold it and you have the CCNet keep/drop gate.
+    *
+    * Cross-engine exactness: every probability is a ratio of exact
+    * integer counts, (c12 + 1) / (c1 + V) — one IEEE division + one
+    * log2 per bigram; per-doc bits fold over the POSITION-SORTED
+    * list (float addition is order-sensitive; both engines fold
+    * left-to-right over the same order), and the mean rounds to 6dp
+    * (the ann_bruteforce convention — log2 itself may differ in the
+    * last ulp across engines). Docs with < 2 tokens carry no bigram
+    * evidence: null score, the textTokens null convention.
+    *
+    * Scale shape: the model is two partial-aggregated counts
+    * (unigram, bigram) and scoring is two shuffle equi-joins keyed
+    * on t1 / (t1, t2) — all standard key-partitioned exchanges; the
+    * per-doc fold is bounded by doc length, and the vocabulary size
+    * rides a broadcast one-row frame (the withProportion pattern),
+    * never a collect. At 100 TB a production variant prunes bigrams
+    * below a min count to shrink the model (KenLM-style pruning —
+    * the unpruned formulation here is what the oracle can recompute
+    * exactly; pruning only changes WHICH c12 fall back to 0).
+    */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    // the filtered token ARRAY is built row-locally once; bigrams are
+    // adjacent elements of that array, so positions index non-empty
+    // tokens — the same filtered view both engines see
+    val docToks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"))
+      .cache() // feeds unigram counts, bigram rows AND the id spine
+    val uni = docToks.select(explode(col("a")).as("t1"))
+      .groupBy("t1").agg(count(lit(1)).as("c1"))
+      .cache() // feeds the scoring join AND the vocab-size total
+    val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+    val bigrams = docToks.filter(size(col("a")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(element_at(a, i) AS t1, element_at(a, i + 1) AS t2))")))
+      .select(col("doc_id"), col("pos"), col("col.t1").as("t1"),
+        col("col.t2").as("t2"))
+      .cache() // consumed twice: the model aggregate and the scoring rows
+    val bi = bigrams.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    // inner joins: scoring the training corpus itself, every doc
+    // bigram is in the model by construction (c1 >= 1, c12 >= 1)
+    val perDoc = bigrams
+      .join(uni, "t1")
+      .join(bi, Seq("t1", "t2"))
+      .crossJoin(vocab)
+      .withColumn("lp", -log2((col("c12") + 1).cast("double") /
+        (col("c1") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("bits"))
+    docToks.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("bits") / col("n_bigrams"), 6).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -412,6 +479,40 @@ object TextOps {
         |       THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
         |       ELSE 0.0 END AS dup_ratio
         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    // full independent re-derivation of the bigram LM: DuckDB rebuilds
+    // the unigram/bigram counts and folds bits in the same position
+    // order (list_reduce over the pos-ORDERED list == Spark's
+    // aggregate over the array_sort'ed list; 0.0 + x ≡ x, so the
+    // missing init is immaterial); 6dp rounding absorbs any last-ulp
+    // log2 divergence between engines
+    Q("text_perplexity", textPerplexity, Some(
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t1, count(*) AS c1
+        |  FROM (SELECT unnest(a) AS t1 FROM d) GROUP BY t1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id, pos, a[pos] AS t1, a[pos + 1] AS t2 FROM (
+        |    SELECT doc_id, a, unnest(range(1, len(a))) AS pos
+        |    FROM d WHERE len(a) >= 2)),
+        |bi AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
+        |sc AS (
+        |  SELECT bg.doc_id, bg.pos,
+        |    -log2(CAST(bi.c12 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) AS lp
+        |  FROM bg
+        |  JOIN uni ON bg.t1 = uni.t1
+        |  JOIN bi ON bg.t1 = bi.t1 AND bg.t2 = bi.t2
+        |  CROSS JOIN v),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS bits
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  round(p.bits / p.n_bigrams, 6) AS avg_bits
+        |FROM d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
     Q("text_vocab", (s, d) => textVocab(s, d), Some(
       raw"""SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)

@@ -64,6 +64,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT srp_sig(array(cast(0.5 as float), cast(-1.5 as float)), 6, 1) AS s"""
       ).head().getSeq[Long](0)
       assert(srp1 === Seq(srp.head))
+      // bloom_might_contain: an empty filter rejects everything, a
+      // saturated one accepts everything
+      val bl = spark.sql(
+        """SELECT bloom_might_contain(array(0L, 0L), 7L, 4) AS none,
+          |       bloom_might_contain(array(-1L, -1L), 7L, 4) AS full""".stripMargin)
+        .head()
+      assert(!bl.getBoolean(0) && bl.getBoolean(1))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

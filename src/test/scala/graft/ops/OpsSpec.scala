@@ -614,4 +614,38 @@ class OpsSpec extends SparkSpec {
     assert(rows(2) === (200L, "(200, 400]"))
     assert(rows(3) === (200L, "(200, 400]"))
   }
+
+  test("text_perplexity: hand-computed bigram LM bits on a tiny corpus") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ppl_spec").toString
+    // V = 3 (a, b, c); uni a:3 b:2 c:1; bigrams (a,b):2 (a,c):1.
+    // doc 4 is empty: no tokens, no vocabulary contribution, null score
+    Seq(Doc(1, "a b", "en", "s", 3), Doc(2, "a b", "en", "s", 3),
+        Doc(3, "a c", "en", "s", 3), Doc(4, "", "en", "s", 0))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextOps.textPerplexity(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2))))
+      .toMap
+    // lp(a,b) = -log2((2+1)/(3+3)) = 1 bit exactly
+    assert(r(1L) === ((1L, 1.0)))
+    assert(r(2L) === ((1L, 1.0)))
+    // lp(a,c) = -log2((1+1)/(3+3)) = log2(3) = 1.584963 at 6dp
+    assert(r(3L)._1 === 1L)
+    assert(math.abs(r(3L)._2 - 1.584963) < 1e-9, s"doc 3 bits ${r(3L)._2}")
+    assert(r(4L)._1 === 0L && r(4L)._2.isNaN)
+  }
+
+  test("text_perplexity: boilerplate scores fewer bits than unique content") {
+    val m = TextOps.textPerplexity(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
+    // identical texts score identically
+    assert(m(1L) === m(2L))
+    assert(m(6L) === m(7L))
+    // docs 1/2/3 share nearly all bigrams (count 3 in the model) while
+    // doc 4's bigrams are singletons over mostly-singleton unigrams —
+    // the repeated text is more predictable under the corpus LM
+    assert(m(1L) < m(4L), s"boilerplate ${m(1L)} vs unique ${m(4L)}")
+  }
 }

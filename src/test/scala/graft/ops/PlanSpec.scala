@@ -88,6 +88,45 @@ class PlanSpec extends SparkSpec {
         "two-consumer aggregate lost its cache")
   }
 
+  test("LM/BPE/bloom operators: partial aggs, keyed joins, no corpus sort") {
+    // text_perplexity: the model joins key on (t1) / (t1,t2) — a
+    // lost join key degrades to bigrams × model; the shared
+    // token/bigram frames must show their cache, and the unigram /
+    // bigram counts must partial-aggregate map-side
+    locally {
+      val plan = planOf(TextOps.textPerplexity(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        "shared token/bigram frames lost their cache")
+      assert(plan.contains("partial_count"),
+        s"no map-side partial aggregation in:\n$plan")
+    }
+    // bpe_pairs: pair counting partial-aggregates and the top-k is
+    // TakeOrderedAndProject, never a global sort of the pair table
+    locally {
+      val plan = planOf(Bpe.bpePairs(spark, dir))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"bpe_pairs top-k global-sorts:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"no map-side partial aggregation in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+    }
+    // dedup_incremental_bloom: the one-row filter rides a broadcast
+    // (nested-loop over 1 row — the withProportion shape, by design);
+    // the exact verify must stay a KEYED anti-join, and the bloom
+    // build must partial-aggregate (one buffer per partition, not a
+    // key shuffle)
+    locally {
+      val df = Dedup.dedupIncrementalBloom(spark, dir)
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      assert(plan.contains("LeftAnti"),
+        s"exact verify anti-join missing:\n$plan")
+      assert(plan.toLowerCase.contains("partial_bloombuildagg"),
+        s"bloom build not partial-aggregated in:\n$plan")
+    }
+  }
+
   test("temporal joins keep equi-join form (no cartesian/nested-loop)") {
     // the interval join's time-band predicate must stay a RESIDUAL on
     // a hash join keyed by user_id; losing the equi condition would
