@@ -22,7 +22,10 @@ object Bench {
     "pgn_ingest",
     // round 6 (cont.): the cross-doc duplicate-span scan — corpus-wide
     // gram exchange, the heaviest new round-6 analytics operator
-    "text_dup_spans")
+    "text_dup_spans",
+    // round 6 (cont. 5): the bigram-LM build + scoring joins — the
+    // corpus-model train/apply shape none of the other headliners has
+    "text_perplexity")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the

@@ -356,11 +356,14 @@ object TextOps {
         col("col.t2").as("t2"))
       .cache() // consumed twice: the model aggregate and the scoring rows
     val bi = bigrams.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    // attach c1 to the MODEL (distinct-bigram-sized) rather than the
+    // corpus-sized scoring rows: one keyed join on (t1,t2) touches the
+    // corpus, the t1 join runs at model size — half the corpus shuffle
+    val model = bi.join(uni, "t1")
     // inner joins: scoring the training corpus itself, every doc
     // bigram is in the model by construction (c1 >= 1, c12 >= 1)
     val perDoc = bigrams
-      .join(uni, "t1")
-      .join(bi, Seq("t1", "t2"))
+      .join(model, Seq("t1", "t2"))
       .crossJoin(vocab)
       .withColumn("lp", -log2((col("c12") + 1).cast("double") /
         (col("c1") + col("v")).cast("double")))
