@@ -59,6 +59,25 @@ object Sampling {
         splitLabel(col("hk")).as("split"))
       .orderBy("doc_id")
 
+  /** D23: leakage-safe GROUPED split — assignment hashes the GROUP
+    * key (source/domain), not the doc id, so every doc of a source
+    * lands in the same split (scikit-learn's GroupShuffleSplit
+    * semantics). This is the split eval hygiene actually requires:
+    * near-dups cluster within a source/domain, and a doc-keyed split
+    * leaks them across train/test — decontamination (D18) then
+    * measures exactly the leak the split built in. Same salted-hash
+    * determinism as [[sampleSplit]] (different salt: the group split
+    * must not correlate with the doc split on same-named keys), zero
+    * shuffle — assignment is a narrow projection even though the
+    * UNIT of assignment is the group.
+    */
+  def sampleSplitGrouped(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("hk", hexKey(col("source"), "gsplit:"))
+      .select(col("doc_id"), col("source"),
+        splitLabel(col("hk")).as("split"))
+      .orderBy("doc_id")
+
   /** D15: exact k-per-stratum deterministic subsample — the k docs
     * with the smallest hash per language, rank included (a stable
     * "take 20 random docs per language" that never over- or
@@ -306,6 +325,12 @@ object Sampling {
       """SELECT doc_id, lang,
         |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
         |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("sample_split_grouped", (s, d) => sampleSplitGrouped(s, d), Some(
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5('gsplit:' || source), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5('gsplit:' || source), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
     Q("sample_stratified", (s, d) => sampleStratified(s, d), Some(

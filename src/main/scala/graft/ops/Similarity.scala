@@ -263,6 +263,92 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** D24: spherical k-means refinement over the embedding corpus —
+    * the clustering stage of embedding-space curation (SemDeDup,
+    * Abbas et al. 2023, clusters before intra-cluster dedup; DsDm /
+    * cluster-balanced sampling pick training mixtures from exactly
+    * this assignment). Deterministic end to end: initial centroids
+    * are the k smallest-hash vectors (the [[ivfPivots]] bootstrap
+    * convention, salt `km:`), each Lloyd step assigns by cosine
+    * (scale-invariant, so the unnormalized mean centroid yields the
+    * same assignment spherical k-means' normalized mean would) and
+    * recomputes per-dimension means.
+    *
+    * Cross-engine exactness: assignment similarity uses only
+    * correctly-rounded IEEE ops (+, ×, ÷, sqrt) folded in DIMENSION
+    * order on both engines (zip_with+aggregate here, dim-ordered
+    * list_reduce in the oracle), and the centroid mean folds the
+    * cluster's values in VEC_ID order — so even the argmax tie-break
+    * (cos desc, pid desc) is bit-reproducible. The ordered
+    * per-(cluster, dim) fold bounds its collect_list by CLUSTER SIZE:
+    * that is the oracle-able formulation; at 100 TB the update step
+    * would use a plain partial-aggregated sum (order-free, equal to
+    * within last-ulp noise) and k-means|| init, changing nothing
+    * structural. Assignment itself is a narrow row-local projection
+    * (k fused folds per row, no shuffle); each update is one
+    * (pid, dim)-keyed partial agg; 2·k·d doubles cross the driver per
+    * iteration (the ivfPivots footprint).
+    */
+  def embedKmeans(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 1): DataFrame = {
+    // consumed 2·iters+1 times (assignments + updates) — cache, or
+    // every pass re-scans the parquet
+    val vecs = corpus(s, dir).cache()
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .withColumn("hk", md5(concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy("hk", "vec_id").limit(k)
+      .select("embedding").collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).toArray.map(_.toDouble) }
+
+    // (cos, pid) argmax as one row-local expression tree: k fused
+    // dim-order folds + a k-element sort; ties to the larger pid
+    // (array_sort asc + reverse == ORDER BY cos DESC, pid DESC)
+    def best(emb: Column): Column = {
+      val na = aggregate(transform(emb, x =>
+        x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v)
+      element_at(reverse(array_sort(array(centroids.toIndexedSeq.map {
+        case (pid, cv) =>
+          val dot = aggregate(
+            zip_with(emb, typedLit(cv), (x, y) => x.cast("double") * y),
+            lit(0.0), (a, v) => a + v)
+          // sqrt(Σ cval²) folded dim-order on the driver — the same
+          // IEEE ops the oracle's sqrt(list_reduce(...)) performs
+          val snb = cv.foldLeft(0.0)((a, v) => a + v * v)
+          val denom = sqrt(na) * lit(math.sqrt(snb))
+          struct(when(denom === 0.0, 0.0).otherwise(dot / denom).as("cos"),
+            lit(pid).as("pid"))
+      }: _*))), 1)
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = vecs
+        .withColumn("pid", best(col("embedding")).getField("pid"))
+        .select(col("vec_id"), col("pid"), posexplode(col("embedding")))
+      val updated = assigned
+        .groupBy("pid", "pos")
+        .agg((aggregate(
+          array_sort(collect_list(struct(col("vec_id"),
+            col("col").cast("double").as("v")))),
+          lit(0.0), (a, x) => a + x.getField("v")) /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (pid, rows) =>
+          pid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      // an emptied cluster keeps its previous centroid
+      centroids = centroids.map { case (pid, old) =>
+        pid -> updated.getOrElse(pid, old)
+      }
+    }
+
+    vecs.withColumn("p", best(col("embedding")))
+      .select(col("vec_id"), col("p.pid").as("pid"),
+        round(col("p.cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", annBruteforce, Some(
       s"""WITH scored AS (
@@ -318,6 +404,66 @@ object Similarity {
          |                            ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
-         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin))
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
+    // full unrolled re-derivation of one Lloyd step: DuckDB rebuilds
+    // the hash-chosen centroids, the dim-ordered similarity folds, the
+    // vec_id-ordered mean folds and the (cos desc, pid desc) argmax —
+    // every float op is correctly-rounded IEEE applied in the same
+    // order, so assignment matches bit-for-bit, not just to tolerance
+    Q("embed_kmeans", (s, d) => embedKmeans(s, d), Some(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |vd AS (
+        |  SELECT vec_id, i AS dim, e[i] AS val
+        |  FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i FROM v)),
+        |piv AS (
+        |  SELECT vec_id, row_number() OVER (
+        |           ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pid
+        |  FROM v),
+        |c0 AS (
+        |  SELECT p.pid, d.dim, d.val AS cval
+        |  FROM piv p JOIN vd d USING (vec_id) WHERE p.pid < 8),
+        |s1 AS (
+        |  SELECT vd.vec_id, c.pid,
+        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
+        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
+        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
+        |  FROM vd JOIN c0 c ON vd.dim = c.dim
+        |  GROUP BY vd.vec_id, c.pid),
+        |a1 AS (
+        |  SELECT vec_id, pid FROM (
+        |    SELECT vec_id, pid, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY CASE WHEN sna * snb = 0 THEN 0.0
+        |                           ELSE dot / (sna * snb) END DESC,
+        |                      pid DESC) AS rk
+        |    FROM s1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT c.pid, c.dim, COALESCE(u.m, c.cval) AS cval
+        |  FROM c0 c LEFT JOIN (
+        |    SELECT a.pid, d.dim,
+        |           list_reduce(list(d.val ORDER BY d.vec_id), (x, y) -> x + y)
+        |             / count(*) AS m
+        |    FROM a1 a JOIN vd d USING (vec_id)
+        |    GROUP BY a.pid, d.dim) u
+        |  ON c.pid = u.pid AND c.dim = u.dim),
+        |s2 AS (
+        |  SELECT vd.vec_id, c.pid,
+        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
+        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
+        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
+        |  FROM vd JOIN c1 c ON vd.dim = c.dim
+        |  GROUP BY vd.vec_id, c.pid),
+        |f AS (
+        |  SELECT vec_id, pid, cos FROM (
+        |    SELECT vec_id, pid,
+        |           CASE WHEN sna * snb = 0 THEN 0.0
+        |                ELSE dot / (sna * snb) END AS cos,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY CASE WHEN sna * snb = 0 THEN 0.0
+        |                           ELSE dot / (sna * snb) END DESC,
+        |                      pid DESC) AS rk
+        |    FROM s2) WHERE rk = 1)
+        |SELECT vec_id, CAST(pid AS INTEGER) AS pid, round(cos, 6) AS cos
+        |FROM f ORDER BY vec_id""".stripMargin))
   )
 }

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Spherical k-means refinement semantics (SURVEY §2.D24) on the
+  * driver test embeddings.
+  */
+class KmeansSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(iters: Int) =
+    Similarity.embedKmeans(spark, dir, iters = iters).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+
+  test("lloyd refinement: mean assigned-cosine is non-decreasing per step") {
+    // cosine is scale-invariant, so the unnormalized-mean update IS
+    // the spherical k-means update — each step must not worsen the
+    // mean similarity to the assigned centroid (1e-9 float slack)
+    val objectives = (0 to 3).map(i => run(i).map(_._3).sum / 500.0)
+    objectives.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next >= prev - 1e-9, s"objective regressed: $objectives")
+    }
+    // and refinement actually moves: one step must beat the raw
+    // pivot assignment strictly (pivots are arbitrary hash picks)
+    assert(objectives(1) > objectives(0), s"no refinement: $objectives")
+  }
+
+  test("assignment is deterministic, total, and non-trivial") {
+    val a = run(1)
+    val b = run(1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 500)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(a.map(_._2).distinct.length > 1, "all vectors in one cluster")
+    assert(a.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+  }
+}

@@ -22,6 +22,25 @@ class SamplingSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("sample_split_grouped: a source never spans two splits") {
+    val rows = Sampling.sampleSplitGrouped(spark, dir).collect()
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.length === total)
+    // the leakage-safety property: every doc of a source carries the
+    // SAME split label (a doc-keyed split scatters each source ~80/10/10)
+    val bySource = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getString(2)).toSet).toMap
+    assert(bySource.values.forall(_.size === 1),
+      s"source spans splits: ${bySource.filter(_._2.size > 1).keys}")
+    // non-vacuous: the 20 sources land in more than one split overall
+    assert(bySource.values.flatten.toSet.size >= 2)
+    // and the grouped split is NOT the doc split relabeled: some doc
+    // must differ from its sample_split assignment
+    val docSplit = Sampling.sampleSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.exists(r => docSplit(r.getLong(0)) != r.getString(2)))
+  }
+
   test("sample_stratified takes exactly min(k, |stratum|) per language") {
     val k = 20
     val picked = Sampling.sampleStratified(spark, dir, k).collect()
