@@ -680,15 +680,27 @@ object Dedup {
     val digest = md5(col("text").cast("binary"))
     val hist = docs.filter(col("doc_id") < splitId)
       .select(digest.as("tkey")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("tkey").orderBy("doc_id")
-    docs.filter(col("doc_id") >= splitId)
-      .select(col("doc_id"), digest.as("tkey"))
-      .join(hist, Seq("tkey"), "left_anti")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    newAgainstHistory(
+      docs.filter(col("doc_id") >= splitId)
+        .select(col("doc_id"), digest.as("tkey")), hist)
       .select(col("doc_id"))
       .orderBy("doc_id")
+  }
+
+  /** The batch-vs-history survivor rule, shared by [[dedupIncremental]]
+    * and the streaming twin ([[graft.streaming.TextStreams.dedupStream]])
+    * so the two cannot drift: drop batch rows whose `tkey` is in
+    * history, then keep the smallest-`doc_id` row per surviving key.
+    * `batch` needs (doc_id, tkey, …passthrough); `hist` needs (tkey).
+    */
+  private[graft] def newAgainstHistory(batch: DataFrame, hist: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tkey").orderBy("doc_id")
+    batch
+      .join(hist.select("tkey"), Seq("tkey"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk")
   }
 
   /** D1c: Bloom-prefiltered incremental exact dedup — the SAME answer

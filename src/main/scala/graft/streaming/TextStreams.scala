@@ -1,11 +1,86 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming text-analytics operators (SURVEY §2.E) over a document
   * stream with a `text` column.
   */
 object TextStreams {
+
+  /** E9: continuous exact dedup against a PERSISTENT digest index —
+    * the streaming twin of `dedup_incremental` (D1b), and the shape a
+    * continuously-fed corpus needs: E3's
+    * `dropDuplicatesWithinWatermark` bounds its state by TIME, but
+    * corpus dedup must remember every digest ever admitted, so the
+    * index lives as a parquet table that each micro-batch anti-joins
+    * and appends to — state store holds NOTHING (the history is the
+    * table), and at 100 TB the D1c Bloom prefilter broadcast slots in
+    * front of the same anti-join unchanged.
+    *
+    * Exactly-once without a transaction log: both writes partition by
+    * `ingest_batch` under DYNAMIC overwrite, so a replayed batch
+    * (crash before the offset commit) overwrites exactly its own
+    * partitions; the history read EXCLUDES the current batch id, so a
+    * replay that already half-wrote its partition does not count its
+    * own rows as history (the [[graft.chess.StreamIngest]] replay
+    * protocol, minus the counter state it doesn't need). The survivor
+    * rule itself is [[graft.ops.Dedup.newAgainstHistory]] — the SAME
+    * code path the batch oracle pins.
+    */
+  def dedupStream(spark: SparkSession, docsDir: String, outDir: String,
+      indexDir: String, checkpointDir: String): StreamingQuery = {
+    // file streams need an explicit schema; the source dir's existing
+    // files define it (the deployment contract: the stream tails a
+    // directory some writer already publishes complete files into)
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(spark, batch.toDF(), batchId, outDir, indexDir)
+      }
+      .start()
+  }
+
+  private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, outDir: String, indexDir: String): Unit = {
+    val keyed = batch.withColumn("tkey", md5(col("text").cast("binary")))
+    val hist =
+      if (nonEmptyDir(spark, indexDir))
+        spark.read.parquet(indexDir)
+          .filter(col("ingest_batch") =!= batchId) // replay: own rows aren't history
+          .select("tkey")
+      else keyed.select("tkey").limit(0)
+    // materialize BEFORE writing: the index write below overwrites a
+    // path this plan reads (self-overwrite), and a lazy plan would
+    // also recompute the anti-join per sink
+    val kept = graft.ops.Dedup.newAgainstHistory(keyed, hist)
+      .withColumn("ingest_batch", lit(batchId))
+      .localCheckpoint()
+    try {
+      kept.select("tkey", "ingest_batch")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(indexDir)
+      kept.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(outDir)
+    } finally kept.unpersist()
+  }
+
+  /** Hadoop-FS existence check (remote URIs work, like the ingest
+    * paths): the index dir is absent-or-empty only before the first
+    * committed batch.
+    */
+  private def nonEmptyDir(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
 
   /** E8: streaming heavy hitters — the running top tokens of a
     * document stream via the Misra–Gries Aggregator
