@@ -49,9 +49,12 @@ object Scale {
     // text_dup_spans shares the family's exact-collapse invariant: its
     // cross-doc gram exchange runs on UNIQUE texts, so doubling the
     // dup factor must not double its cost either
+    // text_perplexity joined round 6 (cont. 5): its model counts come
+    // from unique texts weighted by multiplicity, so the dup-heavy
+    // corpus must grow its cost sublinearly like the dedup family
     for (name <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
         "dedup_jaccard", "dedup_clusters", "contamination", "pack_contexts",
-        "text_dup_spans")) {
+        "text_dup_spans", "text_perplexity")) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -326,52 +326,67 @@ object TextOps {
     * last ulp across engines). Docs with < 2 tokens carry no bigram
     * evidence: null score, the textTokens null convention.
     *
-    * Scale shape: the model is two partial-aggregated counts
-    * (unigram, bigram) and scoring is two shuffle equi-joins keyed
-    * on t1 / (t1, t2) — all standard key-partitioned exchanges; the
-    * per-doc fold is bounded by doc length, and the vocabulary size
-    * rides a broadcast one-row frame (the withProportion pattern),
-    * never a collect. At 100 TB a production variant prunes bigrams
-    * below a min count to shrink the model (KenLM-style pruning —
-    * the unpruned formulation here is what the oracle can recompute
-    * exactly; pruning only changes WHICH c12 fall back to 0).
+    * Scale shape: exact-dup collapse first (unique texts weighted by
+    * multiplicity — Σ-identical counts, dup-invariant exchange), then
+    * two partial-aggregated model counts and scoring as ONE
+    * (t1, t2)-keyed join over unique-text bigrams plus a model-sized
+    * t1 join; the per-doc fold is bounded by doc length, and the
+    * vocabulary size rides a broadcast one-row frame (the
+    * withProportion pattern), never a collect. At 100 TB a production
+    * variant prunes bigrams below a min count to shrink the model
+    * (KenLM-style pruning — the unpruned formulation here is what the
+    * oracle can recompute exactly; pruning only changes WHICH c12
+    * fall back to 0).
     */
   def textPerplexity(s: SparkSession, dir: String): DataFrame = {
-    // the filtered token ARRAY is built row-locally once; bigrams are
-    // adjacent elements of that array, so positions index non-empty
-    // tokens — the same filtered view both engines see
-    val docToks = Tables.load(s, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("tkey")
+    // exact-dup collapse first (the dedup-family invariant): model
+    // counts come from UNIQUE texts weighted by their multiplicity m —
+    // Σ-identical to counting every copy, so the answer is unchanged
+    // while the explode and the scoring joins run on unique content
+    // only (a dup-heavy crawl must not multiply the exchange). The
+    // token ARRAY is projected BEFORE the group window so raw text
+    // never crosses the digest shuffle; positions index non-empty
+    // tokens — the same filtered view both engines see.
+    val grouped = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        filter(wsTokens(col("text")), t => t =!= "").as("a"))
-      .cache() // feeds unigram counts, bigram rows AND the id spine
-    val uni = docToks.select(explode(col("a")).as("t1"))
-      .groupBy("t1").agg(count(lit(1)).as("c1"))
-      .cache() // feeds the scoring join AND the vocab-size total
+        filter(wsTokens(col("text")), t => t =!= "").as("a"),
+        md5(col("text").cast("binary")).as("tkey"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .localCheckpoint() // feeds the doc→rep map AND the rep-level model
+    val docToRep = grouped.select(col("doc_id"), col("rep"))
+    val repToks = grouped.filter(col("doc_id") === col("rep"))
+      .select(col("rep"), col("m"), col("a"))
+    val uni = repToks.select(explode(col("a")).as("t1"), col("m"))
+      .groupBy("t1").agg(sum(col("m")).as("c1"))
+      .cache() // feeds the model join AND the vocab-size total
     val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
-    val bigrams = docToks.filter(size(col("a")) >= 2)
-      .select(col("doc_id"), posexplode(expr(
+    val bigrams = repToks.filter(size(col("a")) >= 2)
+      .select(col("rep"), col("m"), posexplode(expr(
         "transform(sequence(1, size(a) - 1), " +
           "i -> struct(element_at(a, i) AS t1, element_at(a, i + 1) AS t2))")))
-      .select(col("doc_id"), col("pos"), col("col.t1").as("t1"),
+      .select(col("rep"), col("m"), col("pos"), col("col.t1").as("t1"),
         col("col.t2").as("t2"))
       .cache() // consumed twice: the model aggregate and the scoring rows
-    val bi = bigrams.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val bi = bigrams.groupBy("t1", "t2").agg(sum(col("m")).as("c12"))
     // attach c1 to the MODEL (distinct-bigram-sized) rather than the
     // corpus-sized scoring rows: one keyed join on (t1,t2) touches the
-    // corpus, the t1 join runs at model size — half the corpus shuffle
+    // unique-text bigrams, the t1 join runs at model size
     val model = bi.join(uni, "t1")
     // inner joins: scoring the training corpus itself, every doc
     // bigram is in the model by construction (c1 >= 1, c12 >= 1)
-    val perDoc = bigrams
+    val perRep = bigrams
       .join(model, Seq("t1", "t2"))
       .crossJoin(vocab)
       .withColumn("lp", -log2((col("c12") + 1).cast("double") /
         (col("c1") + col("v")).cast("double")))
-      .groupBy("doc_id")
+      .groupBy("rep")
       .agg(count(lit(1)).as("n_bigrams"),
         aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
           lit(0.0), (acc, x) => acc + x.getField("lp")).as("bits"))
-    docToks.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    docToRep.join(perRep, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("bits") / col("n_bigrams"), 6).as("avg_bits"))
