@@ -573,6 +573,27 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** C2c: APPROXIMATE percentiles — the Greenwald–Khanna sketch
+    * (`approx_percentile`), the bounded-memory mergeable twin of
+    * [[qPercentiles]]: exact `percentile` buffers every group value
+    * (a hot group is one giant sort), the sketch holds O(1/ε) state
+    * per group and merges map-side, with rank error ≤ ε·n (ε =
+    * 1/accuracy). The spec pins the estimate inside the exact
+    * [p−5%, p+5%] RANK band — the quantile analog of the HLL ±5%
+    * floor (rows-only for the driver: a sketch has no SQL-exact
+    * oracle by nature).
+    */
+  def qApproxQuantiles(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $accuracy)")
+        .as("qs"), count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        col("qs").getItem(0).as("p50_approx"),
+        col("qs").getItem(1).as("p90_approx"), col("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Seq[Q] = Seq(
     Q("q_cube", qCube, Some(
       """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust
@@ -650,6 +671,9 @@ object Relational {
         |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |       count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    // rows-only by nature (a GK sketch has no SQL-exact recomputation);
+    // the rank-band floor is spec-pinned against the exact percentiles
+    Q("q_approx_quantiles", (s, d) => qApproxQuantiles(s, d), None),
     Q("q1_pricing", q1Pricing, Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

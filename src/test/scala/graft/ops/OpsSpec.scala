@@ -492,6 +492,25 @@ class OpsSpec extends SparkSpec {
         s"HLL estimate $e vs exact $x")
   }
 
+  test("q_approx_quantiles: GK estimates inside the exact ±5% rank band") {
+    import org.apache.spark.sql.functions.expr
+    val sf = "/root/testdata/sf0.001"
+    // exact rank-band edges per group: [p-0.05, p+0.05] quantiles
+    val bands = graft.Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.45, 0.55, 0.85, 0.95))").as("b"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = Relational.qApproxQuantiles(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val b = bands(r.getString(0))
+      val p50 = r.getDouble(1); val p90 = r.getDouble(2)
+      assert(p50 >= b(0) && p50 <= b(1), s"${r.getString(0)} p50=$p50 outside [${b(0)}, ${b(1)}]")
+      assert(p90 >= b(2) && p90 <= b(3), s"${r.getString(0)} p90=$p90 outside [${b(2)}, ${b(3)}]")
+    }
+  }
+
   test("native CosineSim matches the HOF formulation") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
@@ -20,16 +20,14 @@ class DedupStreamSpec extends SparkSpec {
     import spark.implicits._
     val tmp = Files.createTempDirectory("ds_pub").toString
     docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p: Path = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        Files.move(p, Paths.get(srcDir, name))
-        moved = true
-      }
-    }
-    assert(moved, "no part file produced")
+    // Files.list holds a directory handle until closed (the Files.walk
+    // lesson, LocalFs.deleteRecursively)
+    import scala.jdk.CollectionConverters._
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+      _.iterator().asScala.toSeq)
+      .find(_.getFileName.toString.endsWith(".parquet"))
+    assert(part.isDefined, "no part file produced")
+    Files.move(part.get, Paths.get(srcDir, name))
   }
 
   private def d(id: Long, text: String) = Doc(id, text, "en", "s", text.length)
