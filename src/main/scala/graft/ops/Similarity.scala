@@ -290,7 +290,7 @@ object Similarity {
     * iteration (the ivfPivots footprint).
     */
   def embedKmeans(s: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 1): DataFrame = {
+      iters: Int = 1, orderedFold: Boolean = true): DataFrame = {
     // consumed 2·iters+1 times (assignments + updates) — cache, or
     // every pass re-scans the parquet
     val vecs = corpus(s, dir).cache()
@@ -325,13 +325,22 @@ object Similarity {
       val assigned = vecs
         .withColumn("pid", best(col("embedding")).getField("pid"))
         .select(col("vec_id"), col("pid"), posexplode(col("embedding")))
+      // orderedFold = the oracle-able formulation (vec_id-ordered sum,
+      // bit-reproducible, collect_list bounded by cluster size);
+      // orderedFold = false is the PRODUCTION update — a plain
+      // partial-aggregated mean, order-free and cluster-size-unbounded,
+      // equal to within last-ulp noise (assignment equality at test
+      // scale is spec-pinned)
+      val meanCol =
+        if (orderedFold)
+          aggregate(
+            array_sort(collect_list(struct(col("vec_id"),
+              col("col").cast("double").as("v")))),
+            lit(0.0), (a, x) => a + x.getField("v")) / count(lit(1))
+        else avg(col("col").cast("double"))
       val updated = assigned
         .groupBy("pid", "pos")
-        .agg((aggregate(
-          array_sort(collect_list(struct(col("vec_id"),
-            col("col").cast("double").as("v")))),
-          lit(0.0), (a, x) => a + x.getField("v")) /
-          count(lit(1))).as("m"))
+        .agg(meanCol.as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (pid, rows) =>

@@ -26,6 +26,18 @@ class KmeansSpec extends SparkSpec {
     assert(objectives(1) > objectives(0), s"no refinement: $objectives")
   }
 
+  test("production plain-mean update assigns identically to the ordered fold") {
+    // the partial-aggregated mean (order-free float sum — what a
+    // 100 TB update uses) differs from the oracle-able ordered fold
+    // only in last-ulp noise; cluster assignment must not flip
+    val ordered = Similarity.embedKmeans(spark, dir, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val plain = Similarity.embedKmeans(spark, dir, iters = 2,
+      orderedFold = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(plain.toSeq === ordered.toSeq)
+  }
+
   test("assignment is deterministic, total, and non-trivial") {
     val a = run(1)
     val b = run(1)
