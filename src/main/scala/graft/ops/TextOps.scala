@@ -393,6 +393,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D21b: HELD-OUT perplexity — the model trains on the history
+    * (doc_id < splitId) and scores the NEW batch, the actual
+    * Moore–Lewis / CCNet deployment shape (score incoming crawl
+    * against a trusted-corpus LM). Unlike [[textPerplexity]]'s
+    * train-on-self form, scored bigrams can be OUT OF VOCABULARY,
+    * so this exercises the add-one smoothing fallbacks the self-form
+    * never reaches: unseen bigram → (0+1)/(c1+V); unseen first word →
+    * (0+1)/(0+V) = 1/V. LEFT joins + coalesce(0) — same
+    * engine-exactness argument as D21 (integer-count ratios,
+    * position-ordered folds, 6dp round), same scale shape minus the
+    * collapse (the batch is scored per doc; collapse applies to the
+    * TRAIN side, which here is one partial-agg count pass).
+    */
+  def textPerplexityHeldout(s: SparkSession, dir: String,
+      splitId: Long = 250L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), filter(wsTokens(col("text")), t => t =!= "").as("a"))
+      .cache() // feeds the train counts AND the batch scoring rows
+    val trainToks = docs.filter(col("doc_id") < splitId)
+    val uni = trainToks.select(explode(col("a")).as("t1"))
+      .groupBy("t1").agg(count(lit(1)).as("c1"))
+      .cache() // feeds the model join AND the vocab-size total
+    val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+    def bigramsOf(d: DataFrame, idCol: String) = d
+      .filter(size(col("a")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(element_at(a, i) AS t1, element_at(a, i + 1) AS t2))")))
+      .select(col(idCol), col("pos"), col("col.t1").as("t1"),
+        col("col.t2").as("t2"))
+    val bi = bigramsOf(trainToks, "doc_id")
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    // c1 joins SEPARATELY from the pair: a bigram can be unseen while
+    // its first word is known ((0+1)/(c1+V)), so riding c1 on the
+    // model row (the D21 fusion) would wrongly zero c1 for novel
+    // pairs of known words — two LEFT joins, nulls → the smoothing
+    // fallbacks
+    val perDoc = bigramsOf(docs.filter(col("doc_id") >= splitId), "doc_id")
+      .join(bi, Seq("t1", "t2"), "left")
+      .join(uni, Seq("t1"), "left")
+      .crossJoin(vocab)
+      .withColumn("lp", -log2(
+        (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("bits"))
+    docs.filter(col("doc_id") >= splitId).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("bits") / col("n_bigrams"), 6).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -531,6 +587,44 @@ object TextOps {
         |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
         |  round(p.bits / p.n_bigrams, 6) AS avg_bits
         |FROM d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    // held-out form: LEFT joins in both engines, so unseen pairs /
+    // unseen first words exercise the (0+1)/(c1+V) and 1/V smoothing
+    // fallbacks; same ordered-fold + 6dp-round exactness as D21
+    Q("text_perplexity_heldout", (s, d) => textPerplexityHeldout(s, d), Some(
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t1, count(*) AS c1
+        |  FROM (SELECT unnest(a) AS t1 FROM d WHERE doc_id < 250)
+        |  GROUP BY t1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |tb AS (
+        |  SELECT a[pos] AS t1, a[pos + 1] AS t2 FROM (
+        |    SELECT a, unnest(range(1, len(a))) AS pos FROM d
+        |    WHERE doc_id < 250 AND len(a) >= 2)),
+        |bi AS (SELECT t1, t2, count(*) AS c12 FROM tb GROUP BY t1, t2),
+        |sb AS (
+        |  SELECT doc_id, pos, a[pos] AS t1, a[pos + 1] AS t2 FROM (
+        |    SELECT doc_id, a, unnest(range(1, len(a))) AS pos FROM d
+        |    WHERE doc_id >= 250 AND len(a) >= 2)),
+        |sc AS (
+        |  SELECT sb.doc_id, sb.pos,
+        |    -log2(CAST(COALESCE(bi.c12, 0) + 1 AS DOUBLE)
+        |          / CAST(COALESCE(uni.c1, 0) + v.v AS DOUBLE)) AS lp
+        |  FROM sb
+        |  LEFT JOIN bi ON sb.t1 = bi.t1 AND sb.t2 = bi.t2
+        |  LEFT JOIN uni ON sb.t1 = uni.t1
+        |  CROSS JOIN v),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS bits
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  round(p.bits / p.n_bigrams, 6) AS avg_bits
+        |FROM d LEFT JOIN p USING (doc_id)
+        |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin)),
     Q("text_vocab", (s, d) => textVocab(s, d), Some(
       raw"""SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)

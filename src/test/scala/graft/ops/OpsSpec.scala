@@ -655,6 +655,30 @@ class OpsSpec extends SparkSpec {
     assert(r(4L)._1 === 0L && r(4L)._2.isNaN)
   }
 
+  test("text_perplexity_heldout: OOV smoothing fallbacks, hand-computed") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("pplh_spec").toString
+    // train = doc 1 only: V = {a, b}, c(a)=1, c(b)=1, bi (a,b):1
+    Seq(Doc(1, "a b", "en", "s", 3),
+      // seen pair: (1+1)/(1+2) -> log2(1.5) = 0.584963
+      Doc(10, "a b", "en", "s", 3),
+      // known word, novel pair: (0+1)/(1+2) -> log2(3) = 1.584963
+      Doc(11, "a a", "en", "s", 3),
+      // fully OOV: (0+1)/(0+2) -> 1 bit exactly
+      Doc(12, "z z", "en", "s", 3))
+      .toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextOps.textPerplexityHeldout(spark, d, splitId = 10)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2))))
+      .toMap
+    assert(r.keySet === Set(10L, 11L, 12L)) // train docs are not scored
+    assert(r(10L)._1 === 1L)
+    assert(math.abs(r(10L)._2 - 0.584963) < 1e-9, s"seen ${r(10L)._2}")
+    assert(math.abs(r(11L)._2 - 1.584963) < 1e-9, s"novel-pair ${r(11L)._2}")
+    assert(r(12L) === ((1L, 1.0)))
+  }
+
   test("text_perplexity: boilerplate scores fewer bits than unique content") {
     val m = TextOps.textPerplexity(spark, dir).collect()
       .map(x => x.getLong(0) ->
