@@ -449,6 +449,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D25: the composed curation GATE — the keep/drop decision an
+    * actual pipeline applies, joining the library's signals in one
+    * query: exact-dup keep-first (D1), token-diversity and length
+    * (D9/C4-Gopher), phrase repetition (D9c), and declared-language
+    * confirmation (D8). One narrow scan computes every text signal
+    * row-locally (native scans, no regex engine), one digest window
+    * marks dup copies; the decision itself is INTEGER arithmetic
+    * (`10·distinct < 3·words` instead of `distinct/words < 0.3`) so
+    * the gate is engine-exact with no float thresholds at all.
+    *
+    * Each reason ships as its own flag column — a curation pipeline
+    * wants drop REASONS (for audits and threshold tuning), not a bare
+    * boolean.
+    */
+  def curationGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = graft.functions.wsTokenCount(col("text"))
+    val nDistinct = graft.functions.distinctTokenCount(col("text"))
+    val nSh = greatest(size(split(col("text"), "\\s+")) - 2, lit(0)).cast("long")
+    val nDsh = size(graft.functions.shingleIds(col("text"))).cast("long")
+    val scores = LangProfiles.map { case (lang, ws) =>
+      struct(graft.functions.wordSetHits(col("text"), ws).cast("int").as("hits"),
+        lit(lang).as("lang"))
+    }
+    val langPred = when(graft.functions.containsCjk(col("text")), "zh")
+      .otherwise(greatest(scores: _*).getField("lang"))
+    val w = Window.partitionBy("tkey")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        nWords.as("n_words"), nDistinct.as("n_distinct"),
+        nSh.as("n_sh"), nDsh.as("n_dsh"), langPred.as("lang_pred"),
+        md5(col("text").cast("binary")).as("tkey"))
+      .withColumn("dup", min(col("doc_id")).over(w) =!= col("doc_id"))
+      .select(col("doc_id"), col("dup"),
+        (col("n_words") < 5).as("too_short"),
+        (col("n_distinct") * 10 < col("n_words") * 3).as("low_diversity"),
+        ((col("n_sh") - col("n_dsh")) * 2 > col("n_sh")).as("repetitive"),
+        (col("lang_pred") =!= col("lang")).as("lang_mismatch"))
+      .withColumn("keep", !col("dup") && !col("too_short") &&
+        !col("low_diversity") && !col("repetitive") && !col("lang_mismatch"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -512,6 +555,49 @@ object TextOps {
         |       CAST(hits AS INTEGER) AS profile_hits
         |FROM u WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
     Q("text_fingerprint", textFingerprint, None),
+    // the gate composes the quality/repetition/langid/dup oracle
+    // formulations already pinned above, then decides with INTEGER
+    // comparisons only — no float thresholds to diverge
+    Q("curation_gate", curationGate, Some(
+      raw"""WITH per AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS n_distinct,
+        |    CAST(greatest(len(string_split_regex(text, '\s+')) - 2, 0) AS BIGINT) AS n_sh,
+        |    CAST(len(list_distinct(list_transform(
+        |      range(1, len(string_split_regex(text, '\s+')) - 1),
+        |      i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |           string_split_regex(text, '\s+')[i+2]))) AS BIGINT) AS n_dsh,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ich|mit|ein|zu)\b')) AS h_de,
+        |    len(regexp_extract_all(text, '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS h_en,
+        |    len(regexp_extract_all(text, '\b(el|la|los|las|de|que|y|es|en|un)\b')) AS h_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|de|et|est|que|pour|dans|un)\b')) AS h_fr,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 AS cjk,
+        |    min(doc_id) OVER (PARTITION BY text) AS keep_id
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, lang, n_words, n_distinct, n_sh, n_dsh, keep_id, cjk,
+        |         l.lang AS cand, l.hits AS hits,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY l.hits DESC, l.lang DESC) AS rk
+        |  FROM per, UNNEST([struct_pack(lang := 'de', hits := h_de),
+        |                    struct_pack(lang := 'en', hits := h_en),
+        |                    struct_pack(lang := 'es', hits := h_es),
+        |                    struct_pack(lang := 'fr', hits := h_fr)]) AS t(l)),
+        |f AS (
+        |  SELECT doc_id, lang, n_words, n_distinct, n_sh, n_dsh,
+        |         doc_id <> keep_id AS dup,
+        |         CASE WHEN cjk THEN 'zh' ELSE cand END AS lang_pred
+        |  FROM u WHERE rk = 1)
+        |SELECT doc_id, dup,
+        |  n_words < 5 AS too_short,
+        |  n_distinct * 10 < n_words * 3 AS low_diversity,
+        |  (n_sh - n_dsh) * 2 > n_sh AS repetitive,
+        |  lang_pred <> lang AS lang_mismatch,
+        |  NOT (dup OR n_words < 5 OR n_distinct * 10 < n_words * 3
+        |       OR (n_sh - n_dsh) * 2 > n_sh OR lang_pred <> lang) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin)),
     // the oracle groups dup keys on the raw TEXT (no hash at all) — an
     // independent recomputation that would catch an md5-keying bug
     Q("source_stats", sourceStats, Some(

@@ -655,6 +655,23 @@ class OpsSpec extends SparkSpec {
     assert(r(4L)._1 === 0L && r(4L)._2.isNaN)
   }
 
+  test("curation_gate: dup copies, short docs and their reasons") {
+    val r = TextOps.curationGate(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), x.getBoolean(2),
+        x.getBoolean(3), x.getBoolean(4), x.getBoolean(5), x.getBoolean(6))))
+      .toMap // (dup, too_short, low_diversity, repetitive, lang_mismatch, keep)
+    // first copies of clean prose pass
+    assert(r(1L)._6 === true, s"doc 1 ${r(1L)}")
+    assert(r(3L)._6 === true)
+    assert(r(4L)._6 === true)
+    assert(r(6L)._6 === true)
+    // exact dup copies drop with ONLY the dup reason
+    assert(r(2L) === ((true, false, false, false, false, false)))
+    assert(r(7L) === ((true, false, false, false, false, false)))
+    // doc 5 "too short" (2 words): the length gate, not the dup gate
+    assert(r(5L)._1 === false && r(5L)._2 === true && r(5L)._6 === false)
+  }
+
   test("text_perplexity_heldout: OOV smoothing fallbacks, hand-computed") {
     import spark.implicits._
     val d = Files.createTempDirectory("pplh_spec").toString
