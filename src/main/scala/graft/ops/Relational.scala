@@ -594,6 +594,34 @@ object Relational {
         col("qs").getItem(1).as("p90_approx"), col("n"))
       .orderBy("o_orderpriority")
 
+  /** C19: column profiling — the ANALYZE TABLE shape (row count,
+    * nulls, exact distincts, min/max per column), the stats layer
+    * query optimizers and data-quality monitors read. ONE aggregate
+    * job over one scan: Spark plans the multi-column exact distincts
+    * via Expand with map-side partials, and the single result row is
+    * exploded to per-column rows (min/max as strings for a uniform
+    * schema). At 100 TB exact distincts would move to HLL sketches
+    * (the B2 pattern) — the exact form is what the oracle can pin.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__d"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))) :+
+      count(lit(1)).as("__total")
+    val row = Tables.load(s, dir, "documents").agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(lit(c).as("column"),
+      col("__total").as("n_rows"),
+      (col("__total") - col(s"${c}__n")).as("n_null"),
+      col(s"${c}__d").as("n_distinct"),
+      col(s"${c}__min").as("min_val"),
+      col(s"${c}__max").as("max_val")))
+    row.select(explode(array(entries: _*)).as("e"))
+      .select("e.*").orderBy("column")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_cube", qCube, Some(
       """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust
@@ -674,6 +702,17 @@ object Relational {
     // rows-only by nature (a GK sketch has no SQL-exact recomputation);
     // the rank-band floor is spec-pinned against the exact percentiles
     Q("q_approx_quantiles", (s, d) => qApproxQuantiles(s, d), None),
+    Q("q_profile", qProfile, Some {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    }),
     Q("q1_pricing", q1Pricing, Some(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
