@@ -23,9 +23,14 @@ object Bench {
     // round 6 (cont.): the cross-doc duplicate-span scan — corpus-wide
     // gram exchange, the heaviest new round-6 analytics operator
     "text_dup_spans",
-    // round 6 (cont. 5): the bigram-LM build + scoring joins — the
-    // corpus-model train/apply shape none of the other headliners has
-    "text_perplexity")
+    // round 6 (cont. 5): the bigram-LM build + scoring joins (the
+    // corpus-model train/apply shape), the Bloom-prefiltered
+    // incremental dedup (broadcast membership + exact verify), the
+    // composed curation gate (every native text scan in one pass +
+    // the digest window), and the k-means refinement (row-local
+    // assignment + one keyed update + driver centroid roundtrip)
+    "text_perplexity", "dedup_incremental_bloom", "curation_gate",
+    "embed_kmeans")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the
