@@ -402,9 +402,11 @@ object TextOps {
     * never reaches: unseen bigram → (0+1)/(c1+V); unseen first word →
     * (0+1)/(0+V) = 1/V. LEFT joins + coalesce(0) — same
     * engine-exactness argument as D21 (integer-count ratios,
-    * position-ordered folds, 6dp round), same scale shape minus the
-    * collapse (the batch is scored per doc; collapse applies to the
-    * TRAIN side, which here is one partial-agg count pass).
+    * position-ordered folds, 6dp round). Scale note: this form
+    * explodes per train COPY (linear partial-agg counting — fine for
+    * a curated history); a dup-heavy train corpus would put D21's
+    * exact-dup collapse (counts weighted by multiplicity) in front
+    * of the same aggregates.
     */
   def textPerplexityHeldout(s: SparkSession, dir: String,
       splitId: Long = 250L): DataFrame = {

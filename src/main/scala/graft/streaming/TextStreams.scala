@@ -28,6 +28,13 @@ object TextStreams {
     * protocol, minus the counter state it doesn't need). The survivor
     * rule itself is [[graft.ops.Dedup.newAgainstHistory]] — the SAME
     * code path the batch oracle pins.
+    *
+    * `checkpointDir` and `indexDir` must live and die TOGETHER (the
+    * [[graft.chess.StreamIngest]] contract): replay idempotence keys
+    * the index partitions on this stream's batch ids, so pointing a
+    * FRESH checkpoint (ids restart at 0) at an old index would
+    * overwrite committed partitions with different data. Starting
+    * over means clearing both (and the sink).
     */
   def dedupStream(spark: SparkSession, docsDir: String, outDir: String,
       indexDir: String, checkpointDir: String): StreamingQuery = {
