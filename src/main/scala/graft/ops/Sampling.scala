@@ -59,6 +59,44 @@ object Sampling {
         splitLabel(col("hk")).as("split"))
       .orderBy("doc_id")
 
+  /** D26: length-bucketed batching — the padding-efficiency stage of
+    * batch assembly (dynamic batching / length grouping: documents of
+    * similar token length batch together, so per-batch padding-to-max
+    * waste stays small; batching in arrival order pads every short
+    * doc up to the batch's longest). Buckets are powers of two via
+    * INTEGER arithmetic — `length(bin(tokens))` is ⌊log2⌋+1 computed
+    * on the binary-string length, immune to the float `log2(2^k)`
+    * rounding hazard — and batches are deterministic doc_id-ordered
+    * slices within each bucket. Output is per-BATCH stats incl. the
+    * padding waste (max·n − Σ), all exact integers.
+    *
+    * Scale shape: one narrow token-count scan, one shuffle on the
+    * bucket key; the per-bucket window is bounded by bucket
+    * population — for the power-of-two geometry that's the corpus'
+    * length distribution, and a hot bucket would swap in the D16
+    * hierarchical-offset mechanics unchanged.
+    */
+  def batchByLength(s: SparkSession, dir: String,
+      batchSize: Int = 32): DataFrame = {
+    val byId = Window.partitionBy("bucket").orderBy("doc_id")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket",
+        length(bin(greatest(col("n_tokens"), lit(1L)))).cast("int"))
+      // floor(), not a double→int cast: Spark's cast truncates but
+      // DuckDB's ROUNDS — floor is the one spelling both agree on
+      .withColumn("batch_id",
+        floor((row_number().over(byId) - 1) / lit(batchSize.toDouble)))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+      .orderBy("bucket", "batch_id")
+  }
+
   /** D23: leakage-safe GROUPED split — assignment hashes the GROUP
     * key (source/domain), not the doc id, so every doc of a source
     * lands in the same split (scikit-learn's GroupShuffleSplit
@@ -327,6 +365,31 @@ object Sampling {
         |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // length(bin(x)) == floor(log2 x)+1 in both engines (binary-string
+    // length, integer-exact); floor() for the batch slice, never a
+    // double→int cast (Spark truncates, DuckDB rounds)
+    Q("batch_by_length", (s, d) => batchByLength(s, d), Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(length(bin(greatest(n_tokens, 1))) AS INTEGER) AS bucket
+        |  FROM t),
+        |r AS (
+        |  SELECT bucket, n_tokens,
+        |    CAST(floor((row_number() OVER (PARTITION BY bucket
+        |                                   ORDER BY doc_id) - 1) / 32.0)
+        |         AS BIGINT) AS batch_id
+        |  FROM b)
+        |SELECT bucket, batch_id,
+        |  count(*) AS n_docs,
+        |  max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  max(n_tokens) * count(*) - CAST(sum(n_tokens) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY bucket, batch_id
+        |ORDER BY bucket, batch_id""".stripMargin)),
     Q("sample_split_grouped", (s, d) => sampleSplitGrouped(s, d), Some(
       """SELECT doc_id, source,
         |  CASE WHEN substr(md5('gsplit:' || source), 1, 8) < 'cccccccc' THEN 'train'

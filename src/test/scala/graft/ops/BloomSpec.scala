@@ -43,6 +43,21 @@ class BloomSpec extends SparkSpec {
     assert(probed.forall(_.getBoolean(0)), "aggregator-built filter must hit every inserted key")
   }
 
+  test("bloom build is merge-invariant: 8 partitions build the same bits as 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = (1L to 500L).map(_ * 0x9e3779b97f4a7c15L)
+    val bloomUdaf = udaf(new graft.functions.BloomBuildAgg(1 << 12, 4))
+    def bits(parts: Int) = spark.createDataset(keys).toDF("k")
+      .repartition(parts)
+      .agg(bloomUdaf(col("k")).as("bf"))
+      .head().getSeq[Long](0)
+    // OR-merge is associative/commutative: the filter must not depend
+    // on how the build was partitioned (what makes it a map-side
+    // partial aggregate rather than a single-reducer build)
+    assert(bits(8) === bits(1))
+  }
+
   test("dedup_incremental_bloom == dedup_incremental, incl. under a saturated filter") {
     val dir = "/root/testdata/sf0.001"
     val exact = Dedup.dedupIncremental(spark, dir)

@@ -41,6 +41,29 @@ class SamplingSpec extends SparkSpec {
     assert(rows.exists(r => docSplit(r.getLong(0)) != r.getString(2)))
   }
 
+  test("batch_by_length: batches bounded, waste beats arrival-order batching") {
+    import org.apache.spark.sql.expressions.Window
+    val batches = Sampling.batchByLength(spark, dir).collect()
+    assert(batches.nonEmpty)
+    // (bucket, batch_id, n_docs, max_tokens, sum_tokens, padding_waste)
+    assert(batches.forall(_.getLong(2) <= 32), "batch exceeds batchSize")
+    assert(batches.forall(r => r.getLong(5) ===
+      r.getLong(3) * r.getLong(2) - r.getLong(4)), "waste arithmetic")
+    val bucketedWaste = batches.map(_.getLong(5)).sum
+    // the same docs batched in plain doc_id arrival order: padding to
+    // each batch's max must waste strictly more than length bucketing
+    val w = Window.orderBy("doc_id")
+    val naiveWaste = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.wsTokenCount(col("text")).as("n"))
+      .withColumn("b", floor((row_number().over(w) - 1) / 32.0))
+      .groupBy("b")
+      .agg((max(col("n")) * count(lit(1)) - sum(col("n"))).as("waste"))
+      .agg(sum(col("waste"))).head().getLong(0)
+    assert(bucketedWaste < naiveWaste,
+      s"bucketed $bucketedWaste !< naive $naiveWaste")
+  }
+
   test("sample_stratified takes exactly min(k, |stratum|) per language") {
     val k = 20
     val picked = Sampling.sampleStratified(spark, dir, k).collect()
