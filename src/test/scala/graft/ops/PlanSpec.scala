@@ -127,6 +127,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("gate/profile/batching/heldout plans: one-pass scans, partial aggs") {
+    // curation_gate claims ONE fused scan: every signal is a native
+    // row-local expression, so the physical plan must read the parquet
+    // exactly once (a second scan means a signal forked the pipeline)
+    locally {
+      val plan = planOf(TextOps.curationGate(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans === 1, s"curation_gate reads the corpus $scans times:\n$plan")
+    }
+    // q_profile: the multi-column exact distincts must plan as ONE
+    // Expand-based aggregation over one scan, not one job per column
+    locally {
+      val plan = planOf(Relational.qProfile(spark, dir))
+      assert(plan.contains("Expand"), s"q_profile lost its Expand:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans === 1, s"q_profile reads the table $scans times:\n$plan")
+    }
+    // batch_by_length: the per-batch stats partial-aggregate map-side
+    locally {
+      val plan = planOf(Sampling.batchByLength(spark, dir))
+      assert(plan.contains("partial_max"),
+        s"no map-side partial aggregation in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+    }
+    // held-out perplexity: keyed model joins + cached shared frames,
+    // like D21 (the one-row vocab broadcast is the only nested loop)
+    locally {
+      val plan = planOf(TextOps.textPerplexityHeldout(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        "shared token frames lost their cache")
+    }
+  }
+
   test("temporal joins keep equi-join form (no cartesian/nested-loop)") {
     // the interval join's time-band predicate must stay a RESIDUAL on
     // a hash join keyed by user_id; losing the equi condition would
