@@ -78,9 +78,18 @@ object Bench {
     // minimum of three is a far better estimator of the engine's cost.
     // If the three samples still disagree >3x, take up to 2 extra
     // samples. All raw samples are emitted under "runs" for audit.
+    //
+    // Alongside wall time each sample records PROCESS CPU seconds
+    // (sum over the local[N] executor threads): CPU cost is what the
+    // engine actually charges and is nearly immune to the external
+    // contention that moved identical-code queries ±30% wall round
+    // over round (r5→r6) — compare "cpu" across rounds to separate a
+    // code regression (cpu moves) from a noisy host (only wall moves).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = headline.map { name =>
       try {
-        def once(): Double =
+        def once(): (Double, Double) =
           // every sample rebuilds its plan from scratch, so the
           // checkpoint blocks it persisted are dead once the sink
           // finishes OR the attempt throws — sweep both paths, or 4
@@ -88,33 +97,41 @@ object Bench {
           // (the round-5 clusters drift, generalized to every
           // checkpointing query)
           try {
-            if (name == "pgn_ingest") ingestOnce(spark)
-            else {
-              val t0 = System.nanoTime()
-              SparkEntry.queries(name)(spark, sfDir)
-                .write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
-            }
+            val c0 = osBean.getProcessCpuTime
+            val wall =
+              if (name == "pgn_ingest") ingestOnce(spark)
+              else {
+                val t0 = System.nanoTime()
+                SparkEntry.queries(name)(spark, sfDir)
+                  .write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }
+            (wall, (osBean.getProcessCpuTime - c0) / 1e9)
           } finally Caches.sweep(spark)
         once() // warm-up, discarded
         var samples = Vector(once(), once(), once())
         var extra = 0
-        while (samples.max > 3 * samples.min && extra < 2) {
+        while (samples.map(_._1).max > 3 * samples.map(_._1).min && extra < 2) {
           samples :+= once(); extra += 1
         }
-        (name, samples.min, samples)
+        (name, samples.minBy(_._1), samples)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          (name, -1.0, Vector.empty[Double])
+          (name, (-1.0, -1.0), Vector.empty[(Double, Double)])
       }
     }
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (w, _), _) => f""""$k":$w%.3f""" }.mkString("{", ",", "}")
+    // CPU seconds of the min-wall sample (the sample "value" reports)
+    val cpus_ = results.map { case (k, (_, c), _) => f""""$k":$c%.3f""" }.mkString("{", ",", "}")
     val runs = results.map { case (k, _, ss) =>
-      s""""$k":${ss.map(s => f"$s%.3f").mkString("[", ",", "]")}"""
+      s""""$k":${ss.map(s => f"${s._1}%.3f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val cpuRuns = results.map { case (k, _, ss) =>
+      s""""$k":${ss.map(s => f"${s._2}%.3f").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu":$cpus_,"runs":$runs,"cpu_runs":$cpuRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,27 +4,43 @@ import org.apache.spark.sql.SparkSession
 
 /** Session-cache hygiene for the long-running mains.
   *
-  * Several operators `localCheckpoint()` intermediate frames (corpus
-  * builds, signature tables, offset levels) — correct per query, but
-  * the blocks stay pinned until the SparkContext stops, so a session
-  * that runs MANY queries (Verify's full dump, Bench's 4 samples per
-  * entry, a notebook) accumulates dead blocks: the round-5
-  * dedup_clusters bench drift (4.3→6.1s monotone across warm runs)
-  * was exactly this, inside one query's loop. The in-query fix frees
-  * what a query can prove dead; this sweep is the BETWEEN-queries
-  * complement — once a query's result is fully materialized, nothing
-  * re-reads its checkpoints (the next run rebuilds its plan from
-  * scratch), so dropping every persisted RDD is safe there and keeps
-  * executor memory flat no matter how many queries one session runs.
+  * Operators `cache()` shared frames and [[Lineage.cut]] multi-consumer
+  * intermediates — correct per query, but a session that runs MANY
+  * queries (Verify's full dump, Bench's 4 samples per entry, a
+  * notebook) accumulates dead blocks: the round-5 dedup_clusters bench
+  * drift (4.3→6.1s monotone across warm runs) was exactly this, inside
+  * one query's loop. The in-query fix frees what a query can prove
+  * dead; this sweep is the BETWEEN-queries complement — once a query's
+  * result is fully materialized, nothing re-reads its
+  * materializations (the next run rebuilds its plan from scratch), so
+  * dropping everything is safe there and keeps executor memory flat no
+  * matter how many queries one session runs.
   */
 object Caches {
 
-  /** Drop every persisted RDD block in the session. Only call at a
-    * quiescent point (no job running, no returned DataFrame still to
-    * be consumed): a `cache()` frame recomputes if re-read, but a
-    * `localCheckpoint` frame CANNOT — its lineage is truncated.
+  /** Drop every cached plan and persisted RDD block in the session.
+    * Call at a quiescent point (no job running, no returned DataFrame
+    * still to be consumed).
+    *
+    * Two layers, both mandatory:
+    *  - `catalog.clearCache()` removes `cache()` entries from the
+    *    CacheManager TOGETHER with their blocks. Unpersisting the
+    *    blocks alone (the round-6 sweep) left the plan entries behind,
+    *    so the next run's structurally-identical `.cache()` hit the
+    *    stale entry — the repeated "Asked to cache already cached
+    *    data" warnings in BENCH_r06's tail, and a bench sample that
+    *    silently re-used the registration instead of measuring its
+    *    own build.
+    *  - the RDD sweep drops what the CacheManager never knew about:
+    *    [[Lineage.cut]] materializations (persisted RDDs behind
+    *    LogicalRDDs). Since round 7 these keep their lineage, so the
+    *    unpersist is safe-by-construction and warning-free (a
+    *    `localCheckpoint` block would instead be unrecomputable, which
+    *    Spark 4 loudly warns about — the other r6 bench-tail warning).
     */
-  def sweep(spark: SparkSession): Unit =
+  def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+  }
 }

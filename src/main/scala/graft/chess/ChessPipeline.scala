@@ -402,11 +402,19 @@ object ChessPipeline {
     * clobber). Constant within a batch, so the range partitioning
     * and in-task sort below are unaffected.
     */
+  /** `compression`: parquet codec for the sink. Default snappy (the
+    * Spark default: cheapest to decompress, the right trade at query
+    * time); the reference writes gzip (ingester.py:418-421
+    * `pq.ParquetWriter(..., compression="gzip")`) — pass "gzip" for
+    * byte-level storage parity when archive size beats scan speed.
+    */
   def writePartitioned(df: DataFrame, outDir: String,
       numFiles: Option[Int] = None,
-      extraPartitionCols: Seq[String] = Nil): Unit =
+      extraPartitionCols: Seq[String] = Nil,
+      compression: String = "snappy"): Unit =
     partitionedForWrite(df, numFiles)
       .write.mode("overwrite")
+      .option("compression", compression)
       // DYNAMIC partition overwrite: only the partitions present in
       // THIS batch are replaced — a month-by-month incremental ingest
       // (IngestMain range runs) appends new months without clobbering

@@ -82,7 +82,7 @@ object Bpe {
   def train(s: SparkSession, dir: String, nMerges: Int): (Seq[Merge], DataFrame) = {
     var words = wordCounts(s, dir)
       .withColumn("sym", initialSyms(col("word")))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val merges = Seq.newBuilder[Merge]
     var done = false
     var i = 0
@@ -103,7 +103,7 @@ object Bpe {
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(concat(element_at(acc, -1), x))))
               .otherwise(concat(acc, array(x))))
-        val next = words.withColumn("sym", merged).localCheckpoint()
+        val next = words.withColumn("sym", merged).transform(graft.Lineage.cut)
         words.unpersist()
         words = next
       }

@@ -123,7 +123,7 @@ object Dedup {
         xxhash64(array_sort(col("sh"))),
         hash(array_sort(col("sh")))))
       .withColumn("rep", min(col("doc_id")).over(w))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val docToRep = grouped.select("doc_id", "rep")
     val sets = grouped.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("sh"))
@@ -148,7 +148,7 @@ object Dedup {
   private def sigsOf(sets: DataFrame): DataFrame =
     sets
       .select(col("doc_id"), graft.functions.minhashSig(col("sh"), MinhashK).as("sig"))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
 
   /** (band, band_hash) rows for LSH banding. */
   def bandStructs(sig: Column): Column =
@@ -216,7 +216,7 @@ object Dedup {
       .select(col("doc_id"), explode(bandStructs(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -258,7 +258,7 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .withColumn("tkey", md5(col("text").cast("binary")))
       .withColumn("rep", min(col("doc_id")).over(w))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val docToRep = grouped.select("doc_id", "rep")
     val uniqText = grouped.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("text"))
@@ -276,7 +276,7 @@ object Dedup {
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.functions.simhash64(col("text")).as("simhash"))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
 
   /** The aggregate formulation [[simhashOf]] replaced (spec oracle):
     * explode tokens, xxhash64 each token ONCE, 64 partial-aggregated
@@ -320,7 +320,7 @@ object Dedup {
         explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, b * 16) & 65535 as bhash))")).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -418,7 +418,7 @@ object Dedup {
         .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
         .select("doc_id", "shingle"),
       Seq("shingle"), maxBucket)
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -446,7 +446,7 @@ object Dedup {
     // combination of the K smallest members.
     val c = shingleCorpus(s, dir)
     // per-group member slices, needed only by this operator
-    val members = boundedMembers(c.docToRep, topK).localCheckpoint()
+    val members = boundedMembers(c.docToRep, topK).transform(graft.Lineage.cut)
     val uniq = c.sets
     val inter = jaccardPairs(uniq, threshold)
 
@@ -492,8 +492,8 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+      .transform(graft.Lineage.cut)
+    var labels = nodes.select(col("id"), col("id").as("label")).transform(graft.Lineage.cut)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -501,7 +501,7 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .transform(graft.Lineage.cut)
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
       // the changed-count above was the prior level's LAST reader:
@@ -524,18 +524,12 @@ object Dedup {
     labels
   }
 
-  /** Drop a localCheckpoint'ed frame's cached blocks. `localCheckpoint`
-    * persists the materialized RDD with truncated lineage, so its
-    * blocks survive until the SparkContext stops unless explicitly
-    * unpersisted. Only call once nothing will read the frame again —
-    * a local checkpoint cannot recompute evicted blocks.
+  /** Drop a [[graft.Lineage.cut]] frame's persisted blocks once this
+    * loop's last reader is done — without this, every iteration's
+    * materialization stays cached until the session ends (the round-5
+    * bench-drift bug). Safe: cut blocks recompute if ever re-read.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  private def freeCheckpoint(df: DataFrame): Unit = graft.Lineage.free(df)
 
   /** D4b: TRANSITIVE near-dup clusters — connected components of the
     * exact jaccard >= threshold graph. The per-doc `keep_id` of the
@@ -608,7 +602,7 @@ object Dedup {
     // without materialization the candidate join + exact-cosine verify
     // subtree runs once per side (the prefix-postings lesson above)
     val pairs = embedPairs(emb, threshold, tables, planes, probeRadius)
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val neighborMin = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
       .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
       .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))
@@ -630,7 +624,7 @@ object Dedup {
     // checkpointed: feeds both sides of the bucket join (and the sig
     // projection, though native and narrow, reads the full vectors)
     val sigs = Similarity.srpTableBuckets(emb, "vec_id", "embedding",
-      planes, tables).localCheckpoint()
+      planes, tables).transform(graft.Lineage.cut)
     val indexed = capBuckets(sigs, Seq("tbl", "bucket"))
     // Hamming-ball flip masks; one probe direction suffices (the ball
     // relation is symmetric, and the a < b constraint below picks the
@@ -734,26 +728,46 @@ object Dedup {
     val hist = docs.filter(col("doc_id") < splitId)
       .select(digest.as("tkey")).distinct()
       .cache()
+    newAgainstHistoryBloom(
+      docs.filter(col("doc_id") >= splitId)
+        .select(col("doc_id"), digest.as("tkey")),
+      hist, numBits, numHashes)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** [[newAgainstHistory]] behind the Bloom prefilter — the D1c core
+    * as a shared seam, so the batch operator and the streaming twin
+    * ([[graft.streaming.TextStreams.dedupStream]] with `bloomBits`
+    * set) run the IDENTICAL survivor rule (round 7: previously the
+    * scaladoc claimed the filter "slots in front of the same anti-join
+    * unchanged" — now it is the same code). Answer-preserving by
+    * construction: the filter has zero false negatives, rows it
+    * rejects are definitely new and skip the history join; the maybe
+    * slice is exactly-verified. `batch` needs (doc_id, tkey,
+    * …passthrough); `hist` needs (tkey) and should be cached by the
+    * caller when it feeds both the build and the verify.
+    */
+  private[graft] def newAgainstHistoryBloom(batch: DataFrame, hist: DataFrame,
+      numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
     val bloomAgg = udaf(new graft.functions.BloomBuildAgg(numBits, numHashes))
     val bf = broadcast(hist.agg(bloomAgg(xxhash64(col("tkey"))).as("bf")))
-    val batch = docs.filter(col("doc_id") >= splitId)
-      .select(col("doc_id"), digest.as("tkey"))
+    val probed = batch
       .crossJoin(bf)
       .withColumn("maybe", graft.functions.bloomMightContain(
         col("bf"), xxhash64(col("tkey")), numHashes))
-    val fresh = batch.filter(!col("maybe")).select("doc_id", "tkey")
-    // the USING join reorders (tkey, doc_id) — re-select before the
-    // positional union, or it silently pairs doc_id with tkey
-    val verified = batch.filter(col("maybe")).select("doc_id", "tkey")
-      .join(hist, Seq("tkey"), "left_anti")
-      .select("doc_id", "tkey")
+      .drop("bf")
+    val fresh = probed.filter(!col("maybe")).drop("maybe")
+    val verified = probed.filter(col("maybe")).drop("maybe")
+      .join(hist.select("tkey"), Seq("tkey"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("tkey").orderBy("doc_id")
-    fresh.union(verified)
+    // BY NAME: the USING anti-join reorders verified to (tkey, …) — a
+    // positional union would silently pair doc_id with tkey
+    fresh.unionByName(verified)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("doc_id"))
-      .orderBy("doc_id")
+      .drop("rk")
   }
 
   val queries: Seq[Q] = Seq(

@@ -523,7 +523,7 @@ object Relational {
     val sorted = df
       .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
       .sortWithinPartitions("c_acctbal", "c_custkey")
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     // SQL ntile(k): the first n%k buckets get ceil(n/k) rows, the rest
     // floor(n/k) — computed from the 0-based global index
     val k = 4L

@@ -200,7 +200,7 @@ object Sampling {
       .select(col("doc_id"),
         graft.functions.bpeTokenCount(col("text")).as("tokens"),
         expr(s"doc_id DIV ${fanout}L").as("bkt"))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val localW = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = exclusiveOffsets(
@@ -239,7 +239,7 @@ object Sampling {
     // every deeper level would re-run the whole chain below it once
     // per consumer (each level is ~1/fanout the previous one's size,
     // so the materialization cost telescopes)
-    val pk = perKey.localCheckpoint()
+    val pk = perKey.transform(graft.Lineage.cut)
     if (pk.count() <= fanout) {
       // at most `fanout` rows remain: explicit single-slice running
       // sum via a typed mapPartitions over the sorted rows — the same

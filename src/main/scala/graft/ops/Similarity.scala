@@ -290,36 +290,176 @@ object Similarity {
     * iteration (the ivfPivots footprint).
     */
   def embedKmeans(s: SparkSession, dir: String, k: Int = 8,
-      iters: Int = 1, orderedFold: Boolean = true): DataFrame = {
-    // consumed 2·iters+1 times (assignments + updates) — cache, or
-    // every pass re-scans the parquet
-    val vecs = corpus(s, dir).cache()
-    var centroids: Array[(Int, Array[Double])] = vecs
+      iters: Int = 1, orderedFold: Boolean = true,
+      init: String = "hash", sorted: Boolean = true): DataFrame =
+    embedKmeansOn(corpus(s, dir), k, iters, orderedFold, init, sorted)
+
+  /** (cos, pid) argmax against an explicit center set, as one
+    * row-local expression tree: |centers| fused dim-order folds + a
+    * sort; ties to the larger pid (array_sort asc + reverse ==
+    * ORDER BY cos DESC, pid DESC). Shared by the Lloyd loop and the
+    * k-means|| weighting pass.
+    */
+  private def bestOf(emb: Column,
+      centers: Seq[(Int, Array[Double])]): Column = {
+    val na = aggregate(transform(emb, x =>
+      x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v)
+    element_at(reverse(array_sort(array(centers.toIndexedSeq.map {
+      case (pid, cv) =>
+        val dot = aggregate(
+          zip_with(emb, typedLit(cv), (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v)
+        // sqrt(Σ cval²) folded dim-order on the driver — the same
+        // IEEE ops the oracle's sqrt(list_reduce(...)) performs
+        val snb = cv.foldLeft(0.0)((a, v) => a + v * v)
+        val denom = sqrt(na) * lit(math.sqrt(snb))
+        struct(when(denom === 0.0, 0.0).otherwise(dot / denom).as("cos"),
+          lit(pid).as("pid"))
+    }: _*))), 1)
+  }
+
+  /** The deterministic hash-sample bootstrap (the [[ivfPivots]]
+    * convention, salt `km:`): the k smallest-hash vectors.
+    */
+  private def hashInit(vecs: DataFrame, k: Int): Array[(Int, Array[Double])] =
+    vecs
       .withColumn("hk", md5(concat(lit("km:"), col("vec_id").cast("string"))))
       .orderBy("hk", "vec_id").limit(k)
       .select("embedding").collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).toArray.map(_.toDouble) }
 
-    // (cos, pid) argmax as one row-local expression tree: k fused
-    // dim-order folds + a k-element sort; ties to the larger pid
-    // (array_sort asc + reverse == ORDER BY cos DESC, pid DESC)
-    def best(emb: Column): Column = {
-      val na = aggregate(transform(emb, x =>
-        x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v)
-      element_at(reverse(array_sort(array(centroids.toIndexedSeq.map {
-        case (pid, cv) =>
-          val dot = aggregate(
-            zip_with(emb, typedLit(cv), (x, y) => x.cast("double") * y),
-            lit(0.0), (a, v) => a + v)
-          // sqrt(Σ cval²) folded dim-order on the driver — the same
-          // IEEE ops the oracle's sqrt(list_reduce(...)) performs
-          val snb = cv.foldLeft(0.0)((a, v) => a + v * v)
-          val denom = sqrt(na) * lit(math.sqrt(snb))
-          struct(when(denom === 0.0, 0.0).otherwise(dot / denom).as("cos"),
-            lit(pid).as("pid"))
-      }: _*))), 1)
+  /** k-means|| initialization (Bahmani et al., "Scalable k-means++",
+    * VLDB'12) — the production init the hash bootstrap stands in for:
+    * instead of k-means++'s k sequential full-corpus passes, each of
+    * `rounds` passes OVERSAMPLES ~`oversample`·k candidates with
+    * probability ∝ their cost against the centers chosen so far, then
+    * the small weighted candidate set is re-clustered to k on the
+    * driver. Cluster shape per round: one keyed aggregate for φ
+    * (total cost) + one narrow filter whose survivors (expected
+    * oversample·k rows) collect — never more than O(rounds·l·k·d)
+    * doubles cross the driver, and the corpus is only ever scanned,
+    * never shuffled. Spherical variant: cost(x) = 1 − max cos(x, C).
+    *
+    * Deterministic throughout (the engine's reproducibility
+    * convention): the seed center is the smallest-`km:`-hash vector,
+    * per-point sampling uses the xxhash64(vec_id, round) parity
+    * uniform, and the driver re-cluster is the greedy max-variant of
+    * weighted k-means++ followed by driver-local weighted Lloyd to
+    * convergence. Returns exactly k centers (padded by cycling when a
+    * degenerate corpus yields fewer distinct candidates than k — the
+    * Lloyd loop's empty-cluster rule keeps such duplicates harmless).
+    */
+  private[ops] def kmeansParInit(vecs: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Double = 2.0): Array[(Int, Array[Double])] = {
+    val seed = hashInit(vecs, 1).map(_._2)
+    val cand = scala.collection.mutable.ArrayBuffer[Array[Double]](seed: _*)
+    for (r <- 1 to rounds) {
+      val centers = cand.toIndexedSeq.zipWithIndex.map(_.swap)
+      val costCol = lit(1.0) - bestOf(col("embedding"), centers).getField("cos")
+      val phi = vecs.agg(sum(costCol).as("phi")).head().getDouble(0)
+      if (phi > 0) {
+        val p = least(lit(1.0), lit(oversample * k) * costCol / lit(phi))
+        val u = pmod(xxhash64(col("vec_id"), lit(r)), lit(1000000000L))
+          .cast("double") / 1e9
+        cand ++= vecs.filter(u < p)
+          .orderBy("vec_id") // deterministic candidate order
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      }
     }
+    // weight candidates by the corpus mass they attract (one keyed
+    // partial agg), then re-cluster the weighted sketch on the driver.
+    // dedupe by CONTENT (arrays compare by reference) — duplicate
+    // candidates would split their weight arbitrarily
+    val distinctCand: IndexedSeq[Array[Double]] =
+      cand.map(_.toVector).distinct.map(_.toArray).toIndexedSeq
+    val weights = vecs
+      .select(bestOf(col("embedding"),
+        distinctCand.zipWithIndex.map(_.swap)).getField("pid").as("ci"))
+      .groupBy("ci").count().collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val centers = reclusterWeighted(
+      distinctCand.zipWithIndex.map { case (c, i) =>
+        c -> weights.getOrElse(i, 0L) }, k)
+    centers.zipWithIndex.map { case (c, i) => i -> c }.toArray
+  }
+
+  /** Driver-local weighted re-cluster of the k-means|| candidate
+    * sketch (tens of points): greedy max-variant k-means++ seeding
+    * (first = heaviest; next = argmax weight·cosine-distance² to the
+    * chosen set) then weighted Lloyd until assignments stop moving.
+    */
+  private def reclusterWeighted(cand: Seq[(Array[Double], Long)],
+      k: Int): Seq[Array[Double]] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    def dist(a: Array[Double], b: Array[Double]): Double = 1.0 - cos(a, b)
+    val n = cand.length
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      cand.indices.maxBy(i => (cand(i)._2, -i)))
+    while (seeds.length < math.min(k, n)) {
+      val next = cand.indices.filterNot(seeds.contains).maxBy { i =>
+        val d = seeds.map(s => dist(cand(i)._1, cand(s)._1)).min
+        (cand(i)._2 * d * d, -i)
+      }
+      seeds += next
+    }
+    var centers = seeds.map(i => cand(i)._1).toIndexedSeq
+    var assign = Array.fill(n)(-1)
+    var moved = true
+    var guard = 0
+    while (moved && guard < 50) {
+      val newAssign = Array.tabulate(n)(i =>
+        centers.indices.maxBy(c => (cos(cand(i)._1, centers(c)), c)))
+      moved = !java.util.Arrays.equals(assign, newAssign)
+      assign = newAssign
+      centers = centers.indices.map { c =>
+        val members = cand.indices.filter(assign(_) == c)
+        val w = members.map(cand(_)._2).sum
+        if (w == 0) centers(c)
+        else {
+          val m = new Array[Double](cand.head._1.length)
+          members.foreach { i =>
+            val (v, wi) = cand(i)
+            var d = 0; while (d < m.length) { m(d) += v(d) * wi; d += 1 }
+          }
+          m.map(_ / w)
+        }
+      }
+      guard += 1
+    }
+    // pad degenerate corpora (fewer distinct candidates than k) by
+    // cycling — duplicates empty out and keep their centroid
+    (0 until k).map(i => centers(i % centers.length))
+  }
+
+  /** [[embedKmeans]] on an arbitrary (vec_id, embedding) frame — the
+    * seam the init-comparison spec drives. `init`: "hash" (the
+    * oracle-pinned bootstrap) or "parallel" (k-means||). `sorted`:
+    * the oracle harness wants a deterministic row order; a 100 TB
+    * caller should pass false and skip the global sort of the full
+    * assignment.
+    */
+  def embedKmeansOn(vecsIn: DataFrame, k: Int = 8,
+      iters: Int = 1, orderedFold: Boolean = true,
+      init: String = "hash", sorted: Boolean = true): DataFrame = {
+    // consumed 2·iters+1 times (assignments + updates) — cache, or
+    // every pass re-scans the parquet
+    val vecs = vecsIn.cache()
+    var centroids: Array[(Int, Array[Double])] = init match {
+      case "hash" => hashInit(vecs, k)
+      case "parallel" => kmeansParInit(vecs, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown init '$other' (hash | parallel)")
+    }
+
+    def best(emb: Column): Column = bestOf(emb, centroids.toIndexedSeq)
 
     for (_ <- 1 to iters) {
       val assigned = vecs
@@ -352,10 +492,10 @@ object Similarity {
       }
     }
 
-    vecs.withColumn("p", best(col("embedding")))
+    val out = vecs.withColumn("p", best(col("embedding")))
       .select(col("vec_id"), col("p.pid").as("pid"),
         round(col("p.cos"), 6).as("cos"))
-      .orderBy("vec_id")
+    if (sorted) out.orderBy("vec_id") else out
   }
 
   val queries: Seq[Q] = Seq(

@@ -230,7 +230,7 @@ object TextOps {
         md5(col("text").cast("binary")).as("tkey"))
       .withColumn("rep", min(col("doc_id")).over(w))
       .withColumn("m", count(lit(1)).over(w))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val docToRep = grouped.select(col("doc_id"), col("rep"), col("m"))
     // shingleIds is already distinct-within-doc, so perRep is a SET
     // of (rep, gram) rows and count(*) per gram == distinct-rep count
@@ -355,7 +355,7 @@ object TextOps {
         md5(col("text").cast("binary")).as("tkey"))
       .withColumn("rep", min(col("doc_id")).over(w))
       .withColumn("m", count(lit(1)).over(w))
-      .localCheckpoint() // feeds the doc→rep map AND the rep-level model
+      .transform(graft.Lineage.cut) // feeds the doc→rep map AND the rep-level model
     val docToRep = grouped.select(col("doc_id"), col("rep"))
     val repToks = grouped.filter(col("doc_id") === col("rep"))
       .select(col("rep"), col("m"), col("a"))

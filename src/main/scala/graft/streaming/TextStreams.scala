@@ -35,9 +35,23 @@ object TextStreams {
     * FRESH checkpoint (ids restart at 0) at an old index would
     * overwrite committed partitions with different data. Starting
     * over means clearing both (and the sink).
+    *
+    * `bloomBits`: when set, each micro-batch probes a broadcast Bloom
+    * filter of the history digests BEFORE the exact anti-join
+    * ([[graft.ops.Dedup.newAgainstHistoryBloom]] — the D1c batch core,
+    * shared code, so the survivor set is byte-identical with the
+    * filter on or off). This is the 100 TB shape: the index table is
+    * unbroadcastable as keys (~37 GB/10⁹ md5s) but its Bloom summary
+    * (~1.2 GB at 1% FP) broadcasts, so a mostly-novel batch becomes a
+    * narrow map-side scan and only the maybe slice shuffles into the
+    * anti-join. Size as m ≈ −n·ln(p)/(ln 2)²; at real scale a
+    * deployment maintains the filter incrementally (BloomBuildAgg
+    * buffers are mergeable) instead of re-aggregating the index per
+    * batch as this per-batch build does.
     */
   def dedupStream(spark: SparkSession, docsDir: String, outDir: String,
-      indexDir: String, checkpointDir: String): StreamingQuery = {
+      indexDir: String, checkpointDir: String,
+      bloomBits: Option[Int] = None, bloomHashes: Int = 4): StreamingQuery = {
     // file streams need an explicit schema; the source dir's existing
     // files define it (the deployment contract: the stream tails a
     // directory some writer already publishes complete files into)
@@ -46,13 +60,15 @@ object TextStreams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(spark, batch.toDF(), batchId, outDir, indexDir)
+        applyBatch(spark, batch.toDF(), batchId, outDir, indexDir,
+          bloomBits, bloomHashes)
       }
       .start()
   }
 
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, outDir: String, indexDir: String): Unit = {
+      batchId: Long, outDir: String, indexDir: String,
+      bloomBits: Option[Int] = None, bloomHashes: Int = 4): Unit = {
     val keyed = batch.withColumn("tkey", md5(col("text").cast("binary")))
     val hist =
       if (nonEmptyDir(spark, indexDir))
@@ -63,9 +79,9 @@ object TextStreams {
     // materialize BEFORE writing: the index write below overwrites a
     // path this plan reads (self-overwrite), and a lazy plan would
     // also recompute the anti-join per sink
-    val kept = graft.ops.Dedup.newAgainstHistory(keyed, hist)
+    val kept = survivors(keyed, hist, bloomBits, bloomHashes)
       .withColumn("ingest_batch", lit(batchId))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     try {
       kept.select("tkey", "ingest_batch")
         .write.mode("overwrite")
@@ -76,8 +92,22 @@ object TextStreams {
         .partitionBy("ingest_batch")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(outDir)
-    } finally kept.unpersist()
+    } finally graft.Lineage.free(kept)
   }
+
+  /** The per-batch survivor frame — one seam so the spec can assert
+    * both the plan shape (broadcast Bloom probe present when enabled)
+    * and on/off survivor equality. Dispatches to the SAME two batch
+    * cores the batch oracles pin.
+    */
+  private[streaming] def survivors(keyed: DataFrame, hist: DataFrame,
+      bloomBits: Option[Int], bloomHashes: Int): DataFrame =
+    bloomBits match {
+      case Some(bits) =>
+        graft.ops.Dedup.newAgainstHistoryBloom(keyed, hist, bits, bloomHashes)
+      case None =>
+        graft.ops.Dedup.newAgainstHistory(keyed, hist)
+    }
 
   /** Hadoop-FS existence check (remote URIs work, like the ingest
     * paths): the index dir is absent-or-empty only before the first

@@ -298,6 +298,31 @@ class ChessPipelineSpec extends SparkSpec {
     assert(back.count() === 8)
   }
 
+  test("sink compression knob: snappy default, gzip for reference parity") {
+    // the reference writes gzip parquet (ingester.py:418-421); Spark
+    // stamps the codec into the part-file name — assert the footer
+    // codec by that stamp for both modes
+    def write(compression: String): String = {
+      val out = Files.createTempDirectory(s"pgr_codec_$compression").toString
+      ChessPipeline.writePartitioned(pgr, out, compression = compression)
+      out
+    }
+    def partNames(out: String): Seq[String] =
+      new java.io.File(out, "year_month=2024_03").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    val snappyOut = write("snappy")
+    assert(partNames(snappyOut).nonEmpty &&
+      partNames(snappyOut).forall(_.contains(".snappy.")))
+    val gzipOut = write("gzip")
+    assert(partNames(gzipOut).nonEmpty &&
+      partNames(gzipOut).forall(_.contains(".gz.")))
+    // and the gzip copy reads back row-identical
+    assert(spark.read.parquet(gzipOut).orderBy("ID", "Role_player")
+      .drop("year_month").collect().toSeq ===
+      spark.read.parquet(snappyOut).orderBy("ID", "Role_player")
+        .drop("year_month").collect().toSeq)
+  }
+
   test("sink fans one month over multiple range-partitioned tasks") {
     // 2000 rows spanning two months: the one-task-per-month hash
     // repartition this sink replaced would write exactly one file per

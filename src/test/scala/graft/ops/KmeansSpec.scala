@@ -47,4 +47,48 @@ class KmeansSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > 1, "all vectors in one cluster")
     assert(a.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
   }
+
+  test("sorted=false returns the same assignment without the global sort") {
+    val sorted = Similarity.embedKmeans(spark, dir, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val unsorted = Similarity.embedKmeans(spark, dir, iters = 1,
+      sorted = false)
+    assert(!unsorted.queryExecution.executedPlan.toString.contains("Sort "),
+      "production path still global-sorts the assignment")
+    assert(unsorted.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      === sorted)
+  }
+
+  /** A corpus where init quality is visible: `k` well-separated
+    * direction prototypes, points = prototype + small deterministic
+    * per-dim jitter. Hash init picks k arbitrary points (often two
+    * from one true cluster and none from another); k-means|| samples
+    * by cost, so it must land at-least-as-good after equal Lloyd
+    * refinement.
+    */
+  test("k-means|| init: objective >= hash init on a clustered corpus") {
+    import spark.implicits._
+    val d = 16
+    val kTrue = 6
+    val rows = for {
+      c <- 0 until kTrue
+      j <- 0 until 60
+    } yield {
+      val base = Array.tabulate(d)(i =>
+        if (i % kTrue == c) 4.0f else 0.0f)
+      val jitter = Array.tabulate(d)(i =>
+        (((c * 1009 + j * 131 + i * 17) % 29) - 14) / 60.0f)
+      (c * 60L + j, base.zip(jitter).map { case (a, b) => a + b }.toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    def objective(init: String): Double =
+      Similarity.embedKmeansOn(vecs, k = kTrue, iters = 2, init = init)
+        .collect().map(_.getDouble(2)).sum / rows.length
+    val hash = objective("hash")
+    val par = objective("parallel")
+    assert(par >= hash - 1e-9, s"k-means|| ($par) worse than hash ($hash)")
+    // and on THIS corpus the cost-aware init strictly separates:
+    // every true cluster gets its own centroid direction
+    assert(par > 0.95, s"k-means|| objective too low: $par")
+  }
 }

@@ -84,4 +84,50 @@ class DedupStreamSpec extends SparkSpec {
       .filter(col("ingest_batch") === 1).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq === expected)
   }
+
+  test("bloom prefilter ON: survivors byte-identical to OFF; broadcast probe in the plan") {
+    import spark.implicits._
+    val batches = Seq(
+      Seq(d(1, "alpha beta"), d(2, "alpha beta"), d(3, "gamma delta")),
+      Seq(d(4, "alpha beta"), d(5, "epsilon zeta"),
+        d(6, "epsilon zeta"), d(7, "eta theta")),
+      // a batch that is ALL dups (the filter's worst case: everything
+      // lands in the maybe slice and must be exactly verified away)
+      Seq(d(8, "alpha beta"), d(9, "eta theta")))
+
+    def runAll(bloom: Option[Int]): (Seq[(Long, Long)], Long) = {
+      val out = Files.createTempDirectory("ds_bl_out").toString
+      val idx = Files.createTempDirectory("ds_bl_idx").toString
+      batches.zipWithIndex.foreach { case (docs, i) =>
+        TextStreams.applyBatch(spark, docs.toDF(), i.toLong, out, idx,
+          bloomBits = bloom)
+      }
+      // ingest_batch comes back from the partition directory name as
+      // an inferred INT — normalize for the comparison
+      (spark.read.parquet(out)
+        .select(col("doc_id"), col("ingest_batch").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        spark.read.parquet(idx).count())
+    }
+
+    val (offRows, offIdx) = runAll(None)
+    val (onRows, onIdx) = runAll(Some(1 << 12))
+    assert(onRows === offRows) // identical (doc_id, batch) survivor set
+    assert(onIdx === offIdx)
+    assert(offRows.map(_._1) === Seq(1L, 3L, 5L, 7L))
+
+    // plan guard: the enabled path probes a BROADCAST one-row filter
+    // row-locally before the keyed anti-join (D1c's geometry, now in
+    // the micro-batch plan)
+    val keyed = batches.flatten.toDF()
+      .withColumn("tkey", md5(col("text").cast("binary")))
+    val hist = keyed.filter(col("doc_id") <= 3).select("tkey").distinct()
+    val plan = TextStreams.survivors(keyed, hist, Some(1 << 12), 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("bloom_might_contain"), s"no bloom probe in:\n$plan")
+    assert(plan.contains("broadcast"), s"no broadcast filter in:\n$plan")
+    val planOff = TextStreams.survivors(keyed, hist, None, 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!planOff.contains("bloom_might_contain"))
+  }
 }
