@@ -805,11 +805,16 @@ object Dedup {
         |SELECT doc_id FROM first WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
     Q("dedup_minhash", (s, d) => dedupMinhash(s, d), None),
     Q("dedup_simhash", (s, d) => dedupSimhash(s, d), None),
-    // brute-force O(n^2) jaccard in DuckDB over string 3-grams: the
-    // PPJoin result must equal it exactly (prefix-filter recall is
-    // exact; shingle-id collisions are ~d^2/2^65). `common` and the
-    // jaccard quotient are small-integer arithmetic, identical in both
-    // engines bit-for-bit.
+    // exact jaccard in DuckDB over string 3-grams: the PPJoin result
+    // must equal it exactly (prefix-filter recall is exact; shingle-id
+    // collisions are ~d^2/2^65). `common` and the jaccard quotient are
+    // small-integer arithmetic, identical in both engines bit-for-bit.
+    // Candidate generation is an INVERTED-INDEX self-join (a pair with
+    // jaccard > 0 shares a 3-gram, so recall is exactly the all-pairs
+    // scan's) rather than the O(n²) cross product the round-6 oracle
+    // ran — cost is bounded by true candidate volume, which keeps the
+    // oracle runnable at sf0.1+ (the all-pairs form was the reason the
+    // two jaccard oracles were sf0.1 skips).
     Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), Some(
       raw"""WITH
         |sets AS (
@@ -821,19 +826,28 @@ object Dedup {
         |                string_split_regex(text, '\s+')[i+2])) AS sh
         |  FROM documents),
         |good AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM good),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id),
         |pairs AS (
         |  SELECT a, b, common, common::DOUBLE / (na + nb - common) AS jaccard FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |    SELECT c.a, c.b,
         |           len(list_intersect(x.sh, y.sh)) AS common,
         |           len(x.sh) AS na, len(y.sh) AS nb
-        |    FROM good x, good y WHERE x.doc_id < y.doc_id))
+        |    FROM cand c
+        |    JOIN good x ON x.doc_id = c.a
+        |    JOIN good y ON y.doc_id = c.b))
         |SELECT a, b, CAST(common AS BIGINT) AS common, jaccard
         |FROM pairs WHERE jaccard >= 0.5
         |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin)),
-    // exact oracle: the same transitive closure computed the slow way —
-    // O(n^2) string-3-gram jaccard graph + recursive-CTE reachability
-    // with min-label. Matches the Spark side up to 64-bit shingle-id
-    // collisions (p ~ d^2/2^65, immaterial at oracle scale).
+    // exact oracle: the same transitive closure computed independently —
+    // string-3-gram jaccard graph + recursive-CTE reachability with
+    // min-label. Edge generation via the same inverted-index candidate
+    // join as dedup_jaccard's oracle (recall-exact, candidate-bounded —
+    // not the O(n²) cross product), matching the Spark side up to
+    // 64-bit shingle-id collisions (p ~ d^2/2^65, immaterial at oracle
+    // scale).
     Q("dedup_clusters", (s, d) => dedupClusters(s, d), Some(
       raw"""WITH RECURSIVE
         |sets AS (
@@ -845,17 +859,27 @@ object Dedup {
         |                string_split_regex(text, '\s+')[i+2])) AS sh
         |  FROM documents),
         |good AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM good),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id),
         |edges AS (
         |  SELECT src, dst FROM (
-        |    SELECT a.doc_id AS src, b.doc_id AS dst,
-        |           len(list_intersect(a.sh, b.sh)) AS inter,
-        |           len(a.sh) AS na, len(b.sh) AS nb
-        |    FROM good a, good b WHERE a.doc_id <> b.doc_id)
+        |    SELECT c.a AS src, c.b AS dst,
+        |           len(list_intersect(x.sh, y.sh)) AS inter,
+        |           len(x.sh) AS na, len(y.sh) AS nb
+        |    FROM cand c
+        |    JOIN good x ON x.doc_id = c.a
+        |    JOIN good y ON y.doc_id = c.b)
         |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+        |und AS (
+        |  SELECT src, dst FROM edges
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst FROM edges),
         |reach(node, label) AS (
         |  SELECT doc_id, doc_id FROM good
         |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |  SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node),
         |labels AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
         |SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster_id
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
