@@ -75,7 +75,7 @@ object Bpe {
     * word length. Ties break (cnt desc, p1 asc, p2 asc), making
     * training fully deterministic.
     *
-    * Each round's vocabulary is localCheckpoint'ed to cut the
+    * Each round's vocabulary is Lineage.cut to truncate the
     * growing lineage, and the previous round's blocks are unpersisted
     * once the next materializes (the CC-loop hygiene, Dedup).
     */

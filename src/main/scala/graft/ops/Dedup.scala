@@ -90,13 +90,15 @@ object Dedup {
     *    quadratically, with unchanged semantics — exact dups have the
     *    same signatures and the same jaccard to everything);
     *  - `sets`: the shingle-id set PER UNIQUE SET only.
-    * Both derive narrowly from one checkpointed `grouped` table (the
-    * checkpoint truncates lineage; consumers re-read its materialized
+    * Both derive narrowly from one materialized `grouped` table
+    * ([[graft.Lineage.cut]] truncates the plan lineage; consumers
+    * re-read its persisted — and, since round 7, recomputable —
     * blocks). The MinHash signature table is NOT part of the corpus —
     * only the minhash path needs it ([[sigsOf]]); jaccard/cluster
-    * operators must not pay its 64-min aggregation. At cluster scale
-    * the checkpoints go to reliable storage instead (executor loss
-    * invalidates local checkpoints).
+    * operators must not pay its 64-min aggregation. Deployments that
+    * cannot afford even recompute-from-source set
+    * `graft.checkpoint.dir` to route every cut through reliable
+    * checkpoint files instead.
     */
   private case class ShingleCorpus(docToRep: DataFrame, sets: DataFrame)
 
@@ -484,7 +486,7 @@ object Dedup {
     * graphs are dense clusters with tiny diameters, so this stays in
     * single digits where path-doubling (large-star/small-star) would
     * only add constant-factor shuffle volume. Each round is one join
-    * + one partial-aggregated groupBy; labels are localCheckpoint'ed
+    * + one partial-aggregated groupBy; labels are Lineage.cut
     * per round to truncate lineage (driver-side control flow only
     * reads ONE scalar — the changed-count — per round).
     */
@@ -815,29 +817,52 @@ object Dedup {
     // ran — cost is bounded by true candidate volume, which keeps the
     // oracle runnable at sf0.1+ (the all-pairs form was the reason the
     // two jaccard oracles were sf0.1 skips).
+    // Exact-dup TEXT collapse first (identical texts have identical
+    // shingle sets, jaccard 1 to each other and equal jaccard to
+    // everything else — the same argument the engine's ShingleCorpus
+    // rests on, applied independently at the SQL level): pairwise work
+    // runs once per unique-text pair, then qualifying pairs expand to
+    // doc level. Without it the candidate join explodes quadratically
+    // in the dup factor (the sf1 corpus has 10 copies per text = ×100
+    // candidate volume; the uncollapsed form ran a DuckDB process to
+    // 100 GB before being killed).
     Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), Some(
       raw"""WITH
+        |uniq AS (
+        |  SELECT min(doc_id) AS rep, text,
+        |         list(doc_id ORDER BY doc_id) AS members
+        |  FROM documents GROUP BY text),
         |sets AS (
-        |  SELECT doc_id,
+        |  SELECT rep, members,
         |         list_distinct(list_transform(
         |           range(1, len(string_split_regex(text, '\s+')) - 1),
         |           i -> string_split_regex(text, '\s+')[i] || ' ' ||
         |                string_split_regex(text, '\s+')[i+1] || ' ' ||
         |                string_split_regex(text, '\s+')[i+2])) AS sh
-        |  FROM documents),
-        |good AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
-        |inv AS (SELECT doc_id, unnest(sh) AS g FROM good),
+        |  FROM uniq),
+        |good AS (SELECT rep, members, sh FROM sets WHERE len(sh) > 0),
+        |inv AS (SELECT rep, unnest(sh) AS g FROM good),
         |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id),
-        |pairs AS (
-        |  SELECT a, b, common, common::DOUBLE / (na + nb - common) AS jaccard FROM (
-        |    SELECT c.a, c.b,
-        |           len(list_intersect(x.sh, y.sh)) AS common,
-        |           len(x.sh) AS na, len(y.sh) AS nb
-        |    FROM cand c
-        |    JOIN good x ON x.doc_id = c.a
-        |    JOIN good y ON y.doc_id = c.b))
+        |  SELECT DISTINCT x.rep AS a, y.rep AS b
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.rep < y.rep),
+        |upairs AS (
+        |  SELECT c.a, c.b, len(list_intersect(x.sh, y.sh)) AS common,
+        |         len(x.sh) AS na, len(y.sh) AS nb,
+        |         x.members AS ma, y.members AS mb
+        |  FROM cand c
+        |  JOIN good x ON x.rep = c.a
+        |  JOIN good y ON y.rep = c.b),
+        |inter AS (
+        |  SELECT least(m1.d, m2.d) AS a, greatest(m1.d, m2.d) AS b,
+        |         p.common, p.common::DOUBLE / (p.na + p.nb - p.common) AS jaccard
+        |  FROM (SELECT * FROM upairs
+        |        WHERE common::DOUBLE / (na + nb - common) >= 0.5) p,
+        |       unnest(p.ma) AS m1(d), unnest(p.mb) AS m2(d)),
+        |intra AS (
+        |  SELECT m1.d AS a, m2.d AS b, len(g.sh) AS common, 1.0 AS jaccard
+        |  FROM good g, unnest(g.members) AS m1(d), unnest(g.members) AS m2(d)
+        |  WHERE m1.d < m2.d),
+        |pairs AS (SELECT * FROM inter UNION ALL SELECT * FROM intra)
         |SELECT a, b, CAST(common AS BIGINT) AS common, jaccard
         |FROM pairs WHERE jaccard >= 0.5
         |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin)),
@@ -848,41 +873,52 @@ object Dedup {
     // not the O(n²) cross product), matching the Spark side up to
     // 64-bit shingle-id collisions (p ~ d^2/2^65, immaterial at oracle
     // scale).
+    // Same text collapse as dedup_jaccard's oracle: the component
+    // graph lives on unique-text reps (identical texts are connected
+    // by jaccard-1 edges anyway, so component labels — min doc_id over
+    // the component — are unchanged by collapsing them into their rep;
+    // docs map back through their text group).
     Q("dedup_clusters", (s, d) => dedupClusters(s, d), Some(
       raw"""WITH RECURSIVE
+        |uniq AS (SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
         |sets AS (
-        |  SELECT doc_id,
+        |  SELECT rep,
         |         list_distinct(list_transform(
         |           range(1, len(string_split_regex(text, '\s+')) - 1),
         |           i -> string_split_regex(text, '\s+')[i] || ' ' ||
         |                string_split_regex(text, '\s+')[i+1] || ' ' ||
         |                string_split_regex(text, '\s+')[i+2])) AS sh
-        |  FROM documents),
-        |good AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
-        |inv AS (SELECT doc_id, unnest(sh) AS g FROM good),
+        |  FROM uniq),
+        |good AS (SELECT rep, sh FROM sets WHERE len(sh) > 0),
+        |inv AS (SELECT rep, unnest(sh) AS g FROM good),
         |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id),
+        |  SELECT DISTINCT x.rep AS a, y.rep AS b
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.rep < y.rep),
         |edges AS (
         |  SELECT src, dst FROM (
         |    SELECT c.a AS src, c.b AS dst,
         |           len(list_intersect(x.sh, y.sh)) AS inter,
         |           len(x.sh) AS na, len(y.sh) AS nb
         |    FROM cand c
-        |    JOIN good x ON x.doc_id = c.a
-        |    JOIN good y ON y.doc_id = c.b)
+        |    JOIN good x ON x.rep = c.a
+        |    JOIN good y ON y.rep = c.b)
         |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
         |und AS (
         |  SELECT src, dst FROM edges
         |  UNION ALL
         |  SELECT dst AS src, src AS dst FROM edges),
         |reach(node, label) AS (
-        |  SELECT doc_id, doc_id FROM good
+        |  SELECT rep, rep FROM good
         |  UNION
         |  SELECT e.dst, r.label FROM reach r JOIN und e ON e.src = r.node),
-        |labels AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+        |labels AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |byrep AS (
+        |  SELECT d.doc_id, u.rep FROM documents d
+        |  JOIN uniq u ON d.text IS NOT DISTINCT FROM u.text)
         |SELECT d.doc_id, CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+        |FROM documents d
+        |LEFT JOIN byrep b ON d.doc_id = b.doc_id
+        |LEFT JOIN labels l ON b.rep = l.node
         |ORDER BY d.doc_id""".stripMargin)),
     // exact-cosine oracle: the testdata corpus has no pair above the
     // threshold (max pairwise cos < 0.85), so the SRP prefilter is

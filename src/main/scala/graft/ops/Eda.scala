@@ -47,7 +47,7 @@ object Eda {
     * side and the grand-total side, and without materialization each
     * side would re-run the full corpus aggregation beneath it
     * (plan-audited: two parquet scans — at 100 TB that doubles the
-    * query). cache() rather than localCheckpoint(): lazy (building
+    * query). cache() rather than Lineage.cut: lazy (building
     * the plan doesn't run a job), evictable AND recomputable (a
     * checkpoint's blocks are pinned until the session ends — the
     * accumulation failure mode the CC loop had to unpersist by hand).

@@ -502,7 +502,7 @@ object Relational {
     * within partitions, then `zipWithIndex` turns local positions into
     * global ranks — its offset pass is a per-partition COUNT, not a
     * data movement, so no task ever sees more than one partition's
-    * rows. The sorted table is localCheckpoint'ed because zipWithIndex
+    * rows. The sorted table is Lineage.cut because zipWithIndex
     * runs two jobs over it (the count pass + the value pass); at
     * cluster scale that materialization goes to reliable storage.
     * RDD zipWithIndex is the one genuinely per-partition-imperative
