@@ -18,6 +18,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a CPU-dense narrow pipeline across the session's cores.
+    *
+    * A parquet file with a single row group scans as ONE task no
+    * matter how small `maxPartitionBytes` goes (row groups are
+    * assigned whole, by midpoint), so every row-local cost downstream
+    * of such a scan — media decode, k-fold cosine assignment, the
+    * fused text scans — serializes on one core (measured: wall ≈
+    * process-CPU at local[32] for embed_kmeans / the multimodal
+    * family at sf1). One round-robin repartition spreads those rows;
+    * the guard makes it a NO-OP whenever the scan already produced at
+    * least `defaultParallelism` partitions, which is the normal state
+    * at cluster scale where a table is many files — so this never
+    * adds a shuffle to a well-partitioned 100 TB read, and never
+    * double-shuffles ops whose first real stage is keyed anyway.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright. Read it via the legacy nanos-as-long conf
     * and normalize: `ts` = microsecond-precision TimestampType (session

@@ -923,18 +923,34 @@ object Dedup {
     // exact-cosine oracle: the testdata corpus has no pair above the
     // threshold (max pairwise cos < 0.85), so the SRP prefilter is
     // provably recall-1 here and the LSH result must equal the exact
-    // O(n^2) answer bit-for-bit
+    // O(n^2) answer bit-for-bit.
+    // Payload collapse (the jaccard-family trick applied to vectors):
+    // identical embeddings have cosine 1 to each other and identical
+    // cosine to everything else, so the all-pairs scan runs once per
+    // UNIQUE vector and every member of a vector group shares one
+    // keep label — min over (own group min, min cross-group qualifying
+    // gmin). Per-vector keep_id = least(v's candidates) collapses to
+    // that group label because gmin <= v for every member v. Keeps the
+    // oracle at unique-vector cost on dup-replicated corpora (sf1:
+    // 20k vectors / 2k unique — the uncollapsed form was the sweep's
+    // one remaining quadratic skip).
     Q("dedup_embed", (s, d) => dedupEmbed(s, d), Some(
-      """WITH nbr AS (
-        |  SELECT a.vec_id, min(b.vec_id) AS min_nbr
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.vec_id <> b.vec_id
+      """WITH
+        |uniq AS (
+        |  SELECT embedding, min(vec_id) AS gmin
+        |  FROM embeddings GROUP BY embedding),
+        |cmins AS (
+        |  SELECT a.gmin AS g, min(b.gmin) AS cmin
+        |  FROM uniq a JOIN uniq b
+        |    ON a.gmin <> b.gmin
         |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                              CAST(b.embedding AS DOUBLE[])) >= 0.9
-        |  GROUP BY a.vec_id)
+        |  GROUP BY a.gmin)
         |SELECT e.vec_id,
-        |       CAST(least(coalesce(n.min_nbr, e.vec_id), e.vec_id) AS BIGINT) AS keep_id
-        |FROM embeddings e LEFT JOIN nbr n ON e.vec_id = n.vec_id
+        |       CAST(least(u.gmin, coalesce(c.cmin, u.gmin)) AS BIGINT) AS keep_id
+        |FROM embeddings e
+        |JOIN uniq u ON e.embedding IS NOT DISTINCT FROM u.embedding
+        |LEFT JOIN cmins c ON u.gmin = c.g
         |ORDER BY e.vec_id""".stripMargin))
   )
 }

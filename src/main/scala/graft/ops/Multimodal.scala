@@ -139,8 +139,11 @@ object Multimodal {
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    // spread: decode cost is per-row CPU, and the documents file is
+    // single-row-group small (one scan task would serialize the whole
+    // decode — 85s → ~4s at sf1/local[32]); no-op at cluster scale
+    Tables.spread(Tables.load(s, dir, "documents").select(col("doc_id")))
+      .as[Long]
       .mapPartitions(_.map(id => (id, MediaGen.payload(id))))
       .toDF("media_id", "media")
   }

@@ -66,8 +66,12 @@ object Similarity {
   private val K = 5          // neighbors per query
   private val NQueries = 8   // vec_id < NQueries form the query set
 
+  // spread: the embeddings file is single-row-group small, and every
+  // consumer's first stage is row-local k-fold cosine work (see
+  // Tables.spread — no-op on a well-partitioned cluster read)
   private def corpus(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Tables.spread(
+      Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
 
   private def querySet(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).filter(col("vec_id") < NQueries)

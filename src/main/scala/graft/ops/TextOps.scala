@@ -20,6 +20,15 @@ import graft.Tables
   */
 object TextOps {
 
+  /** The documents scan, spread across cores: every operator here
+    * front-loads per-row native text scans (the CPU-dense part), and
+    * the documents file is single-row-group small at test scale — one
+    * scan task would serialize all of it (see [[graft.Tables.spread]];
+    * no-op on a well-partitioned cluster read).
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.load(s, dir, "documents"))
+
   /** Whitespace tokens. */
   def wsTokens(text: Column): Column = split(text, "\\s+")
 
@@ -44,7 +53,7 @@ object TextOps {
     * fuzzed), one pass, no regex engine.
     */
   def textTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"),
         graft.functions.wsTokenCount(col("text")).as("ws_tokens"),
         graft.functions.bpeTokenCount(col("text")).as("bpe_tokens"))
@@ -67,7 +76,7 @@ object TextOps {
     // size(array_distinct(split)) — spec-pinned and fuzzed (adding
     // this column via the built-ins doubled text_quality's bench time)
     val nDistinct = graft.functions.distinctTokenCount(col("text"))
-    Tables.load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nWords.as("n_words"),
@@ -96,7 +105,7 @@ object TextOps {
     // tuple as (hits, lang) and take greatest — deterministic.
     val best = greatest(scores: _*)
     val hasCjk = graft.functions.containsCjk(col("text"))
-    Tables.load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), col("lang").as("lang_true"),
         when(hasCjk, "zh").otherwise(best.getField("lang")).as("lang_pred"),
         best.getField("hits").as("profile_hits"))
@@ -116,7 +125,7 @@ object TextOps {
       (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), lit(FpMod)), lit(FpMod)))
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -136,7 +145,7 @@ object TextOps {
     regexp_replace(text, EmailRe, "<EMAIL>")
 
   def textRedact(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"),
         redact(col("text")).as("redacted"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_redactions"))
@@ -170,7 +179,7 @@ object TextOps {
     * corpus, and the top-k never globally sorts.
     */
   def textVocab(s: SparkSession, dir: String, k: Int = 50): DataFrame =
-    tokenRows(Tables.load(s, dir, "documents"))
+    tokenRows(docs(s, dir))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("token"))
       .limit(k)
@@ -188,7 +197,7 @@ object TextOps {
     * dedup/contamination oracles.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"),
         greatest(size(split(col("text"), "\\s+")) - 2, lit(0))
           .cast("long").as("n_shingles"),
@@ -224,7 +233,7 @@ object TextOps {
     // the doc→rep map and the rep-level gram explode — uncached, each
     // branch would re-run the scan + shingle projection + group window
     // (the shingleCorpus lesson, Dedup.scala)
-    val grouped = Tables.load(s, dir, "documents")
+    val grouped = docs(s, dir)
       .select(col("doc_id"),
         graft.functions.shingleIds(col("text")).as("sh"),
         md5(col("text").cast("binary")).as("tkey"))
@@ -268,7 +277,7 @@ object TextOps {
     */
   def textTopkSketch(s: SparkSession, dir: String, budget: Int = 256,
       k: Int = 50): DataFrame =
-    sketchOf(tokenRows(Tables.load(s, dir, "documents")), budget)
+    sketchOf(tokenRows(docs(s, dir)), budget)
       .orderBy(desc("cnt"), col("token"))
       .limit(k)
 
@@ -288,7 +297,7 @@ object TextOps {
     // cached (narrow, no raw text): it feeds the dup-key aggregate AND
     // the join probe — uncached, each consumer re-scans the table and
     // re-hashes every text (the two-consumer pattern again)
-    val perDoc = Tables.load(s, dir, "documents")
+    val perDoc = docs(s, dir)
       .select(col("source"),
         length(col("text")).cast("long").as("n_chars"),
         graft.functions.wsTokenCount(col("text")).as("n_words"),
@@ -349,7 +358,7 @@ object TextOps {
     // token ARRAY is projected BEFORE the group window so raw text
     // never crosses the digest shuffle; positions index non-empty
     // tokens — the same filtered view both engines see.
-    val grouped = Tables.load(s, dir, "documents")
+    val grouped = docs(s, dir)
       .select(col("doc_id"),
         filter(wsTokens(col("text")), t => t =!= "").as("a"),
         md5(col("text").cast("binary")).as("tkey"))
@@ -410,7 +419,7 @@ object TextOps {
     */
   def textPerplexityHeldout(s: SparkSession, dir: String,
       splitId: Long = 250L): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = TextOps.docs(s, dir)
       .select(col("doc_id"), filter(wsTokens(col("text")), t => t =!= "").as("a"))
       .cache() // feeds the train counts AND the batch scoring rows
     val trainToks = docs.filter(col("doc_id") < splitId)
@@ -478,7 +487,7 @@ object TextOps {
     val langPred = when(graft.functions.containsCjk(col("text")), "zh")
       .otherwise(greatest(scores: _*).getField("lang"))
     val w = Window.partitionBy("tkey")
-    Tables.load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), col("lang"),
         nWords.as("n_words"), nDistinct.as("n_distinct"),
         nSh.as("n_sh"), nDsh.as("n_dsh"), langPred.as("lang_pred"),
