@@ -30,7 +30,11 @@ object Bench {
     // the digest window), and the k-means refinement (row-local
     // assignment + one keyed update + driver centroid roundtrip)
     "text_perplexity", "dedup_incremental_bloom", "curation_gate",
-    "embed_kmeans")
+    "embed_kmeans",
+    // round 7: SemDeDup — the composed cluster-then-scoped-near-dup
+    // pipeline (k-means assignment + cluster-keyed SRP buckets +
+    // exact verify), the heaviest new round-7 operator
+    "dedup_semantic")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the

@@ -615,19 +615,90 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** D5b: semantic dedup (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the
+    * oracle-pinned spherical k-means ([[Similarity.embedKmeansOn]]),
+    * then run cosine near-dup WITHIN clusters only — the paper's
+    * approximation that makes web-scale semantic dedup tractable
+    * (pairwise work is bounded by Σ cluster² instead of n², and here
+    * further by the SRP candidate generator, whose buckets become
+    * (table, bucket, cluster)-scoped).
+    *
+    * Output: one row per vector, `(vec_id, pid, keep_id)` — `pid` the
+    * cluster, `keep_id` the smallest vec_id among the vector's
+    * same-cluster cosine-≥-threshold neighbors (itself if none), the
+    * house near-dup keep rule. Cross-cluster near-dups are
+    * deliberately NOT collapsed — that is SemDeDup's contract, pinned
+    * by spec.
+    *
+    * Fully DuckDB-oracled: the assignment composes the bit-exact
+    * unrolled-Lloyd CTEs ([[Similarity.KmeansCtes]]) and the pair scan
+    * is payload-collapsed like `dedup_embed`'s (identical vectors
+    * share an assignment — it is a pure function of the payload — so
+    * cluster scoping preserves the collapse argument verbatim).
+    *
+    * Scale: assignment is a narrow k-fold projection (no shuffle),
+    * scoping adds ONE keyed join of the assignment into the signature
+    * table, and everything downstream is the capped-bucket near-dup
+    * machinery. At 100 TB the assignment join is broadcast-free
+    * (both sides keyed by vec_id) and cluster count k just widens the
+    * bucket keyspace — MORE selective buckets, not less.
+    */
+  def dedupSemantic(s: SparkSession, dir: String, threshold: Double = 0.9,
+      k: Int = 8, iters: Int = 1): DataFrame =
+    dedupSemanticOn(
+      Tables.spread(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))),
+      threshold, k, iters)
+
+  /** [[dedupSemantic]] on an arbitrary (vec_id, embedding) frame — the
+    * seam the crafted-corpus specs drive.
+    */
+  def dedupSemanticOn(emb: DataFrame, threshold: Double = 0.9, k: Int = 8,
+      iters: Int = 1, tables: Int = 8, planes: Int = 12,
+      probeRadius: Int = 1): DataFrame = {
+    // cut: consumed three times (both probe sides via the signature
+    // join + the final output join)
+    val assign = Similarity.embedKmeansOn(emb, k, iters, sorted = false)
+      .select(col("vec_id"), col("pid"))
+      .transform(graft.Lineage.cut)
+    val pairs = embedPairs(emb, threshold, tables, planes, probeRadius,
+      scope = Some(assign)).transform(graft.Lineage.cut)
+    val neighborMin = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
+      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
+      .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))
+    emb.select(col("vec_id"))
+      .join(assign, Seq("vec_id"))
+      .join(neighborMin, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pid"),
+        least(coalesce(col("min_nbr"), col("vec_id")), col("vec_id")).as("keep_id"))
+      .orderBy("vec_id")
+  }
+
   /** Exact-cosine-verified near-dup pairs (a < b) from the multi-table
     * multi-probe SRP candidate generator.
+    *
+    * `scope`: optional `(vec_id, pid)` cluster assignment. When given,
+    * the label joins INTO the signature table and becomes part of the
+    * bucket key, so candidates are generated per (table, bucket,
+    * cluster) — cross-cluster pairs never exist, and the skew cap
+    * bounds each cluster-scoped bucket. This is the SemDeDup seam
+    * ([[dedupSemanticOn]]).
     */
   private[ops] def embedPairs(emb: DataFrame, threshold: Double, tables: Int = 8,
-      planes: Int = 12, probeRadius: Int = 1): DataFrame = {
+      planes: Int = 12, probeRadius: Int = 1,
+      scope: Option[DataFrame] = None): DataFrame = {
     require(tables >= 1 && planes >= 1 && planes < 63 &&
         probeRadius >= 0 && probeRadius <= planes,
       s"invalid dials: tables=$tables planes=$planes probeRadius=$probeRadius")
     // checkpointed: feeds both sides of the bucket join (and the sig
     // projection, though native and narrow, reads the full vectors)
-    val sigs = Similarity.srpTableBuckets(emb, "vec_id", "embedding",
-      planes, tables).transform(graft.Lineage.cut)
-    val indexed = capBuckets(sigs, Seq("tbl", "bucket"))
+    val sigs0 = Similarity.srpTableBuckets(emb, "vec_id", "embedding",
+      planes, tables)
+    val sigs = scope.fold(sigs0)(a => sigs0.join(a, "vec_id"))
+      .transform(graft.Lineage.cut)
+    val bucketKeys = Seq("tbl", "bucket") ++ scope.map(_ => "pid")
+    val indexed = capBuckets(sigs, bucketKeys)
     // Hamming-ball flip masks; one probe direction suffices (the ball
     // relation is symmetric, and the a < b constraint below picks the
     // smaller id as the prober)
@@ -636,9 +707,10 @@ object Dedup {
         .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
     val probes = sigs.withColumn("bucket", explode(array(
       flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
+    val baseCond = col("x.tbl") === col("y.tbl") &&
+      col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id")
     val cand = probes.as("x").join(indexed.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
+        scope.fold(baseCond)(_ => baseCond && col("x.pid") === col("y.pid")))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
     cand
@@ -951,6 +1023,35 @@ object Dedup {
         |FROM embeddings e
         |JOIN uniq u ON e.embedding IS NOT DISTINCT FROM u.embedding
         |LEFT JOIN cmins c ON u.gmin = c.g
-        |ORDER BY e.vec_id""".stripMargin))
+        |ORDER BY e.vec_id""".stripMargin)),
+    // SemDeDup composed oracle: the bit-exact unrolled-Lloyd
+    // assignment (KmeansCtes, ends at f(vec_id, pid, cos)) + the
+    // payload-collapsed pair scan of dedup_embed's oracle with one
+    // extra predicate — reps must share a cluster. Collapse stays
+    // exact under scoping because the assignment is a pure function of
+    // the payload: every member of an identical-vector group carries
+    // its rep's pid.
+    Q("dedup_semantic", (s, d) => dedupSemantic(s, d), Some(
+      s"""WITH ${Similarity.KmeansCtes},
+         |uniq AS (
+         |  SELECT embedding, min(vec_id) AS gmin
+         |  FROM embeddings GROUP BY embedding),
+         |cmins AS (
+         |  SELECT a.gmin AS g, min(b.gmin) AS cmin
+         |  FROM uniq a
+         |  JOIN uniq b
+         |    ON a.gmin <> b.gmin
+         |   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                              CAST(b.embedding AS DOUBLE[])) >= 0.9
+         |  JOIN f fa ON fa.vec_id = a.gmin
+         |  JOIN f fb ON fb.vec_id = b.gmin AND fb.pid = fa.pid
+         |  GROUP BY a.gmin)
+         |SELECT e.vec_id, CAST(ff.pid AS INTEGER) AS pid,
+         |       CAST(least(u.gmin, coalesce(c.cmin, u.gmin)) AS BIGINT) AS keep_id
+         |FROM embeddings e
+         |JOIN f ff ON ff.vec_id = e.vec_id
+         |JOIN uniq u ON e.embedding IS NOT DISTINCT FROM u.embedding
+         |LEFT JOIN cmins c ON u.gmin = c.g
+         |ORDER BY e.vec_id""".stripMargin))
   )
 }

@@ -357,7 +357,7 @@ object Similarity {
   private[ops] def kmeansParInit(vecs: DataFrame, k: Int, rounds: Int = 3,
       oversample: Double = 2.0): Array[(Int, Array[Double])] = {
     val seed = hashInit(vecs, 1).map(_._2)
-    val cand = scala.collection.mutable.ArrayBuffer[Array[Double]](seed: _*)
+    val cand = scala.collection.mutable.ArrayBuffer.from[Array[Double]](seed)
     for (r <- 1 to rounds) {
       val centers = cand.toIndexedSeq.zipWithIndex.map(_.swap)
       val costCol = lit(1.0) - bestOf(col("embedding"), centers).getField("cos")
@@ -502,6 +502,65 @@ object Similarity {
     if (sorted) out.orderBy("vec_id") else out
   }
 
+  /** The unrolled-Lloyd CTE chain of the `embed_kmeans` oracle (ends
+    * at `f(vec_id, pid, cos)` — the final assignment), shared with the
+    * `dedup_semantic` oracle which composes intra-cluster near-dup on
+    * top of the same bit-exact assignment.
+    */
+  private[ops] val KmeansCtes: String =
+      """v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |vd AS (
+        |  SELECT vec_id, i AS dim, e[i] AS val
+        |  FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i FROM v)),
+        |piv AS (
+        |  SELECT vec_id, row_number() OVER (
+        |           ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pid
+        |  FROM v),
+        |c0 AS (
+        |  SELECT p.pid, d.dim, d.val AS cval
+        |  FROM piv p JOIN vd d USING (vec_id) WHERE p.pid < 8),
+        |s1 AS (
+        |  SELECT vd.vec_id, c.pid,
+        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
+        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
+        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
+        |  FROM vd JOIN c0 c ON vd.dim = c.dim
+        |  GROUP BY vd.vec_id, c.pid),
+        |a1 AS (
+        |  SELECT vec_id, pid FROM (
+        |    SELECT vec_id, pid, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY CASE WHEN sna * snb = 0 THEN 0.0
+        |                           ELSE dot / (sna * snb) END DESC,
+        |                      pid DESC) AS rk
+        |    FROM s1) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT c.pid, c.dim, COALESCE(u.m, c.cval) AS cval
+        |  FROM c0 c LEFT JOIN (
+        |    SELECT a.pid, d.dim,
+        |           list_reduce(list(d.val ORDER BY d.vec_id), (x, y) -> x + y)
+        |             / count(*) AS m
+        |    FROM a1 a JOIN vd d USING (vec_id)
+        |    GROUP BY a.pid, d.dim) u
+        |  ON c.pid = u.pid AND c.dim = u.dim),
+        |s2 AS (
+        |  SELECT vd.vec_id, c.pid,
+        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
+        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
+        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
+        |  FROM vd JOIN c1 c ON vd.dim = c.dim
+        |  GROUP BY vd.vec_id, c.pid),
+        |f AS (
+        |  SELECT vec_id, pid, cos FROM (
+        |    SELECT vec_id, pid,
+        |           CASE WHEN sna * snb = 0 THEN 0.0
+        |                ELSE dot / (sna * snb) END AS cos,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY CASE WHEN sna * snb = 0 THEN 0.0
+        |                           ELSE dot / (sna * snb) END DESC,
+        |                      pid DESC) AS rk
+        |    FROM s2) WHERE rk = 1)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", annBruteforce, Some(
       s"""WITH scored AS (
@@ -564,59 +623,9 @@ object Similarity {
     // every float op is correctly-rounded IEEE applied in the same
     // order, so assignment matches bit-for-bit, not just to tolerance
     Q("embed_kmeans", (s, d) => embedKmeans(s, d), Some(
-      """WITH v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |vd AS (
-        |  SELECT vec_id, i AS dim, e[i] AS val
-        |  FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i FROM v)),
-        |piv AS (
-        |  SELECT vec_id, row_number() OVER (
-        |           ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pid
-        |  FROM v),
-        |c0 AS (
-        |  SELECT p.pid, d.dim, d.val AS cval
-        |  FROM piv p JOIN vd d USING (vec_id) WHERE p.pid < 8),
-        |s1 AS (
-        |  SELECT vd.vec_id, c.pid,
-        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
-        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
-        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
-        |  FROM vd JOIN c0 c ON vd.dim = c.dim
-        |  GROUP BY vd.vec_id, c.pid),
-        |a1 AS (
-        |  SELECT vec_id, pid FROM (
-        |    SELECT vec_id, pid, row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY CASE WHEN sna * snb = 0 THEN 0.0
-        |                           ELSE dot / (sna * snb) END DESC,
-        |                      pid DESC) AS rk
-        |    FROM s1) WHERE rk = 1),
-        |c1 AS (
-        |  SELECT c.pid, c.dim, COALESCE(u.m, c.cval) AS cval
-        |  FROM c0 c LEFT JOIN (
-        |    SELECT a.pid, d.dim,
-        |           list_reduce(list(d.val ORDER BY d.vec_id), (x, y) -> x + y)
-        |             / count(*) AS m
-        |    FROM a1 a JOIN vd d USING (vec_id)
-        |    GROUP BY a.pid, d.dim) u
-        |  ON c.pid = u.pid AND c.dim = u.dim),
-        |s2 AS (
-        |  SELECT vd.vec_id, c.pid,
-        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
-        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
-        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
-        |  FROM vd JOIN c1 c ON vd.dim = c.dim
-        |  GROUP BY vd.vec_id, c.pid),
-        |f AS (
-        |  SELECT vec_id, pid, cos FROM (
-        |    SELECT vec_id, pid,
-        |           CASE WHEN sna * snb = 0 THEN 0.0
-        |                ELSE dot / (sna * snb) END AS cos,
-        |           row_number() OVER (PARTITION BY vec_id
-        |             ORDER BY CASE WHEN sna * snb = 0 THEN 0.0
-        |                           ELSE dot / (sna * snb) END DESC,
-        |                      pid DESC) AS rk
-        |    FROM s2) WHERE rk = 1)
-        |SELECT vec_id, CAST(pid AS INTEGER) AS pid, round(cos, 6) AS cos
-        |FROM f ORDER BY vec_id""".stripMargin))
+      s"""WITH $KmeansCtes
+         |SELECT vec_id, CAST(pid AS INTEGER) AS pid, round(cos, 6) AS cos
+         |FROM f ORDER BY vec_id""".stripMargin))
   )
+
 }
