@@ -503,6 +503,86 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 parameters (Robertson et al.; the Okapi defaults). Written
+    * as the LITERAL forms `1.2` / `0.75` in both engines' expression
+    * trees (never pre-folded in Scala) so each engine parses the same
+    * decimal literal to the same double and every downstream op is
+    * correctly-rounded IEEE arithmetic on identical values.
+    */
+  private[ops] val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark window agg",
+    1L -> "dup filter scan",
+    2L -> "hash join order sort",
+    3L -> "the fast query")
+
+  /** D27: BM25 retrieval scoring — the lexical search stage of a
+    * training-data pipeline (per-topic corpus slicing, seed-document
+    * expansion, eval-set retrieval; BM25 remains the standard sparse
+    * baseline the dense ANN family (D6/D7/D17) is compared against).
+    * Scores every document against a fixed query set and returns the
+    * top-k per query: `score(q, d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl))` with the Robertson
+    * `idf = ln((N−df+0.5)/(df+0.5)+1)` (always positive).
+    *
+    * Scale shape: tokens are filtered to the query-term set BEFORE
+    * any shuffle (the explode feeds an `isin` that prunes to matching
+    * tokens — on a 100 TB corpus the tf shuffle carries only
+    * query-term occurrences, a vanishing fraction); df and the query
+    * terms are model-sized broadcasts; (N, Σdl) is the one-row
+    * broadcast-total pattern; per-query top-k is the bounded
+    * [[graft.functions.TopKAgg]] partial aggregate (O(k) state per
+    * query — no window over the full candidate list, no global sort).
+    *
+    * Engine-exactness: tf/df/dl/N are integers; idf is rounded to 6dp
+    * BEFORE use in BOTH engines (insuring the one transcendental, the
+    * D21 log2 convention); the per-doc sum is a term-ordered fold;
+    * ranking uses the bit-exact double (ties broken by doc_id), only
+    * the REPORTED score is rounded.
+    */
+  def textBm25(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    textBm25On(s, docs(s, dir), Bm25Queries, k)
+
+  /** [[textBm25]] on an arbitrary (doc_id, text) frame — the seam the
+    * hand-computed spec drives.
+    */
+  private[graft] def textBm25On(s: SparkSession, documents: DataFrame,
+      queriesIn: Seq[(Long, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val qterms = queriesIn
+      .flatMap { case (q, text) => text.split("\\s+").distinct.map(q -> _) }
+    val termSet = qterms.map(_._2).distinct
+    val d = documents
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"))
+      .select(col("doc_id"), size(col("a")).cast("long").as("dl"), col("a"))
+    val stats = broadcast(d.agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")))
+    // prune to query-term tokens BEFORE the tf shuffle
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("a")).as("t"))
+      .filter(col("t").isin(termSet: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+      .cache() // feeds the df aggregate AND the scoring rows
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = tf
+      .join(broadcast(dfreq), "t")
+      .join(broadcast(qterms.toDF("query_id", "t")), "t")
+      .crossJoin(stats)
+      .withColumn("idf", round(
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + 1), 6))
+      .withColumn("w", col("idf") * (col("tf") * (lit(1.2) + 1)) /
+        (col("tf") + lit(1.2) * (lit(1) - lit(0.75) +
+          (lit(0.75) * col("dl")) / (col("sd").cast("double") / col("n")))))
+    val perDoc = w.groupBy("query_id", "doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("t"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    perDoc.groupBy("query_id")
+      .agg(topk(-col("score"), col("doc_id")).as("cand"))
+      .select(col("query_id"), posexplode(col("cand")).as(Seq("pos", "c")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("c.id").as("doc_id"), round(-col("c.negScore"), 6).as("score"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -735,6 +815,51 @@ object TextOps {
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+    // the query set is interpolated from Bm25Queries (never
+    // duplicated); idf is 6dp-rounded BEFORE use in both engines, the
+    // per-doc sum is a term-ordered fold, ranking uses the unrounded
+    // double with doc_id tie-break — the D21/D24 engine-exactness
+    // conventions
+    Q("text_bm25", (s, d) => textBm25(s, d), Some {
+      val values = Bm25Queries
+        .flatMap { case (q, t) => t.split("\\s+").distinct.map(q -> _) }
+        .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+        .mkString(", ")
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+        |  FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, a FROM d),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sd FROM dd),
+        |q(query_id, t) AS (VALUES $values),
+        |tf AS (
+        |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(a) AS t FROM dd)
+        |  WHERE t IN (SELECT t FROM q)
+        |  GROUP BY doc_id, dl, t),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |w AS (
+        |  SELECT q.query_id, tf.doc_id, tf.t,
+        |    round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1), 6)
+        |      * (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (1 - 0.75 +
+        |        (0.75 * tf.dl) / (st.sd::DOUBLE / st.n))) AS w
+        |  FROM tf
+        |  JOIN dfq USING (t)
+        |  JOIN q ON q.t = tf.t
+        |  CROSS JOIN st),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list(w ORDER BY t), (x, y) -> x + y) AS score
+        |  FROM w GROUP BY query_id, doc_id),
+        |rk AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT query_id, rk, doc_id, round(score, 6) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    }),
     // EmailRe interpolated, never duplicated: the oracle pins that THE
     // SAME pattern behaves identically under Java regex and RE2
     Q("text_redact", textRedact, Some(
