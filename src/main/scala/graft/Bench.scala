@@ -34,7 +34,10 @@ object Bench {
     // round 7: SemDeDup — the composed cluster-then-scoped-near-dup
     // pipeline (k-means assignment + cluster-keyed SRP buckets +
     // exact verify), the heaviest new round-7 operator
-    "dedup_semantic")
+    "dedup_semantic",
+    // round 8: BM25 retrieval scoring — the query-term-pruned tf
+    // shuffle + broadcast-df + bounded top-k shape
+    "text_bm25")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the
@@ -53,10 +56,13 @@ object Bench {
         out.toString)
       (System.nanoTime() - t0) / 1e9
     } finally
-      // don't bloat /tmp across the 4 timed+warm-up runs — including
+      // don't bloat /tmp across the timed+warm-up runs — including
       // a failed one's partial write
       LocalFs.deleteRecursively(out)
   }
+
+  /** (wall, processCpu, gcTime) in seconds for one sample. */
+  private final case class Sample(wall: Double, cpu: Double, gc: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,68 +80,104 @@ object Bench {
     Tables.names.foreach(n =>
       if (n == "events") Tables.events(spark, sfDir).schema
       else Tables.load(spark, sfDir, n).schema)
-    // Noise-robust timing: one untimed warm-up (JIT + janino codegen,
-    // which a long-running cluster job pays once, not per-query), then
-    // best-of-3 timed runs. This host's wall-clock is noisy (the same
-    // query has measured 6.5s-44s under external CPU contention), so a
-    // single sample can overstate a query by an order of magnitude; the
-    // minimum of three is a far better estimator of the engine's cost.
-    // If the three samples still disagree >3x, take up to 2 extra
-    // samples. All raw samples are emitted under "runs" for audit.
-    //
-    // Alongside wall time each sample records PROCESS CPU seconds
-    // (sum over the local[N] executor threads): CPU cost is what the
-    // engine actually charges and is nearly immune to the external
-    // contention that moved identical-code queries ±30% wall round
-    // over round (r5→r6) — compare "cpu" across rounds to separate a
-    // code regression (cpu moves) from a noisy host (only wall moves).
+    // Noise-robust timing. This host's wall clock is contended: the
+    // round-7 driver bench measured every query 1.2-2.6x slower (and
+    // one 13x) than identical code the round before, because external
+    // load arrived during ONE query's consecutive samples and left
+    // during another's. Three defenses, per the round-7 adjudication:
+    //   1. INTERLEAVED sampling — one untimed warm-up pass over all
+    //      queries (JIT + janino codegen, paid once on a real
+    //      cluster), then 3 ROUND-ROBIN passes (q1..qN, q1..qN, ...)
+    //      instead of 3 back-to-back samples per query. A contention
+    //      window now inflates every query's sample i roughly
+    //      equally, leaving each query's min-of-N from a quieter
+    //      pass, instead of destroying all samples of whichever
+    //      query it landed on.
+    //   2. min-of-N wall per query, with up to 2 extra samples for
+    //      queries whose spread is still >3x after the rounds.
+    //   3. PROCESS CPU seconds and GC time recorded per sample: CPU
+    //      is what the engine actually charges and moves only with
+    //      code (compare "cpu" across rounds to separate regression
+    //      from noise); GC time exposes heap-pressure drifts that
+    //      masquerade as compute regressions (the r5 clusters drift).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    val results = headline.map { name =>
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    def once(name: String): Sample =
+      // every sample rebuilds its plan from scratch, so the
+      // checkpoint blocks it persisted are dead once the sink
+      // finishes OR the attempt throws — sweep both paths, or N
+      // samples x M queries of dead blocks accumulate in one JVM
+      // (the round-5 clusters drift, generalized to every
+      // checkpointing query)
       try {
-        def once(): (Double, Double) =
-          // every sample rebuilds its plan from scratch, so the
-          // checkpoint blocks it persisted are dead once the sink
-          // finishes OR the attempt throws — sweep both paths, or 4
-          // samples x N queries of dead blocks accumulate in one JVM
-          // (the round-5 clusters drift, generalized to every
-          // checkpointing query)
-          try {
-            val c0 = osBean.getProcessCpuTime
-            val wall =
-              if (name == "pgn_ingest") ingestOnce(spark)
-              else {
-                val t0 = System.nanoTime()
-                SparkEntry.queries(name)(spark, sfDir)
-                  .write.format("noop").mode("overwrite").save()
-                (System.nanoTime() - t0) / 1e9
-              }
-            (wall, (osBean.getProcessCpuTime - c0) / 1e9)
-          } finally Caches.sweep(spark)
-        once() // warm-up, discarded
-        var samples = Vector(once(), once(), once())
-        var extra = 0
-        while (samples.map(_._1).max > 3 * samples.map(_._1).min && extra < 2) {
-          samples :+= once(); extra += 1
-        }
-        (name, samples.minBy(_._1), samples)
-      } catch {
+        val c0 = osBean.getProcessCpuTime
+        val g0 = gcMillis()
+        val wall =
+          if (name == "pgn_ingest") ingestOnce(spark)
+          else {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+        Sample(wall, (osBean.getProcessCpuTime - c0) / 1e9,
+          (gcMillis() - g0) / 1e3)
+      } finally Caches.sweep(spark)
+
+    val failed = scala.collection.mutable.Set.empty[String]
+    // warm-up pass (discarded); a query that throws here is reported
+    // as -1 and skipped in the timed rounds
+    headline.foreach { name =>
+      try once(name)
+      catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          (name, (-1.0, -1.0), Vector.empty[(Double, Double)])
+          System.err.println(
+            s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          failed += name
       }
     }
-    val qs = results.map { case (k, (w, _), _) => f""""$k":$w%.3f""" }.mkString("{", ",", "}")
-    // CPU seconds of the min-wall sample (the sample "value" reports)
-    val cpus_ = results.map { case (k, (_, c), _) => f""""$k":$c%.3f""" }.mkString("{", ",", "}")
-    val runs = results.map { case (k, _, ss) =>
-      s""""$k":${ss.map(s => f"${s._1}%.3f").mkString("[", ",", "]")}"""
-    }.mkString("{", ",", "}")
-    val cpuRuns = results.map { case (k, _, ss) =>
-      s""""$k":${ss.map(s => f"${s._2}%.3f").mkString("[", ",", "]")}"""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu":$cpus_,"runs":$runs,"cpu_runs":$cpuRuns,"sf":"$sfDir"}""")
+    val live = headline.filterNot(failed)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Sample]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to 3; name <- live)
+      try samples(name) = samples(name) :+ once(name)
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    // queries still noisy after interleaving get up to 2 extra samples
+    for (name <- live) {
+      var extra = 0
+      while (samples(name).nonEmpty &&
+          samples(name).map(_.wall).max > 3 * samples(name).map(_.wall).min &&
+          extra < 2) {
+        try samples(name) = samples(name) :+ once(name)
+        catch { case _: Throwable => () }
+        extra += 1
+      }
+    }
+
+    val results: Seq[(String, Sample, Vector[Sample])] = headline.map { name =>
+      val ss = samples(name)
+      if (ss.isEmpty) (name, Sample(-1.0, -1.0, -1.0), Vector.empty)
+      else (name, ss.minBy(_.wall), ss)
+    }
+    def field(f: Sample => Double): String =
+      results.map { case (k, best, _) => f""""$k":${f(best)}%.3f""" }
+        .mkString("{", ",", "}")
+    def rawField(f: Sample => Double): String =
+      results.map { case (k, _, ss) =>
+        s""""$k":${ss.map(s => f"${f(s)}%.3f").mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+    val total = results.map(_._2.wall).filter(_ >= 0).sum
+    val totalCpu = results.map(_._2.cpu).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$totalCpu%.3f,"queries":${field(_.wall)},"cpu":${field(_.cpu)},"gc":${field(_.gc)},"runs":${rawField(_.wall)},"cpu_runs":${rawField(_.cpu)},"gc_runs":${rawField(_.gc)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

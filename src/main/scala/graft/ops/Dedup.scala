@@ -645,21 +645,28 @@ object Dedup {
     * bucket keyspace — MORE selective buckets, not less.
     */
   def dedupSemantic(s: SparkSession, dir: String, threshold: Double = 0.9,
-      k: Int = 8, iters: Int = 1): DataFrame =
+      k: Int = 8, iters: Int = 1, init: String = "hash"): DataFrame =
     dedupSemanticOn(
       Tables.spread(Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))),
-      threshold, k, iters)
+      threshold, k, iters, init = init)
 
   /** [[dedupSemantic]] on an arbitrary (vec_id, embedding) frame — the
-    * seam the crafted-corpus specs drive.
+    * seam the crafted-corpus specs drive. `init` feeds the k-means
+    * stage ("hash" = the oracle-pinned bootstrap, "parallel" =
+    * k-means‖ — the production clustering a real SemDeDup run wants).
+    * `sorted`: the oracle harness wants a deterministic row order; a
+    * 100 TB caller should pass false — the keep-decision is complete
+    * without the global sort of the full per-vector assignment.
     */
   def dedupSemanticOn(emb: DataFrame, threshold: Double = 0.9, k: Int = 8,
       iters: Int = 1, tables: Int = 8, planes: Int = 12,
-      probeRadius: Int = 1): DataFrame = {
+      probeRadius: Int = 1, init: String = "hash",
+      sorted: Boolean = true): DataFrame = {
     // cut: consumed three times (both probe sides via the signature
     // join + the final output join)
-    val assign = Similarity.embedKmeansOn(emb, k, iters, sorted = false)
+    val assign = Similarity.embedKmeansOn(emb, k, iters, init = init,
+        sorted = false)
       .select(col("vec_id"), col("pid"))
       .transform(graft.Lineage.cut)
     val pairs = embedPairs(emb, threshold, tables, planes, probeRadius,
@@ -667,12 +674,12 @@ object Dedup {
     val neighborMin = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
       .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
       .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))
-    emb.select(col("vec_id"))
+    val out = emb.select(col("vec_id"))
       .join(assign, Seq("vec_id"))
       .join(neighborMin, Seq("vec_id"), "left")
       .select(col("vec_id"), col("pid"),
         least(coalesce(col("min_nbr"), col("vec_id")), col("vec_id")).as("keep_id"))
-      .orderBy("vec_id")
+    if (sorted) out.orderBy("vec_id") else out
   }
 
   /** Exact-cosine-verified near-dup pairs (a < b) from the multi-table

@@ -505,9 +505,16 @@ object TextOps {
 
   /** BM25 parameters (Robertson et al.; the Okapi defaults). Written
     * as the LITERAL forms `1.2` / `0.75` in both engines' expression
-    * trees (never pre-folded in Scala) so each engine parses the same
-    * decimal literal to the same double and every downstream op is
-    * correctly-rounded IEEE arithmetic on identical values.
+    * trees (never pre-folded in Scala). CAVEAT on cross-engine literal
+    * typing: Spark types a bare `1.2` as DOUBLE, but DuckDB types it
+    * DECIMAL and coerces to double only when it meets a DOUBLE
+    * operand — so `1.2 + 1` is exact-decimal 2.2 in DuckDB (≠ the
+    * double 2.2 once an integer multiplies in) while Spark computes
+    * pure double arithmetic. The oracle therefore forces every
+    * decimal literal to meet a DOUBLE operand BEFORE any integer
+    * arithmetic (`1.2::DOUBLE + 1`); `0.75`/`0.5`/`1 − 0.75` are
+    * binary-exact so their coercion order cannot matter, and the
+    * `k1·(…)` factor multiplies `1.2` into an already-DOUBLE value.
     */
   private[ops] val Bm25Queries: Seq[(Long, String)] = Seq(
     0L -> "spark window agg",
@@ -841,7 +848,7 @@ object TextOps {
         |w AS (
         |  SELECT q.query_id, tf.doc_id, tf.t,
         |    round(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1), 6)
-        |      * (tf.tf * (1.2 + 1)) /
+        |      * (tf.tf * (1.2::DOUBLE + 1)) /
         |      (tf.tf + 1.2 * (1 - 0.75 +
         |        (0.75 * tf.dl) / (st.sd::DOUBLE / st.n))) AS w
         |  FROM tf

@@ -87,6 +87,56 @@ class DedupSemanticSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("sorted=false output set-equals the sorted one (the 100TB seam)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    def randVec(): Array[Float] = Array.fill(Dim)(rng.nextGaussian().toFloat)
+    val base = (0 until 120).map(i => (i.toLong, randVec()))
+    val planted = (0 until 30).map { j =>
+      val (_, v) = base(j * 4)
+      ((500 + j).toLong,
+        v.map(x => (x + 0.2f * rng.nextGaussian().toFloat)))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding").cache()
+    val sortedOut = Dedup.dedupSemanticOn(emb, Threshold)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val unsorted = Dedup.dedupSemanticOn(emb, Threshold, sorted = false)
+    // no global Sort in the unsorted plan (the point of the seam:
+    // at 100 TB the keep-decision must not pay a full corpus sort)
+    assert(!unsorted.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }.exists(_ => true),
+      "sorted=false still plans a global Sort")
+    val unsortedOut = unsorted
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(unsortedOut === sortedOut)
+    emb.unpersist()
+  }
+
+  test("init=parallel (k-means||) flows through: valid pids, exact groups still collapse") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    def randVec(): Array[Float] = Array.fill(Dim)(rng.nextGaussian().toFloat)
+    // identical-payload groups: collapse is structural under ANY
+    // clustering (identical vectors share assignment + signatures), so
+    // the pin is init-independent — what's tested here is that the
+    // k-means|| assignment actually reaches the scoped pair scan
+    val uniq = (0 until 30).map(_ => randVec())
+    val rows = for (c <- 0 until 4; g <- 0 until 30)
+      yield ((c * 30 + g).toLong, uniq(g))
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val out = Dedup.dedupSemanticOn(emb, Threshold, init = "parallel")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expectAssign = Similarity
+      .embedKmeansOn(emb, init = "parallel", sorted = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, pid, k) =>
+      assert(pid == expectAssign(id), s"pid mismatch for $id")
+      assert(k == id % 30, s"vector $id kept by $k, expected ${id % 30}")
+    }
+    emb.unpersist()
+  }
+
   test("semantic dedup: identical-vector groups always collapse to min id") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
