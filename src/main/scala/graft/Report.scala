@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Plot-dataset export (the reference's last mile): `eda.ipynb`'s three
   * chart cells render daily game counts, high-Elo daily counts and the
@@ -11,11 +12,37 @@ import org.apache.spark.sql.SparkSession
   * `chess_top_openings`) as single-file headered CSVs for whatever
   * plotting frontend the user points at them.
   *
-  *   runMain graft.Report [outDir]
+  *   runMain graft.Report [outDir] [ingestParquetDir]
+  *
+  * With no second argument the charts run over the parsed sample
+  * corpus; given the path of a real [[graft.chess.ChessPipeline
+  * .writePartitioned]] output (the player-game-role table IngestMain
+  * writes), the doubled rows are first collapsed back to one row per
+  * game ([[gamesFromIngest]]) so chart semantics — games, not
+  * role-rows — are identical on both inputs.
   */
 object Report {
-  val Datasets: Seq[String] =
-    Seq("chess_daily_counts", "chess_daily_high_elo", "chess_top_openings")
+  val Datasets: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "chess_daily_counts" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessDailyCountsOn(g)),
+    "chess_daily_high_elo" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessDailyHighEloOn(g)),
+    "chess_top_openings" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessTopOpeningsOn(g)))
+
+  /** One row per game from a player-game-role ingest parquet: each game
+    * appears exactly twice (once per role), so the White-role slice is
+    * a complete, duplicate-free game table; the perspective columns
+    * map back to the White/Black names the chart queries expect. A
+    * narrow filter+project — partition pruning and the in-file
+    * (DateTime, ID) sort of the ingest layout both survive.
+    */
+  def gamesFromIngest(roles: DataFrame): DataFrame =
+    roles.filter(col("Role_player") === "White")
+      .select(col("ID"), col("DateTime"), col("Opening"),
+        col("Termination"), col("Result"),
+        col("Player").as("White"), col("Opponent").as("Black"),
+        col("PlayerElo").as("WhiteElo"), col("OpponentElo").as("BlackElo"))
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_report")
@@ -27,17 +54,22 @@ object Report {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, outDir)
+    val games = args.lift(1) match {
+      case Some(ingestDir) => gamesFromIngest(spark.read.parquet(ingestDir))
+      case None => graft.ops.ChessQueries.sampleGames(spark)
+    }
+    run(spark, games, outDir)
     spark.stop()
   }
 
   /** Writes one `<name>.csv/` per dataset; single file (these are
-    * chart-sized aggregates — day counts and a top-5 — not data), with
-    * header so the CSV is self-describing.
+    * chart-sized aggregates — day counts and a top-20 — not data), with
+    * header so the CSV is self-describing. `games` is the one-row-per-
+    * game input the charts aggregate; `outDir` is ONLY written to.
     */
-  def run(spark: SparkSession, outDir: String): Unit =
-    for (name <- Datasets) {
-      SparkEntry.queries(name)(spark, outDir)
+  def run(spark: SparkSession, games: DataFrame, outDir: String): Unit =
+    for ((name, query) <- Datasets) {
+      query(games)
         .coalesce(1)
         .write.mode("overwrite").option("header", "true")
         .csv(s"$outDir/$name.csv")

@@ -172,22 +172,41 @@ object ChessQueries {
 
   /** eda.ipynb "How many games are played?" per day. */
   def chessDailyCounts(s: SparkSession, dir: String): DataFrame =
-    games(s).groupBy(to_date(col("DateTime")).as("day"))
+    chessDailyCountsOn(games(s))
+
+  /** [[chessDailyCounts]] on an arbitrary one-row-per-game frame —
+    * the seam [[graft.Report]] drives against real ingest output.
+    */
+  def chessDailyCountsOn(g: DataFrame): DataFrame =
+    g.groupBy(to_date(col("DateTime")).as("day"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("day")
 
   /** eda.ipynb high-Elo daily counts (both Elos > threshold). */
   def chessDailyHighElo(s: SparkSession, dir: String, minElo: Int = 2000): DataFrame =
-    games(s).filter(col("WhiteElo") > minElo && col("BlackElo") > minElo)
+    chessDailyHighEloOn(games(s), minElo)
+
+  /** [[chessDailyHighElo]]'s games-frame seam. */
+  def chessDailyHighEloOn(g: DataFrame, minElo: Int = 2000): DataFrame =
+    g.filter(col("WhiteElo") > minElo && col("BlackElo") > minElo)
       .groupBy(to_date(col("DateTime")).as("day"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("day")
 
   /** eda.ipynb top-20 openings. */
   def chessTopOpenings(s: SparkSession, dir: String): DataFrame =
-    games(s).groupBy("Opening").agg(count(lit(1)).as("cnt"))
+    chessTopOpeningsOn(games(s))
+
+  /** [[chessTopOpenings]]'s games-frame seam. */
+  def chessTopOpeningsOn(g: DataFrame): DataFrame =
+    g.groupBy("Opening").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("Opening"))
       .limit(20)
+
+  /** The parsed sample-corpus games parquet (the EDA queries' input)
+    * — exposed for [[graft.Report]]'s no-argument mode.
+    */
+  private[graft] def sampleGames(s: SparkSession): DataFrame = GamesPq(s)
 
   val queries: Seq[Q] = Seq(
     Q("pgn_games", pgnGames, None),
