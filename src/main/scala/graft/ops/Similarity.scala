@@ -101,9 +101,15 @@ object Similarity {
   /** D6: exact brute-force cosine top-k (broadcast query set, map-side
     * scoring, two-stage top-k).
     */
-  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val scored = corpus(s, dir)
-      .join(broadcast(querySet(s, dir)))
+  def annBruteforce(s: SparkSession, dir: String): DataFrame =
+    annBruteforceOn(corpus(s, dir), querySet(s, dir))
+
+  /** [[annBruteforce]] on arbitrary corpus/query frames — the exact
+    * answer the ANN recall specs measure against.
+    */
+  private[ops] def annBruteforceOn(corp: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = corp
+      .join(broadcast(queries))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .select("q_id", "vec_id", "cos")
     topKPerQuery(scored)
@@ -253,12 +259,44 @@ object Similarity {
     * and reproduces the brute-force answer exactly (spec-pinned).
     */
   def annIvf(s: SparkSession, dir: String, nLists: Int = NLists,
-      nProbe: Int = NProbe): DataFrame = {
-    val piv = ivfPivots(s, dir, nLists)
-    val assigned = corpus(s, dir)
+      nProbe: Int = NProbe, pivots: String = "hash"): DataFrame = {
+    val corp = corpus(s, dir)
+    val piv = pivots match {
+      case "hash" => ivfPivots(s, dir, nLists)
+      case "kmeans" => trainedPivots(corp, nLists)
+      case other => throw new IllegalArgumentException(
+        s"unknown pivots '$other' (hash | kmeans)")
+    }
+    annIvfOn(corp, querySet(s, dir), piv, nProbe)
+  }
+
+  /** TRAINED IVF pivots: k-means‖-seeded Lloyd centers over the
+    * corpus (the refinement [[ivfPivots]]' scaladoc promises — drop-in
+    * behind the same pivot seam, nothing downstream changes). On a
+    * clustered corpus the lists now FOLLOW the density: a query's
+    * neighbors concentrate in its own and a few adjacent lists, so
+    * recall at fixed nProbe/nLists rises from the hash-pivot
+    * membership-lottery baseline to near-exact (spec-pinned on a
+    * planted-cluster corpus). Centers are cast to the corpus element
+    * type (float); list ids are 0..k−1 rather than pivot vec_ids.
+    */
+  private[ops] def trainedPivots(corp: DataFrame, nLists: Int,
+      iters: Int = 2): Array[(Long, Array[Float])] = {
+    val cached = corp.cache() // the Lloyd loop scans it 2·iters+1 times
+    lloydCentroids(cached, nLists, iters, orderedFold = false,
+        init = "parallel")
+      .map { case (i, c) => (i.toLong, c.map(_.toFloat)) }
+  }
+
+  /** [[annIvf]] on arbitrary corpus/query frames with an explicit
+    * pivot set — the seam the trained-vs-hash recall spec drives.
+    */
+  private[ops] def annIvfOn(corp: DataFrame, queries: DataFrame,
+      piv: Array[(Long, Array[Float])], nProbe: Int): DataFrame = {
+    val assigned = corp
       .withColumn("pid",
         element_at(pivotRanking(col("embedding"), piv), 1).getField("pid"))
-    val probes = querySet(s, dir)
+    val probes = queries
       .withColumn("p", explode(slice(pivotRanking(col("q_emb"), piv), 1, nProbe)))
       .select(col("q_id"), col("q_emb"), col("p.pid").as("pid"))
     val scored = assigned.join(broadcast(probes), Seq("pid"))
@@ -456,6 +494,24 @@ object Similarity {
     // consumed 2·iters+1 times (assignments + updates) — cache, or
     // every pass re-scans the parquet
     val vecs = vecsIn.cache()
+    val centroids = lloydCentroids(vecs, k, iters, orderedFold, init)
+    val out = vecs
+      .withColumn("p", bestOf(col("embedding"), centroids.toIndexedSeq))
+      .select(col("vec_id"), col("p.pid").as("pid"),
+        round(col("p.cos"), 6).as("cos"))
+    if (sorted) out.orderBy("vec_id") else out
+  }
+
+  /** The trained centers themselves (init + `iters` Lloyd steps) —
+    * what [[embedKmeansOn]] assigns against, exposed so downstream
+    * structures can consume CENTERS rather than assignments (the IVF
+    * trained-pivot path, [[annIvf]] `pivots = "kmeans"`). `vecsIn`
+    * should already be cached by the caller when it has further
+    * consumers (the centroid loop alone scans it 2·iters+1 times).
+    */
+  private[ops] def lloydCentroids(vecs: DataFrame, k: Int,
+      iters: Int, orderedFold: Boolean,
+      init: String): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] = init match {
       case "hash" => hashInit(vecs, k)
       case "parallel" => kmeansParInit(vecs, k)
@@ -495,11 +551,7 @@ object Similarity {
         pid -> updated.getOrElse(pid, old)
       }
     }
-
-    val out = vecs.withColumn("p", best(col("embedding")))
-      .select(col("vec_id"), col("p.pid").as("pid"),
-        round(col("p.cos"), 6).as("cos"))
-    if (sorted) out.orderBy("vec_id") else out
+    centroids
   }
 
   /** The unrolled-Lloyd CTE chain of the `embed_kmeans` oracle (ends
