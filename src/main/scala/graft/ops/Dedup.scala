@@ -615,6 +615,84 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** D5c: INCREMENTAL embedding near-dup — dedup a new batch of
+    * vectors against the already-admitted corpus, the continuous-feed
+    * twin of [[dedupEmbedOn]] and the embedding analog of the D1b
+    * digest rule: a batch vector with a history neighbor at
+    * cosine ≥ threshold is dropped (its near-dup is already in the
+    * corpus); the history-clean remainder collapses within-batch by
+    * the house min-id keep rule. Returns the surviving batch vec_ids.
+    *
+    * `splitId` models the history/batch boundary on the test corpus; a
+    * deployment passes its persistent index ([[newVectorsAgainstHistory]]
+    * — the seam the streaming twin
+    * [[graft.streaming.EmbedStreams.dedupStream]] shares, so batch and
+    * stream cannot drift).
+    */
+  def dedupEmbedIncremental(s: SparkSession, dir: String,
+      splitId: Long = 250L, threshold: Double = 0.9): DataFrame = {
+    val emb = Tables.spread(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+    val hist = emb.filter(col("vec_id") < splitId)
+    val batch = emb.filter(col("vec_id") >= splitId)
+    val histSigs = Similarity.srpTableBuckets(hist, "vec_id", "embedding",
+      embedPlanes, embedTables)
+    newVectorsAgainstHistory(batch, histSigs, hist, threshold)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** The embedding near-dup family's shared SRP dials (also the
+    * streaming twin's, so its persistent index stays probe-compatible
+    * with the batch rule).
+    */
+  private[graft] val embedTables = 8
+  private[graft] val embedPlanes = 12
+
+  /** The batch-vs-history survivor rule for VECTORS, shared by
+    * [[dedupEmbedIncremental]] and the streaming twin: batch
+    * signatures probe the history signature index (flip-mask
+    * multi-probe on the batch side — the history is bucketed once and
+    * never re-signed), candidates are exact-cosine verified against
+    * the history vectors, hits are dropped, and the clean remainder
+    * runs the [[embedPairs]] within-batch collapse (a vector survives
+    * iff no SMALLER clean batch vector is a near-dup). History text
+    * is never rescanned: `histSigs` (vec_id, tbl, bucket) is the
+    * persistent index a deployment materializes once and appends to;
+    * `histVecs` joins in only for candidate verification — at 100 TB
+    * both stay on disk and only candidate rows move.
+    */
+  private[graft] def newVectorsAgainstHistory(batch: DataFrame,
+      histSigs: DataFrame, histVecs: DataFrame, threshold: Double,
+      tables: Int = embedTables, planes: Int = embedPlanes,
+      probeRadius: Int = 1): DataFrame = {
+    // cut: probes AND the within-batch pair scan both read the batch
+    // signature projection
+    val bsigs = Similarity.srpTableBuckets(batch, "vec_id", "embedding",
+      planes, tables).transform(graft.Lineage.cut)
+    val flips: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+    val probes = bsigs.withColumn("bucket", explode(array(
+      flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
+    val candHist = probes.as("x")
+      .join(capBuckets(histSigs, Seq("tbl", "bucket")).as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("b"), col("y.vec_id").as("h"))
+      .distinct()
+    val histDup = candHist
+      .join(batch.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .join(histVecs.select(col("vec_id").as("h"), col("embedding").as("eh")), "h")
+      .filter(graft.functions.cosine(col("eb"), col("eh")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    val clean = batch.join(histDup, Seq("vec_id"), "left_anti")
+      .transform(graft.Lineage.cut) // feeds both embedPairs sides + output
+    // within-batch: pairs are (a < b), so the dominated side is b
+    val dominated = embedPairs(clean, threshold, tables, planes, probeRadius)
+      .select(col("b").as("vec_id")).distinct()
+    clean.join(dominated, Seq("vec_id"), "left_anti")
+  }
+
   /** D5b: semantic dedup (SemDeDup — Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding corpus with the
     * oracle-pinned spherical k-means ([[Similarity.embedKmeansOn]]),
@@ -1031,6 +1109,34 @@ object Dedup {
         |JOIN uniq u ON e.embedding IS NOT DISTINCT FROM u.embedding
         |LEFT JOIN cmins c ON u.gmin = c.g
         |ORDER BY e.vec_id""".stripMargin)),
+    // incremental embed oracle, payload-collapsed like dedup_embed's
+    // (identical payloads share signatures AND cosines, so only group
+    // minima matter): a batch payload with a history payload within
+    // the threshold is dropped entirely; of the clean payloads, the
+    // batch-min id survives unless a SMALLER clean payload is within
+    // the threshold. Non-minimal members of a clean payload are
+    // always dominated by their own group min (cos = 1).
+    Q("dedup_embed_incremental", (s, d) => dedupEmbedIncremental(s, d), Some(
+      """WITH
+        |hu AS (
+        |  SELECT DISTINCT embedding FROM embeddings WHERE vec_id < 250),
+        |bu AS (
+        |  SELECT embedding, min(vec_id) AS bmin
+        |  FROM embeddings WHERE vec_id >= 250 GROUP BY embedding),
+        |hd AS (
+        |  SELECT DISTINCT b.bmin FROM bu b JOIN hu h
+        |    ON list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                              CAST(h.embedding AS DOUBLE[])) >= 0.9),
+        |clean AS (
+        |  SELECT * FROM bu WHERE bmin NOT IN (SELECT bmin FROM hd)),
+        |dom AS (
+        |  SELECT DISTINCT y.bmin FROM clean x JOIN clean y
+        |    ON x.bmin < y.bmin
+        |   AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                              CAST(y.embedding AS DOUBLE[])) >= 0.9)
+        |SELECT bmin AS vec_id FROM clean
+        |WHERE bmin NOT IN (SELECT bmin FROM dom)
+        |ORDER BY vec_id""".stripMargin)),
     // SemDeDup composed oracle: the bit-exact unrolled-Lloyd
     // assignment (KmeansCtes, ends at f(vec_id, pid, cos)) + the
     // payload-collapsed pair scan of dedup_embed's oracle with one
