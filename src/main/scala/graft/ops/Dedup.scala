@@ -597,21 +597,46 @@ object Dedup {
 
   /** [[dedupEmbed]] on an arbitrary (vec_id, embedding) frame — the
     * seam the planted-near-dup recall spec drives.
+    *
+    * EXACT-COLLAPSE front-end (round 8 — the sf10 sweep found this
+    * family member missing it): the pair scan runs on UNIQUE payloads
+    * only. On a dup-heavy corpus (the web-crawl shape: sf10 carries
+    * 100 identical copies of every payload) the uncollapsed scan
+    * emits every intra-payload copy pair through every table and
+    * probe — ~10⁹ candidate rows before `distinct()` at sf10, an
+    * OOM-spill shuffle — while the collapsed scan's candidate count
+    * depends only on UNIQUE content. The keep rule is unchanged
+    * because identical copies are mutual near-dups (cos = 1): v's
+    * smallest neighbor is least(own-group min, min over near-payload
+    * group minima), so computing group-min near-dup links on
+    * representatives and broadcasting them back through the
+    * membership join reproduces the uncollapsed answer row-for-row
+    * (the DuckDB oracle has ALWAYS been this collapsed formulation —
+    * uniq/cmins/least(gmin, cmin)).
     */
   def dedupEmbedOn(emb: DataFrame, threshold: Double = 0.9, tables: Int = 8,
       planes: Int = 12, probeRadius: Int = 1): DataFrame = {
+    // group by the PAYLOAD itself (exact, no digest-collision risk;
+    // same shuffle shape as exact dedup's digest groupBy) — cut: the
+    // groups feed the rep corpus AND the membership join
+    val groups = emb.groupBy("embedding").agg(min(col("vec_id")).as("gmin"))
+      .transform(graft.Lineage.cut)
+    val reps = groups.select(col("gmin").as("vec_id"), col("embedding"))
     // checkpointed: the symmetric union below consumes pairs TWICE —
     // without materialization the candidate join + exact-cosine verify
     // subtree runs once per side (the prefix-postings lesson above)
-    val pairs = embedPairs(emb, threshold, tables, planes, probeRadius)
+    val pairs = embedPairs(reps, threshold, tables, planes, probeRadius)
       .transform(graft.Lineage.cut)
-    val neighborMin = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
-      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
-      .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))
-    emb.select(col("vec_id"))
-      .join(neighborMin, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        least(coalesce(col("min_nbr"), col("vec_id")), col("vec_id")).as("keep_id"))
+    val neighborMin = pairs.select(col("a").as("gmin"), col("b").as("nbr"))
+      .unionByName(pairs.select(col("b").as("gmin"), col("a").as("nbr")))
+      .groupBy("gmin").agg(min(col("nbr")).as("cmin"))
+    val repKeep = groups.select(col("gmin"))
+      .join(neighborMin, Seq("gmin"), "left")
+      .select(col("gmin"),
+        least(coalesce(col("cmin"), col("gmin")), col("gmin")).as("keep_id"))
+    emb.join(groups, Seq("embedding"))
+      .join(repKeep, Seq("gmin"))
+      .select(col("vec_id"), col("keep_id"))
       .orderBy("vec_id")
   }
 
@@ -666,9 +691,18 @@ object Dedup {
       histSigs: DataFrame, histVecs: DataFrame, threshold: Double,
       tables: Int = embedTables, planes: Int = embedPlanes,
       probeRadius: Int = 1): DataFrame = {
+    // exact-collapse front-end (the dedupEmbedOn round-8 fix): all
+    // probing/verification runs on the batch's unique payloads —
+    // identical copies of a history-hit payload are all history-dups
+    // (cos = 1 through the rep), and non-minimal copies of a clean
+    // payload are always dominated by their group min, so the
+    // survivor set is exactly the surviving reps either way
+    val bu = batch.groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.Lineage.cut)
     // cut: probes AND the within-batch pair scan both read the batch
     // signature projection
-    val bsigs = Similarity.srpTableBuckets(batch, "vec_id", "embedding",
+    val bsigs = Similarity.srpTableBuckets(bu, "vec_id", "embedding",
       planes, tables).transform(graft.Lineage.cut)
     val flips: Seq[Long] = (0 to probeRadius).flatMap(r =>
       (0 until planes).combinations(r)
@@ -681,11 +715,11 @@ object Dedup {
       .select(col("x.vec_id").as("b"), col("y.vec_id").as("h"))
       .distinct()
     val histDup = candHist
-      .join(batch.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .join(bu.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .join(histVecs.select(col("vec_id").as("h"), col("embedding").as("eh")), "h")
       .filter(graft.functions.cosine(col("eb"), col("eh")) >= threshold)
       .select(col("b").as("vec_id")).distinct()
-    val clean = batch.join(histDup, Seq("vec_id"), "left_anti")
+    val clean = bu.join(histDup, Seq("vec_id"), "left_anti")
       .transform(graft.Lineage.cut) // feeds both embedPairs sides + output
     // within-batch: pairs are (a < b), so the dominated side is b
     val dominated = embedPairs(clean, threshold, tables, planes, probeRadius)
@@ -741,22 +775,36 @@ object Dedup {
       iters: Int = 1, tables: Int = 8, planes: Int = 12,
       probeRadius: Int = 1, init: String = "hash",
       sorted: Boolean = true): DataFrame = {
-    // cut: consumed three times (both probe sides via the signature
-    // join + the final output join)
+    // cut: consumed three times (the rep-scope join + the final
+    // output join); trained on the FULL corpus — copy multiplicity
+    // weights the centroid means, so training must not collapse
     val assign = Similarity.embedKmeansOn(emb, k, iters, init = init,
         sorted = false)
       .select(col("vec_id"), col("pid"))
       .transform(graft.Lineage.cut)
-    val pairs = embedPairs(emb, threshold, tables, planes, probeRadius,
-      scope = Some(assign)).transform(graft.Lineage.cut)
-    val neighborMin = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
-      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
-      .groupBy("vec_id").agg(min(col("nbr")).as("min_nbr"))
-    val out = emb.select(col("vec_id"))
+    // exact-collapse front-end (the dedupEmbedOn round-8 fix): the
+    // scoped pair scan runs on unique payloads; identical copies
+    // share the assignment (pure payload function), so scoping
+    // commutes with the collapse and the keep rule maps back through
+    // the same least(gmin, cmin) composition the oracle uses
+    val groups = emb.groupBy("embedding").agg(min(col("vec_id")).as("gmin"))
+      .transform(graft.Lineage.cut)
+    val reps = groups.select(col("gmin").as("vec_id"), col("embedding"))
+    val repAssign = assign
+      .join(groups.select(col("gmin").as("vec_id")), "vec_id")
+    val pairs = embedPairs(reps, threshold, tables, planes, probeRadius,
+      scope = Some(repAssign)).transform(graft.Lineage.cut)
+    val neighborMin = pairs.select(col("a").as("gmin"), col("b").as("nbr"))
+      .unionByName(pairs.select(col("b").as("gmin"), col("a").as("nbr")))
+      .groupBy("gmin").agg(min(col("nbr")).as("cmin"))
+    val repKeep = groups.select(col("gmin"))
+      .join(neighborMin, Seq("gmin"), "left")
+      .select(col("gmin"),
+        least(coalesce(col("cmin"), col("gmin")), col("gmin")).as("keep_id"))
+    val out = emb.join(groups, Seq("embedding"))
       .join(assign, Seq("vec_id"))
-      .join(neighborMin, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("pid"),
-        least(coalesce(col("min_nbr"), col("vec_id")), col("vec_id")).as("keep_id"))
+      .join(repKeep, Seq("gmin"))
+      .select(col("vec_id"), col("pid"), col("keep_id"))
     if (sorted) out.orderBy("vec_id") else out
   }
 
