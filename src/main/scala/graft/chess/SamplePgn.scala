@@ -69,6 +69,81 @@ object SamplePgn {
        |""".stripMargin
   }
 
+  /** A game for the SKEWED corpus ([[ensureWrittenSkewed]]): player
+    * selection is lichess-realistic heavy-tailed — each side is a bot
+    * account with probability `hotShare` (a handful of bots play a
+    * large share of ALL games on lichess; the documented skew case the
+    * two-phase running-stats formulation exists for), otherwise one of
+    * `nTail` tail players. Dates stripe over `months` consecutive
+    * months so the bucketed window has real month boundaries.
+    */
+  private def gameSkewed(rng: scala.util.Random, idx: Int, months: Int,
+      hotShare: Double, nBots: Int, nTail: Int): String = {
+    def pick(excl: String): String = {
+      val p =
+        if (rng.nextDouble() < hotShare) s"BOT_hot${rng.nextInt(nBots)}"
+        else f"tail${rng.nextInt(nTail)}%06d"
+      if (p == excl) f"tail${rng.nextInt(nTail)}%06d" else p
+    }
+    val white = pick("")
+    val black = pick(white)
+    val event = Events(rng.nextInt(Events.size))
+    val (eco, opening) = Openings(rng.nextInt(Openings.size))
+    val result = Results(rng.nextInt(Results.size))
+    val month = 1 + idx % months
+    val day = 1 + (idx / months) % 28
+    val hour = (idx / 8) % 24
+    val minute = idx % 60
+    f"""[Event "$event"]
+       |[Site "https://lichess.org/skew$idx%07d"]
+       |[White "$white"]
+       |[Black "$black"]
+       |[Result "$result"]
+       |[UTCDate "2024.$month%02d.$day%02d"]
+       |[UTCTime "$hour%02d:$minute%02d:00"]
+       |[WhiteElo "${800 + rng.nextInt(1800)}"]
+       |[BlackElo "${800 + rng.nextInt(1800)}"]
+       |[ECO "$eco"]
+       |[Opening "$opening"]
+       |[TimeControl "300+0"]
+       |[Termination "${Terminations(rng.nextInt(Terminations.size))}"]
+       |
+       |1. d4 d5 2. c4 e6 3. Nc3 Nf6 $result
+       |""".stripMargin
+  }
+
+  /** Writes a HOT-PLAYER corpus: `nFiles` × `gamesPerFile` games where
+    * `hotShare` of all seats are one of `nBots` bot accounts (so each
+    * bot plays ~hotShare/nBots · 2 · games seats — at 1M games and the
+    * defaults, ~10⁵ games per bot, the straggler shape), spread over
+    * `months` months. Idempotent per JVM temp dir like
+    * [[ensureWritten]]; the dir name encodes every dial.
+    */
+  def ensureWrittenSkewed(nFiles: Int = 32, gamesPerFile: Int = 31250,
+      months: Int = 3, hotShare: Double = 0.3, nBots: Int = 3,
+      nTail: Int = 50000): String = {
+    val dir: Path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_pgn_skew_v${ContentVersion}_${nFiles}x${gamesPerFile}" +
+        s"_m${months}_h${(hotShare * 100).toInt}_b${nBots}_t$nTail")
+    val marker = dir.resolve("_done")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      val rng = new scala.util.Random(4242)
+      var idx = 0
+      for (f <- 0 until nFiles) {
+        val sb = new StringBuilder
+        for (_ <- 0 until gamesPerFile) {
+          sb.append(gameSkewed(rng, idx, months, hotShare, nBots, nTail))
+            .append("\n")
+          idx += 1
+        }
+        Files.writeString(dir.resolve(f"skew_$f%03d.pgn"), sb.toString)
+      }
+      Files.writeString(marker, "ok")
+    }
+    dir.toString
+  }
+
   /** Writes `nFiles` PGN files × `gamesPerFile` games; idempotent per
     * JVM temp dir. Returns the directory path.
     */

@@ -122,4 +122,36 @@ class SkewSpec extends SparkSpec {
       .select(cols: _*).orderBy("ID").collect().toSeq
     assert(bucketed === plain)
   }
+
+  test("full ingest on a skewed PGN corpus: no straggler; bucketed output identical") {
+    // the INGEST shape end to end (split-planned PGN parse → running
+    // stats → role doubling → partitioned sink), on the hot-player
+    // corpus the SkewProbe main measures at 1M games: ~30% of seats
+    // belong to 3 bot accounts, 3 months of data
+    val src = graft.chess.SamplePgn.ensureWrittenSkewed(
+      nFiles = 4, gamesPerFile = 1000, months = 3, nTail = 500)
+    val raw = spark.read.format("pgn").load(src)
+    def ingest(bucketed: Boolean): org.apache.spark.sql.DataFrame =
+      ChessPipeline.toPlayerGameRole(
+        ChessPipeline.withStats(ChessPipeline.parseGames(raw),
+          bucketed = bucketed))
+    val out = java.nio.file.Files.createTempDirectory("skew_ingest_spec")
+    try {
+      var rows = -1L
+      val times = taskTimes {
+        ChessPipeline.writePartitioned(ingest(bucketed = true), out.toString)
+        rows = spark.read.parquet(out.toString).count()
+      }
+      assert(rows === 8000L) // 4000 games x 2 roles
+      assertNoStraggler(times, "bucketed ingest on hot-player corpus")
+      // and the two formulations agree row-for-row on the DOUBLED table
+      val cols = ingest(bucketed = false).columns.sorted
+        .map(org.apache.spark.sql.functions.col)
+      val plain = ingest(bucketed = false)
+        .select(cols: _*).orderBy("ID", "Role_player").collect().toSeq
+      val bucketed = ingest(bucketed = true)
+        .select(cols: _*).orderBy("ID", "Role_player").collect().toSeq
+      assert(bucketed === plain)
+    } finally graft.LocalFs.deleteRecursively(out)
+  }
 }
