@@ -35,7 +35,23 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+    if (scanPartitions(df) >= want) df else df.repartition(want)
+  }
+
+  /** The scan's partition count, memoized per (session, canonical
+    * plan): the `df.rdd` probe runs physical planning, and `corpus()`
+    * -style helpers rebuild the same logical plan on every query, so
+    * an unmemoized probe re-plans identically per call. Keyed by the
+    * CANONICALIZED plan hash (alias/id-insensitive), bounded by
+    * wholesale clear — the working set is a handful of table scans.
+    */
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Integer]()
+  private def scanPartitions(df: DataFrame): Int = {
+    if (spreadMemo.size > 256) spreadMemo.clear()
+    spreadMemo.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.logical.canonicalized.hashCode()),
+      _ => df.rdd.getNumPartitions).intValue()
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
