@@ -59,6 +59,52 @@ object TextOps {
         graft.functions.bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** D28: document chunking — fixed token windows with overlap, the
+    * stage between raw documents and context assembly that every
+    * training pipeline runs on long documents (and the unit RAG
+    * indexes embed; D16 packs SHORT documents into budgets, this
+    * splits LONG ones into windows). Chunk k of an n-token document
+    * covers token positions [k·stride, min(k·stride + window, n))
+    * with stride = window − overlap; chunk count is
+    * max(1, ⌈(n − overlap)/stride⌉) for n ≥ 1 and 0 for an empty
+    * document — so consecutive chunks share exactly `overlap` tokens
+    * and the trailing chunk is emitted only if it adds new tokens.
+    *
+    * Engine-exactness: pure integer arithmetic (the ceil is the
+    * (x + stride − 1) div stride integer form in BOTH engines — no
+    * float division to diverge), identical tokenization, and
+    * space-joined chunk text. Scale shape: one narrow scan, a
+    * row-local sequence explode (fan-out bounded by n/stride), zero
+    * shuffle before the deterministic output sort — at 100 TB this is
+    * a pure map stage.
+    */
+  def textChunks(s: SparkSession, dir: String, window: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(window > overlap && overlap >= 0,
+      s"invalid dials: window=$window overlap=$overlap")
+    val stride = window - overlap
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"))
+      .withColumn("n", size(col("a")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        // `div` = exact integer division in both engines (the D26
+        // lesson: never let a float quotient near an integer boundary)
+        greatest(lit(1L),
+          expr(s"(n - $overlap + ${stride - 1}) div $stride")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(window.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("a"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** D9: quality scoring from exact integer counts; the composite
     * score uses only rational double arithmetic (no transcendentals)
     * so it is bit-identical across engines. `distinct_ratio` is the
@@ -614,6 +660,27 @@ object TextOps {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // chunking oracle: same integer window arithmetic (window 64,
+    // overlap 16, stride 48; `//` = DuckDB integer division, the
+    // engine-exact twin of Spark's `div`), 1-based inclusive list
+    // slice, space-joined text
+    Q("text_chunks", (s, d) => textChunks(s, d), Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |nn AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS k
+        |  FROM nn)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(k * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - k * 48) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[CAST(k * 48 + 1 AS BIGINT):CAST(least(k * 48 + 64, n) AS BIGINT)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
     Q("text_quality", textQuality, Some(
       """WITH b AS (
         |  SELECT doc_id,
