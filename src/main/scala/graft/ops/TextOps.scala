@@ -105,6 +105,37 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** D29: C4-style LINE-level filtering (Raffel et al. 2020 §2.2 —
+    * the cleaning stage that runs BEFORE document-level quality
+    * gates): a web page's boilerplate lives in its short,
+    * unpunctuated lines (nav menus, cookie banners, button text), so
+    * each line is kept only if it ends in terminal punctuation
+    * (./!/?) and has at least `minWords` whitespace tokens. Output is
+    * one row per document: line counts, the kept-line reassembly, and
+    * the document-level `keep` verdict (≥ `minLines` surviving lines
+    * — C4's three-sentence rule).
+    *
+    * Engine-exactness: pure string/integer operations (split on
+    * '\n', suffix tests, non-empty-token counts, '\n' re-join) — no
+    * floats anywhere. Scale shape: entirely row-local (one narrow
+    * scan, no shuffle before the output sort; a pure map stage at
+    * 100 TB).
+    */
+  def textLineFilter(s: SparkSession, dir: String, minWords: Int = 3,
+      minLines: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
+        size(filter(wsTokens(l), t => t =!= "")) >= minWords)
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws("\n", kept).as("cleaned_text"))
+      .withColumn("keep", col("n_kept") >= minLines)
+      .orderBy("doc_id")
+  }
+
   /** D9: quality scoring from exact integer counts; the composite
     * score uses only rational double arithmetic (no transcendentals)
     * so it is bit-identical across engines. `distinct_ratio` is the
@@ -660,6 +691,21 @@ object TextOps {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // line-filter oracle: same suffix tests + non-empty token count
+    // per line, '\n' re-join, >= 3 thresholds
+    Q("text_line_filter", (s, d) => textLineFilter(s, d), Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+        |      AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3) AS ks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ks) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(ks, chr(10)), '') AS cleaned_text,
+        |  len(ks) >= 3 AS keep
+        |FROM t ORDER BY doc_id""".stripMargin)),
     // chunking oracle: same integer window arithmetic (window 64,
     // overlap 16, stride 48; `//` = DuckDB integer division, the
     // engine-exact twin of Spark's `div`), 1-based inclusive list
