@@ -104,6 +104,16 @@ package object functions {
     bridge.column(WsTokenCount(bridge.expression(text)))
   }
 
+  /** `[dl, tf(terms(0)), tf(terms(1)), …]` of a text via the native
+    * one-pass [[TermTfs]] scan: dl = non-empty whitespace-token count,
+    * tf = occurrences byte-equal to each fixed term. The fused BM25
+    * document scan.
+    */
+  def termTfs(text: Column, terms: Seq[String]): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(TermTfs(bridge.expression(text), terms))
+  }
+
   /** DISTINCT whitespace-token count via the native exact-equality
     * [[DistinctTokenCount]] probe scan — bit-identical to
     * `size(array_distinct(split(text, "\\s+")))`, no token strings or

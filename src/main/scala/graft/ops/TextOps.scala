@@ -635,15 +635,25 @@ object TextOps {
     val qterms = queriesIn
       .flatMap { case (q, text) => text.split("\\s+").distinct.map(q -> _) }
     val termSet = qterms.map(_._2).distinct
-    val d = documents
-      .select(col("doc_id"),
-        filter(wsTokens(col("text")), t => t =!= "").as("a"))
-      .select(col("doc_id"), size(col("a")).cast("long").as("dl"), col("a"))
-    val stats = broadcast(d.agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")))
-    // prune to query-term tokens BEFORE the tf shuffle
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("a")).as("t"))
-      .filter(col("t").isin(termSet: _*))
-      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+    // the fused document scan (round 8): ONE native pass per
+    // evaluation computes dl + every term's tf ([[graft.functions
+    // .TermTfs]]) — no token objects, no explode of the corpus's
+    // token stream, and the exchange below carries only matching
+    // (doc, term) rows exactly as before. (The HOF formulation
+    // tokenized the corpus up to 3x across the stats/tf branches; an
+    // aggregate-fold rewrite measured 2x SLOWER than the explodes —
+    // SURVEY §8 round-8 negative result. The native scan replaces
+    // both.)
+    val d = documents.select(col("doc_id"),
+      graft.functions.termTfs(col("text"), termSet).as("c"))
+    val stats = broadcast(d.agg(count(lit(1)).as("n"),
+      sum(element_at(col("c"), 1)).as("sd")))
+    val tf = d
+      .select(col("doc_id"), element_at(col("c"), 1).as("dl"),
+        posexplode(slice(col("c"), 2, termSet.size)).as(Seq("i", "tf")))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(typedLit(termSet), col("i") + 1).as("t"), col("tf"))
       .cache() // feeds the df aggregate AND the scoring rows
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val w = tf

@@ -87,6 +87,29 @@ class NativeExprFuzzSpec extends SparkSpec {
       s"'${r.getString(0)}' native=${r.getLong(1)} split=${r.getLong(2)}").mkString("|")}")
   }
 
+  test("fuzz: TermTfs == filtered-split dl + per-term counts on 300 random texts") {
+    import spark.implicits._
+    // terms drawn from the fragment alphabet so hits actually occur:
+    // ASCII, multibyte, an astral emoji, and a term that is a PREFIX
+    // of another (byte-equality must not prefix-match)
+    val terms = Seq("abc", "ab", "é", "漢", "😀", "xyz9")
+    val df = (sampleTexts(300) ++ Seq("", "ab abc ab", " 漢 漢漢 😀", "\t\n"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val expected = array(
+      (size(toks).cast("long") +:
+        terms.map(term =>
+          size(filter(toks, t => t === term)).cast("long"))): _*)
+    val bad = df.select(col("text"),
+        graft.functions.termTfs(col("text"), terms).as("native"),
+        expected.as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .collect()
+    assert(bad.isEmpty, s"divergent texts: ${bad.take(3).map(r =>
+      s"'${r.getString(0)}' native=${r.getSeq[Long](1)} hof=${r.getSeq[Long](2)}")
+      .mkString("|")}")
+  }
+
   test("fuzz: WordSetHits == \\b-regex on texts salted with near-stopwords") {
     import spark.implicits._
     // fragments engineered to stress boundary semantics: exact
