@@ -39,18 +39,25 @@ object Tables {
   }
 
   /** The scan's partition count, memoized per (session, canonical
-    * plan): the `df.rdd` probe runs physical planning, and `corpus()`
-    * -style helpers rebuild the same logical plan on every query, so
-    * an unmemoized probe re-plans identically per call. Keyed by the
-    * CANONICALIZED plan hash (alias/id-insensitive), bounded by
-    * wholesale clear — the working set is a handful of table scans.
+    * plan, input-file set): the `df.rdd` probe runs physical planning,
+    * and `corpus()`-style helpers rebuild the same logical plan on
+    * every query, so an unmemoized probe re-plans identically per
+    * call. Keyed by the CANONICALIZED plan ITSELF (structural
+    * equality — a hashCode collision between different plans can't
+    * alias entries) plus a hash of the leaf input files, so a source
+    * directory that gains files mid-session (the incremental /
+    * streaming paths) invalidates naturally. Bounded by wholesale
+    * clear — the working set is a handful of table scans.
     */
-  private val spreadMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), Integer]()
+  private val spreadMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    Integer]()
   private def scanPartitions(df: DataFrame): Int = {
     if (spreadMemo.size > 256) spreadMemo.clear()
+    val fileSet = java.util.Arrays.hashCode(
+      df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
     spreadMemo.computeIfAbsent(
-      (df.sparkSession, df.queryExecution.logical.canonicalized.hashCode()),
+      (df.sparkSession, df.queryExecution.logical.canonicalized, fileSet),
       _ => df.rdd.getNumPartitions).intValue()
   }
 

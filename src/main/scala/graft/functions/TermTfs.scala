@@ -58,8 +58,12 @@ case class TermTfs(child: Expression, terms: Seq[String])
     TermTfs.compute(input.asInstanceOf[UTF8String], table, nTerms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Erased Java type of Array[Array[(Array[Byte], Int)]] — two array
+    // dims over Tuple2; a wrong class name here makes every codegen
+    // attempt fail Janino compilation and silently fall back to
+    // interpreted eval (TermTfsSpec pins this with fallback disabled).
     val tableRef = ctx.addReferenceObj("termTable", table,
-      "scala.Tuple2[][][]")
+      "scala.Tuple2[][]")
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.TermTfs.compute($s, $tableRef, $nTerms);")
   }

@@ -633,8 +633,16 @@ object TextOps {
       queriesIn: Seq[(Long, String)], k: Int): DataFrame = {
     import s.implicits._
     val qterms = queriesIn
-      .flatMap { case (q, text) => text.split("\\s+").distinct.map(q -> _) }
+      .flatMap { case (q, text) =>
+        // Java split keeps a leading "" for separator-initial input;
+        // an empty term can never equal a (maximal, nonempty) token
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(q -> _) }
     val termSet = qterms.map(_._2).distinct
+    // every query tokenized to nothing → no term can match any doc;
+    // TermTfs requires a non-empty term set, so answer directly
+    if (termSet.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rk", "doc_id", "score")
     // the fused document scan (round 8): ONE native pass per
     // evaluation computes dl + every term's tf ([[graft.functions
     // .TermTfs]]) — no token objects, no explode of the corpus's

@@ -72,4 +72,15 @@ class Bm25Spec extends SparkSpec {
     assert(once.toSeq === Seq(3L -> 1.203973))
     assert(twice.toSeq === once.toSeq)
   }
+
+  test("all-empty query set returns an empty result, not an exception") {
+    // every query tokenizes to zero terms → the fixed term set is
+    // empty; TermTfs can't be built over it, so the op must
+    // short-circuit (round-8 advice: the isin formulation returned
+    // empty gracefully, the fused one threw)
+    val out = TextOps.textBm25On(spark, corpus,
+      Seq(0L -> "", 1L -> " \t "), k = 5)
+    assert(out.columns.toSeq === Seq("query_id", "rk", "doc_id", "score"))
+    assert(out.count() === 0L)
+  }
 }

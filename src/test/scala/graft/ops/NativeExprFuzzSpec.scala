@@ -248,4 +248,40 @@ class NativeExprFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("TermTfs codegen COMPILES: strict no-fallback run stays correct") {
+    // Under the default spark.sql.codegen.fallback=true a Janino
+    // compile failure (e.g. a wrong addReferenceObj class name — the
+    // round-8 'scala.Tuple2[][][]' bug) silently degrades to
+    // interpreted eval: results stay right, the fused-scan perf path
+    // never runs, and nothing fails. This test disables the fallback
+    // (and ConvertToLocalRelation, so the projection isn't
+    // constant-folded away before codegen) to make codegen breakage
+    // fail loudly.
+    import spark.implicits._
+    val conf = spark.conf
+    val prevFallback = conf.get("spark.sql.codegen.fallback")
+    val prevExcluded = conf.getOption("spark.sql.optimizer.excludedRules")
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      val terms = Seq("apple", "é漢", "b")
+      val out = Seq("apple b apple", "", "é漢 x é漢", "noterm here")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), graft.functions.termTfs(col("text"), terms).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(out(0L) === Seq(3L, 2L, 0L, 1L))
+      assert(out(1L) === Seq(0L, 0L, 0L, 0L))
+      assert(out(2L) === Seq(3L, 0L, 2L, 0L))
+      assert(out(3L) === Seq(2L, 0L, 0L, 0L))
+    } finally {
+      conf.set("spark.sql.codegen.fallback", prevFallback)
+      prevExcluded match {
+        case Some(v) => conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => conf.unset("spark.sql.optimizer.excludedRules")
+      }
+    }
+  }
 }
