@@ -616,10 +616,20 @@ object Dedup {
     */
   def dedupEmbedOn(emb: DataFrame, threshold: Double = 0.9, tables: Int = 8,
       planes: Int = 12, probeRadius: Int = 1): DataFrame = {
-    // group by the PAYLOAD itself (exact, no digest-collision risk;
-    // same shuffle shape as exact dedup's digest groupBy) — cut: the
-    // groups feed the rep corpus AND the membership join
-    val groups = emb.groupBy("embedding").agg(min(col("vec_id")).as("gmin"))
+    // DIGEST-KEYED collapse (round 9): the groupBy and the map-back
+    // join key on a 128-bit payload digest, not the raw vector — at
+    // 100 TB the old payload-keyed shape shuffled multi-KB arrays as
+    // join keys TWICE; now the groupBy moves each payload once as a
+    // VALUE under a 16-byte key and the map-back join carries only
+    // (vec_id, gid). Same acceptance as D1's digest keying (payload
+    // equality ⇒ digest equality; 128-bit collision ignored), and
+    // null-safe where the payload EqualTo join was not: xxhash64 of a
+    // null embedding is a deterministic value, so null rows group and
+    // map back exactly like the oracle's IS NOT DISTINCT FROM.
+    // cut: the groups feed the rep corpus AND the membership join
+    val groups = emb.withColumn("gid", payloadGid(col("embedding")))
+      .groupBy("gid").agg(min(col("vec_id")).as("gmin"),
+        first(col("embedding")).as("embedding"))
       .transform(graft.Lineage.cut)
     val reps = groups.select(col("gmin").as("vec_id"), col("embedding"))
     // checkpointed: the symmetric union below consumes pairs TWICE —
@@ -630,15 +640,27 @@ object Dedup {
     val neighborMin = pairs.select(col("a").as("gmin"), col("b").as("nbr"))
       .unionByName(pairs.select(col("b").as("gmin"), col("a").as("nbr")))
       .groupBy("gmin").agg(min(col("nbr")).as("cmin"))
-    val repKeep = groups.select(col("gmin"))
+    val repKeep = groups.select(col("gid"), col("gmin"))
       .join(neighborMin, Seq("gmin"), "left")
-      .select(col("gmin"),
+      .select(col("gid"),
         least(coalesce(col("cmin"), col("gmin")), col("gmin")).as("keep_id"))
-    emb.join(groups, Seq("embedding"))
-      .join(repKeep, Seq("gmin"))
+    emb.select(col("vec_id"), payloadGid(col("embedding")).as("gid"))
+      .join(repKeep, Seq("gid"))
       .select(col("vec_id"), col("keep_id"))
       .orderBy("vec_id")
   }
+
+  /** 128-bit content digest of an embedding payload — the collapse /
+    * membership key for the embedding near-dup family (two
+    * independently-seeded xxhash64s over the array; 16-byte shuffle
+    * key instead of a multi-KB vector, the D1-digest argument).
+    * Null-tolerant: a null payload digests to a fixed value, so
+    * null rows survive digest-keyed joins the way they survive a
+    * groupBy (and DuckDB's IS NOT DISTINCT FROM).
+    */
+  private[graft] def payloadGid(c: Column): Column =
+    struct(xxhash64(c).as("h1"),
+      xxhash64(lit(0x517cc1b727220a95L), c).as("h2"))
 
   /** D5c: INCREMENTAL embedding near-dup — dedup a new batch of
     * vectors against the already-admitted corpus, the continuous-feed
@@ -697,7 +719,12 @@ object Dedup {
     // (cos = 1 through the rep), and non-minimal copies of a clean
     // payload are always dominated by their group min, so the
     // survivor set is exactly the surviving reps either way
-    val bu = batch.groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+    // digest-keyed collapse (round 9, like dedupEmbedOn): 16-byte
+    // groupBy key; each payload crosses the collapse shuffle once as
+    // a value. No map-back join here — only reps can survive.
+    val bu = batch.withColumn("gid", payloadGid(col("embedding")))
+      .groupBy("gid").agg(min(col("vec_id")).as("vec_id"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"))
       .transform(graft.Lineage.cut)
     // cut: probes AND the within-batch pair scan both read the batch
@@ -786,8 +813,13 @@ object Dedup {
     // scoped pair scan runs on unique payloads; identical copies
     // share the assignment (pure payload function), so scoping
     // commutes with the collapse and the keep rule maps back through
-    // the same least(gmin, cmin) composition the oracle uses
-    val groups = emb.groupBy("embedding").agg(min(col("vec_id")).as("gmin"))
+    // the same least(gmin, cmin) composition the oracle uses.
+    // Digest-keyed (round 9): groupBy and map-back join on the
+    // 128-bit payload gid, payloads move once as values — see
+    // [[dedupEmbedOn]] / [[payloadGid]].
+    val groups = emb.withColumn("gid", payloadGid(col("embedding")))
+      .groupBy("gid").agg(min(col("vec_id")).as("gmin"),
+        first(col("embedding")).as("embedding"))
       .transform(graft.Lineage.cut)
     val reps = groups.select(col("gmin").as("vec_id"), col("embedding"))
     val repAssign = assign
@@ -797,13 +829,13 @@ object Dedup {
     val neighborMin = pairs.select(col("a").as("gmin"), col("b").as("nbr"))
       .unionByName(pairs.select(col("b").as("gmin"), col("a").as("nbr")))
       .groupBy("gmin").agg(min(col("nbr")).as("cmin"))
-    val repKeep = groups.select(col("gmin"))
+    val repKeep = groups.select(col("gid"), col("gmin"))
       .join(neighborMin, Seq("gmin"), "left")
-      .select(col("gmin"),
+      .select(col("gid"),
         least(coalesce(col("cmin"), col("gmin")), col("gmin")).as("keep_id"))
-    val out = emb.join(groups, Seq("embedding"))
+    val out = emb.select(col("vec_id"), payloadGid(col("embedding")).as("gid"))
       .join(assign, Seq("vec_id"))
-      .join(repKeep, Seq("gmin"))
+      .join(repKeep, Seq("gid"))
       .select(col("vec_id"), col("pid"), col("keep_id"))
     if (sorted) out.orderBy("vec_id") else out
   }

@@ -40,4 +40,11 @@ object GraftSqlShim {
     rdd.count() // eager, like localCheckpoint(eager = true)
     spark.internalCreateDataFrame(rdd, df.schema)
   }
+
+  /** Drain the listener bus — stage-metric listeners (RunQ's shuffle
+    * totals) receive events asynchronously, so a reader must flush
+    * before totalling. `listenerBus` is `private[spark]`.
+    */
+  def flushListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

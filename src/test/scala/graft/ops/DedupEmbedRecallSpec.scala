@@ -69,4 +69,25 @@ class DedupEmbedRecallSpec extends SparkSpec {
     assert(agree >= keep.size - (exact.size - found.size) * 2,
       s"keep_id disagreements beyond the missed pairs: $agree/${keep.size}")
   }
+
+  test("null-embedding rows survive the digest-keyed map-back (r8 advice)") {
+    // the payload-keyed EqualTo join silently DROPPED null-embedding
+    // rows; the digest join keeps them (xxhash64 of null is a fixed
+    // value), matching groupBy / IS NOT DISTINCT FROM semantics
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val emb = (Seq(
+        (0L, Array.fill(8)(rng.nextGaussian().toFloat)),
+        (1L, null.asInstanceOf[Array[Float]]),
+        (2L, null.asInstanceOf[Array[Float]])) ++
+        Seq((3L, Array.fill(8)(rng.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val keep = Dedup.dedupEmbedOn(emb, Threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every input row present; the two null rows collapse to the
+    // smaller null id (exact group), reals keep themselves (random
+    // dim-8 pair won't hit cos 0.9 at seed 11)
+    assert(keep.keySet === Set(0L, 1L, 2L, 3L))
+    assert(keep(1L) === 1L && keep(2L) === 1L)
+  }
 }
