@@ -662,6 +662,17 @@ object Dedup {
     struct(xxhash64(c).as("h1"),
       xxhash64(lit(0x517cc1b727220a95L), c).as("h2"))
 
+  /** Hamming-ball flip masks for SRP multi-probe: every XOR mask with
+    * ≤ `probeRadius` of the low `planes` bits set. The ONE definition
+    * of the probe ball — the pair scan, the incremental history probe
+    * and the streaming index's partition-prune group math
+    * ([[graft.streaming.EmbedStreams]]) must all agree on it.
+    */
+  private[graft] def flipMasks(planes: Int, probeRadius: Int): Seq[Long] =
+    (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+
   /** D5c: INCREMENTAL embedding near-dup — dedup a new batch of
     * vectors against the already-admitted corpus, the continuous-feed
     * twin of [[dedupEmbedOn]] and the embedding analog of the D1b
@@ -731,9 +742,7 @@ object Dedup {
     // signature projection
     val bsigs = Similarity.srpTableBuckets(bu, "vec_id", "embedding",
       planes, tables).transform(graft.Lineage.cut)
-    val flips: Seq[Long] = (0 to probeRadius).flatMap(r =>
-      (0 until planes).combinations(r)
-        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+    val flips = flipMasks(planes, probeRadius)
     val probes = bsigs.withColumn("bucket", explode(array(
       flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
     val candHist = probes.as("x")
@@ -867,9 +876,7 @@ object Dedup {
     // Hamming-ball flip masks; one probe direction suffices (the ball
     // relation is symmetric, and the a < b constraint below picks the
     // smaller id as the prober)
-    val flips: Seq[Long] = (0 to probeRadius).flatMap(r =>
-      (0 until planes).combinations(r)
-        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+    val flips = flipMasks(planes, probeRadius)
     val probes = sigs.withColumn("bucket", explode(array(
       flips.map(f => col("bucket").bitwiseXOR(lit(f))): _*)))
     val baseCond = col("x.tbl") === col("y.tbl") &&

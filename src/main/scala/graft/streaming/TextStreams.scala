@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -17,7 +17,10 @@ object TextStreams {
     * index lives as a parquet table that each micro-batch anti-joins
     * and appends to — state store holds NOTHING (the history is the
     * table), and at 100 TB the D1c Bloom prefilter broadcast slots in
-    * front of the same anti-join unchanged.
+    * front of the same anti-join unchanged. The table is laid out by
+    * (ingest_batch, kgrp — digest-prefix group), so the per-batch
+    * history read partition-prunes to the batch's own prefix groups
+    * instead of scanning the ever-growing index (see [[kgrp]]).
     *
     * Exactly-once without a transaction log: both writes partition by
     * `ingest_batch` under DYNAMIC overwrite, so a replayed batch
@@ -66,15 +69,37 @@ object TextStreams {
       .start()
   }
 
+  /** Digest-prefix groups for the index layout: `kgrp` = the first
+    * hex character of the md5 (16 groups, uniform by construction).
+    * The anti-join matches EQUAL digests only, so restricting the
+    * history read to the batch's own prefix groups is
+    * answer-identical, and the prune set is a bounded driver collect
+    * (distinct groups, ≤ 16 rows) — a trickle batch reads a sliver
+    * of the ever-growing index; a huge batch degrades to the full
+    * scan it genuinely needs (where the Bloom prefilter takes over).
+    */
+  private def kgrp(key: Column): Column = substring(key, 1, 1)
+
+  /** The partition-pruned history-digest read — one seam so the
+    * growth spec can assert actual file pruning on the exact plan the
+    * stream runs.
+    */
+  private[streaming] def historyRead(spark: SparkSession, indexDir: String,
+      batchId: Long, keyed: DataFrame): DataFrame = {
+    val groups = keyed.select(kgrp(col("tkey")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    spark.read.parquet(indexDir)
+      .filter(col("ingest_batch") =!= batchId) // replay: own rows aren't history
+      .filter(col("kgrp").isin(groups: _*)) // partition-pruned probe
+      .select("tkey")
+  }
+
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, outDir: String, indexDir: String,
       bloomBits: Option[Int] = None, bloomHashes: Int = 4): Unit = {
     val keyed = batch.withColumn("tkey", md5(col("text").cast("binary")))
     val hist =
-      if (nonEmptyDir(spark, indexDir))
-        spark.read.parquet(indexDir)
-          .filter(col("ingest_batch") =!= batchId) // replay: own rows aren't history
-          .select("tkey")
+      if (nonEmptyDir(spark, indexDir)) historyRead(spark, indexDir, batchId, keyed)
       else keyed.select("tkey").limit(0)
     // materialize BEFORE writing: the index write below overwrites a
     // path this plan reads (self-overwrite), and a lazy plan would
@@ -84,8 +109,9 @@ object TextStreams {
       .transform(graft.Lineage.cut)
     try {
       kept.select("tkey", "ingest_batch")
+        .withColumn("kgrp", kgrp(col("tkey")))
         .write.mode("overwrite")
-        .partitionBy("ingest_batch")
+        .partitionBy("ingest_batch", "kgrp")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(indexDir)
       kept.write.mode("overwrite")
