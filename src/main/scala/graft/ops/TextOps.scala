@@ -136,6 +136,117 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D29b: FULL C4 §2.2 cleaning (Raffel et al. 2020) — the round-8
+    * verdict's completion of [[textLineFilter]]'s line rule with the
+    * page-level filters and the corpus-wide span dedup:
+    *
+    *  1. LINE rule (as D29): keep lines ending in ./!/? with ≥
+    *     `minWords` tokens.
+    *  2. PAGE rules: drop pages containing "lorem ipsum" (any case)
+    *     or a curly brace, or with fewer than `minLines` surviving
+    *     lines.
+    *  3. SPAN dedup: every three consecutive surviving sentences
+    *     forms a span (sentence = kept line — the unit the line rule
+    *     already guarantees is terminal-punctuated); of all
+    *     occurrences of the same span text across the corpus, only
+    *     the first (smallest (doc_id, position)) is kept — sentences
+    *     covered by any non-first occurrence are removed from their
+    *     page ("we discarded all but one of any three-sentence span
+    *     occurring more than once", C4 §2.2).
+    *
+    * Output: one row per SURVIVING page — (doc_id, n_lines, n_kept,
+    * n_dropped, final_text).
+    *
+    * Scale shape: stages 1-2 are a pure row-local map; stage 3 is ONE
+    * md5-keyed exchange of span digests (16-byte keys — never the
+    * span text), a min-struct winner aggregate, and a bounded
+    * per-doc drop-set join back onto the page row (positions, not
+    * text). The rebuild is row-local lambda filtering. No window over
+    * the corpus, no global sort before the output ORDER BY.
+    */
+  def textC4Clean(s: SparkSession, dir: String, minWords: Int = 3,
+      minLines: Int = 3): DataFrame =
+    textC4CleanOn(c4Pages(docs(s, dir)), minWords, minLines)
+
+  /** Deterministic page derivation for the C4 oracle (the mm_meta
+    * convention: the raw documents corpus has no newlines, so both
+    * engines BUILD multi-line pages from it the same way and the
+    * oracle exercises every rule non-vacuously): tokens grouped six
+    * per line with a terminal '.', a fixed three-line boilerplate
+    * block prepended on doc_id % 7 (the cross-page duplicate span),
+    * a one-word nav line on % 5 (line-rule kill), a curly-brace line
+    * on % 11 and a "lorem ipsum" line on % 13 (page-rule kills).
+    */
+  private[graft] def c4Pages(documents: DataFrame): DataFrame = {
+    val toks = filter(wsTokens(col("text")), t => t =!= "")
+    def maybe(m: Int, lines: Seq[String]): Column =
+      when(col("doc_id") % m === 0, array(lines.map(lit): _*))
+        .otherwise(array().cast("array<string>"))
+    documents
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("nl", expr("size(tk) div 6"))
+      .withColumn("base", when(col("nl") >= 1L,
+        transform(sequence(lit(1L), col("nl")),
+          j => concat(concat_ws(" ",
+            slice(col("tk"), ((j - 1) * 6 + 1).cast("int"), lit(6))), lit("."))))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), concat_ws("\n", concat(
+        maybe(7, Seq("share this page now.", "follow us on social media.",
+          "all rights reserved by the site.")),
+        col("base"),
+        maybe(5, Seq("menu.")),
+        maybe(11, Seq("curly { brace line appears here.")),
+        maybe(13, Seq("this page contains lorem ipsum text.")))).as("text"))
+  }
+
+  /** [[textC4Clean]] on an arbitrary (doc_id, text) page frame — the
+    * seam the crafted-page spec drives.
+    */
+  private[graft] def textC4CleanOn(pages: DataFrame, minWords: Int = 3,
+      minLines: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val sents = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
+        size(filter(wsTokens(l), t => t =!= "")) >= minWords)
+    // cut: feeds the span explode AND the final rebuild
+    val surv = pages
+      .filter(!contains(lower(col("text")), lit("lorem ipsum")) &&
+        !contains(col("text"), lit("{")))
+      .select(col("doc_id"), size(lines).cast("long").as("n_lines"),
+        sents.as("sents"))
+      .withColumn("n_kept", size(col("sents")).cast("long"))
+      .filter(col("n_kept") >= minLines)
+      .transform(graft.Lineage.cut)
+    // span digests projected row-locally: the exchange below carries
+    // (doc_id, pos, 16-byte md5) — never the sentence text
+    val spanIdx = when(col("n_kept") >= 3L,
+      sequence(lit(1L), col("n_kept") - 2)).otherwise(array().cast("array<long>"))
+    val spans = surv.select(col("doc_id"),
+        explode(transform(spanIdx, i => struct(i.as("pos"),
+          md5(concat_ws("\n",
+            element_at(col("sents"), i.cast("int")),
+            element_at(col("sents"), (i + 1).cast("int")),
+            element_at(col("sents"), (i + 2).cast("int"))).cast("binary"))
+            .as("h")))).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+      .transform(graft.Lineage.cut) // feeds the winner agg AND the dup side
+    val winners = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val dropped = spans.join(winners, "h")
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .select(col("doc_id"),
+        explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("dpos"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("dpos")).as("dl"))
+    surv.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        coalesce(size(col("dl")), lit(0)).cast("long").as("n_dropped"),
+        concat_ws("\n", filter(col("sents"), (x, i) =>
+          !array_contains(coalesce(col("dl"), array().cast("array<long>")),
+            (i + 1).cast("long")))).as("final_text"))
+      .orderBy("doc_id")
+  }
+
   /** D9: quality scoring from exact integer counts; the composite
     * score uses only rational double arithmetic (no transcendentals)
     * so it is bit-identical across engines. `distinct_ratio` is the
@@ -724,6 +835,64 @@ object TextOps {
         |  coalesce(array_to_string(ks, chr(10)), '') AS cleaned_text,
         |  len(ks) >= 3 AS keep
         |FROM t ORDER BY doc_id""".stripMargin)),
+    // full C4 §2.2: the oracle REBUILDS the same derived pages
+    // (token-six lines + planted boilerplate/nav/page-killer lines),
+    // applies the same line/page rules, and does the corpus-wide
+    // three-sentence-span dedup via the md5 span digest + first-
+    // occurrence window — winner/drop structure is non-vacuous (the
+    // % 7 boilerplate block repeats across ~70 surviving pages)
+    Q("text_c4_clean", (s, d) => textC4Clean(s, d), Some(
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |built AS (
+        |  SELECT doc_id,
+        |    [array_to_string(tk[(j-1)*6+1 : j*6], ' ') || '.'
+        |     FOR j IN range(1, CAST(len(tk) // 6 AS BIGINT) + 1)] AS base
+        |  FROM toks),
+        |pg AS (
+        |  SELECT doc_id, array_to_string(
+        |    (CASE WHEN doc_id % 7 = 0 THEN
+        |       ['share this page now.', 'follow us on social media.',
+        |        'all rights reserved by the site.'] ELSE CAST([] AS VARCHAR[]) END)
+        |    || base
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ['menu.'] ELSE CAST([] AS VARCHAR[]) END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ['curly { brace line appears here.'] ELSE CAST([] AS VARCHAR[]) END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN ['this page contains lorem ipsum text.'] ELSE CAST([] AS VARCHAR[]) END),
+        |    chr(10)) AS text
+        |  FROM built),
+        |surv AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      (ends_with(l,'.') OR ends_with(l,'!') OR ends_with(l,'?'))
+        |      AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3) AS sents
+        |  FROM pg
+        |  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')),
+        |surv2 AS (
+        |  SELECT doc_id, n_lines, sents, CAST(len(sents) AS BIGINT) AS n_kept
+        |  FROM surv WHERE len(sents) >= 3),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(sents[CAST(i AS INT)] || chr(10) || sents[CAST(i+1 AS INT)] || chr(10) || sents[CAST(i+2 AS INT)]) AS h
+        |  FROM surv2, unnest(range(1, n_kept - 1)) AS r(i)),
+        |marked AS (
+        |  SELECT doc_id, pos, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM spans),
+        |dups AS (
+        |  SELECT DISTINCT doc_id, dpos
+        |  FROM (SELECT doc_id, unnest([pos, pos+1, pos+2]) AS dpos FROM marked WHERE rn > 1)),
+        |drops AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped, list(dpos) AS dl
+        |  FROM dups GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_lines, s.n_kept,
+        |  coalesce(d.n_dropped, 0) AS n_dropped,
+        |  coalesce(array_to_string(
+        |    [s.sents[CAST(i AS INT)] FOR i IN range(1, s.n_kept + 1)
+        |       IF d.dl IS NULL OR NOT list_contains(d.dl, i)], chr(10)), '') AS final_text
+        |FROM surv2 s LEFT JOIN drops d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     // chunking oracle: same integer window arithmetic (window 64,
     // overlap 16, stride 48; `//` = DuckDB integer division, the
     // engine-exact twin of Spark's `div`), 1-based inclusive list
