@@ -479,19 +479,100 @@ object Dedup {
       .limit(topK)
   }
 
-  /** Min-label propagation connected components: each node starts
-    * labeled with itself; every iteration each node takes the min of
-    * its own and its neighbors' labels, until no label changes. Plain
-    * propagation converges in O(component diameter) rounds — near-dup
-    * graphs are dense clusters with tiny diameters, so this stays in
-    * single digits where path-doubling (large-star/small-star) would
-    * only add constant-factor shuffle volume. Each round is one join
-    * + one partial-aggregated groupBy; labels are Lineage.cut
-    * per round to truncate lineage (driver-side control flow only
-    * reads ONE scalar — the changed-count — per round).
+  /** Connected components — alternating large-star/small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"), the O(log n)-round formulation: each round rewires
+    * every node toward its neighborhood minimum (large-star connects
+    * larger neighbors to the min, small-star the rest), so component
+    * depth HALVES per round instead of shrinking by one hop. Same
+    * keyed-shuffle shape per round as min-label propagation (one
+    * groupBy + one join), but a 1000-link chain converges in ~10
+    * rounds instead of ~1000 — depth insurance for adversarial dup
+    * graphs at 100× (near-dup components are usually shallow, but
+    * boilerplate chains A~B~C~… are exactly how crawl corpora
+    * degenerate). Round-count behavior is spec-pinned against the
+    * label-propagation twin, which stays available below for the
+    * comparison.
     */
   private[ops] def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    ccAlternatingStar(nodes, edges, maxIter)._1
+
+  /** One large-star round: ∀u, connect every LARGER neighbor of u to
+    * min(N(u) ∪ u). Edges come in canonical (u, v) rows, are treated
+    * undirected, and leave deduped.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val m = und.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    und.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge large→small; ∀u, connect
+    * u and all its (smaller) neighbors to its minimum neighbor.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val m = or.groupBy("u").agg(min(col("v")).as("m"))
+    or.join(m, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** The alternating-star loop; returns (labels, rounds). At the
+    * fixpoint the edge set is a forest of stars rooted at each
+    * component's minimum, so labels read straight off the edges.
+    * Per-round frames are Lineage.cut (flat re-analysis per round)
+    * and freed once the convergence check — the round's last reader —
+    * is done (the round-5 bench-drift lesson).
+    */
+  private[ops] def ccAlternatingStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    var e = edges.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .transform(graft.Lineage.cut)
+    var eCount = e.count()
+    var changed = eCount > 0
+    var it = 0
+    while (changed && it < maxIter) {
+      val next = smallStar(largeStar(e)).transform(graft.Lineage.cut)
+      val nextCount = next.count()
+      changed = nextCount != eCount || next.except(e).count() > 0
+      freeCheckpoint(e)
+      e = next
+      eCount = nextCount
+      it += 1
+    }
+    // loud, not wrong: partial convergence would silently split one
+    // true component into several clusters
+    require(!changed,
+      s"connected components did not converge in $maxIter rounds")
+    val labels = nodes.select(col("id"))
+      .join(e.groupBy("u").agg(min(col("v")).as("root"))
+        .select(col("u").as("id"), col("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+    (labels, it)
+  }
+
+  /** Min-label propagation twin (each node takes the min of its own
+    * and its neighbors' labels per round; O(component diameter)
+    * rounds) — kept for the round-count comparison spec and as the
+    * marginally-cheaper plan for known-shallow graphs. Returns
+    * (labels, rounds).
+    */
+  private[ops] def ccLabelPropagation(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .transform(graft.Lineage.cut)
@@ -517,13 +598,9 @@ object Dedup {
       it += 1
     }
     freeCheckpoint(und) // loop done: nothing re-reads the edge list
-    // loud, not wrong: returning partial labels would silently split
-    // one true component into several clusters (a path-graph corpus
-    // with radius > maxIter). Callers with such corpora raise maxIter
-    // (or switch to a path-doubling variant).
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds ($changed labels still changing)")
-    labels
+    (labels, it)
   }
 
   /** Drop a [[graft.Lineage.cut]] frame's persisted blocks once this
