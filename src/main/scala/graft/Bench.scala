@@ -37,7 +37,11 @@ object Bench {
     "dedup_semantic",
     // round 8: BM25 retrieval scoring — the query-term-pruned tf
     // shuffle + broadcast-df + bounded top-k shape
-    "text_bm25")
+    "text_bm25",
+    // round 9: product-quantized ANN (codebook train + code-only ADC
+    // join + bounded exact re-rank) and the full C4 cleaning pipeline
+    // (row-local page rules + the md5-keyed corpus-wide span dedup)
+    "ann_ivfpq", "text_c4_clean")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the

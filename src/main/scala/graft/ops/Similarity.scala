@@ -305,6 +305,191 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  // PQ dials, recall-swept at sf0.1 against brute force (dim-64
+  // near-random vectors — the adversarial case, no cluster structure
+  // for the cells to exploit): (m=8, rerank=200) → 0.825,
+  // (m=16, rerank=50) → 0.875, (m=16, rerank=200) → 1.000. Four-dim
+  // cells at 16 codes quantize a gaussian subspace tightly enough
+  // that the exact top-5 always survives an ADC top-200.
+  private val PqM = 16       // product-quantization subspaces
+  private val PqK = 16       // codes per subspace codebook
+  private val PqRerank = 200 // exact re-rank budget per query
+
+  /** D17b: IVF-PQ — product-quantized ANN (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"), the
+    * memory-bounded form a 100 TB vector corpus actually needs: raw
+    * float storage is the bottleneck plain IVF ignores (a 4096-dim
+    * float vector is 16 KB; its PQ code here is `m` bytes — the
+    * corpus text outweighs its OWN index again). Structure:
+    *
+    *  1. TRAIN: per-subspace codebooks — the embedding splits into
+    *     `m` contiguous sub-vectors and each subspace trains `k`
+    *     centers through the existing [[lloydCentroids]] seam
+    *     (k-means‖ init, the D24 machinery unchanged).
+    *  2. ENCODE: each corpus vector's code is the array of its `m`
+    *     nearest-center ids — a row-local projection (the IVF
+    *     assignment pattern); at scale codes+list-ids are written
+    *     once as the compact index table and raw vectors stay cold.
+    *  3. SEARCH: queries probe `nProbe` IVF lists (trained pivots);
+    *     candidates are scored WITHOUT touching raw vectors via ADC —
+    *     per query a driver-built (m × k) lookup table of
+    *     subspace-dot(q_sub, center)/|q| and center norms rides the
+    *     broadcast probe join, and the approximate cosine is m table
+    *     lookups + a sqrt per candidate.
+    *  4. RE-RANK: the per-query top-`rerank` approximate candidates
+    *     (bounded [[graft.functions.TopKAgg]]) join raw embeddings
+    *     back by id for exact cosine; final top-k is exact over that
+    *     set.
+    *
+    * Scale shape: the only full-corpus work after encoding is the
+    * broadcast-probe join over CODES (m bytes/row moving, never
+    * floats); raw embeddings move for ≤ rerank·|queries| rows. Like
+    * D7, rows-only by nature — recall@5 vs [[annBruteforce]] is
+    * spec-pinned (PQ fidelity isolated at full probe coverage, and
+    * end-to-end at the IVF default).
+    */
+  def annIvfPq(s: SparkSession, dir: String, nLists: Int = NLists,
+      nProbe: Int = NProbe, m: Int = PqM, k: Int = PqK,
+      rerank: Int = PqRerank): DataFrame = {
+    val corp = corpus(s, dir).cache() // codebooks + encode + re-rank
+    val piv = ivfPivots(s, dir, nLists)
+    val books = pqCodebooks(corp, m, k)
+    annIvfPqOn(corp, querySet(s, dir), piv, books, nProbe, rerank)
+  }
+
+  /** Per-subspace PQ codebooks — the [[lloydCentroids]] update FUSED
+    * across all `m` subspaces: assignment is the row-local
+    * [[pqCodes]] argmin, and ONE (mi, code, dim)-keyed partial
+    * aggregate per iteration updates every book's means
+    * simultaneously (m separate Lloyd loops would launch m× the
+    * jobs for identical arithmetic — measured 70.9 s → 9.6 s on the
+    * sf0.01 smoke run). L2 objective throughout: the mean IS the L2
+    * Lloyd update, and L2 cell assignment is what makes ADC dot
+    * approximation tight (cosine cells would quantize direction
+    * only). Init: the k smallest-`pq:`-hash vectors sliced per
+    * subspace (the [[ivfPivots]] determinism convention); an emptied
+    * cell keeps its center. m·k·ds doubles cross the driver per
+    * iteration.
+    */
+  private[ops] def pqCodebooks(corp: DataFrame, m: Int, k: Int,
+      iters: Int = 2): Array[IndexedSeq[(Int, Array[Double])]] = {
+    val d = corp.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"embedding dim $d not divisible by $m subspaces")
+    val ds = d / m
+    val initRows = corp
+      .withColumn("hk", md5(concat(lit("pq:"), col("vec_id").cast("string"))))
+      .orderBy("hk", "vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var books: Array[IndexedSeq[(Int, Array[Double])]] =
+      Array.tabulate(m)(mi => initRows.zipWithIndex.map { case (v, i) =>
+        i -> v.slice(mi * ds, (mi + 1) * ds) }.toIndexedSeq)
+    for (_ <- 1 to iters) {
+      val coded = corp.select(col("embedding"),
+        posexplode(pqCodes(col("embedding"), books, ds)).as(Seq("mi", "code")))
+      val updated = coded
+        .select(col("mi"), col("code"),
+          posexplode(slice(col("embedding"), col("mi") * ds + 1, lit(ds)))
+            .as(Seq("pos", "v")))
+        .groupBy("mi", "code", "pos")
+        .agg(avg(col("v").cast("double")).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray }
+      books = Array.tabulate(m)(mi => books(mi).map { case (code, old) =>
+        code -> updated.getOrElse((mi, code), old) })
+    }
+    books
+  }
+
+  /** Row-local PQ encoding: per subspace, the L2-nearest center id —
+    * argmin ‖x−c‖² = argmax (dot(x,c) − ‖c‖²/2), m·k fused folds per
+    * row, no shuffle. Ties to the larger code (the [[bestOf]]
+    * convention).
+    */
+  private def pqCodes(emb: Column,
+      books: Array[IndexedSeq[(Int, Array[Double])]], ds: Int): Column =
+    array(books.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(emb, mi * ds + 1, ds)
+      element_at(reverse(array_sort(array(cb.map { case (code, c) =>
+        val dot = aggregate(
+          zip_with(sub, typedLit(c), (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v)
+        struct((dot - lit(c.map(x => x * x).sum / 2.0)).as("s"),
+          lit(code).as("code"))
+      }: _*))), 1).getField("code")
+    }: _*)
+
+  /** [[annIvfPq]] on arbitrary corpus/query frames with explicit
+    * pivots and codebooks — the seam the recall spec drives.
+    */
+  private[ops] def annIvfPqOn(corp: DataFrame, queries: DataFrame,
+      piv: Array[(Long, Array[Float])],
+      books: Array[IndexedSeq[(Int, Array[Double])]],
+      nProbe: Int, rerank: Int): DataFrame = {
+    val spark = corp.sparkSession
+    val m = books.length
+    val ds = books.head.head._2.length
+    // the compact index: list id + m-byte code per vector (the only
+    // full-corpus frame the search touches)
+    val indexed = corp.withColumn("pid",
+        element_at(pivotRanking(col("embedding"), piv), 1).getField("pid"))
+      .withColumn("codes", pqCodes(col("embedding"), books, ds))
+      .select(col("vec_id"), col("pid"), col("codes"))
+      .transform(graft.Lineage.cut)
+    // per-query ADC tables, built on the driver from the collected
+    // query set (queries are a model-sized broadcast everywhere in
+    // the ANN family): adc[mi][c] = dot(q_mi, center)/|q|,
+    // nt[mi][c] = |center|²
+    val qrows = queries.select(col("q_id"), col("q_emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val adcRows = qrows.map { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val adc = books.zipWithIndex.map { case (cb, mi) =>
+        cb.sortBy(_._1).map { case (_, c) =>
+          val dot = (0 until ds).map(j => q(mi * ds + j) * c(j)).sum
+          if (qn == 0) 0.0 else dot / qn
+        }.toArray
+      }
+      val nt = books.map(cb => cb.sortBy(_._1).map { case (_, c) =>
+        c.map(x => x * x).sum }.toArray)
+      (qid, adc, nt)
+    }
+    import spark.implicits._
+    val adcDf = adcRows.toSeq.toDF("q_id", "adc", "nt")
+    val probes = queries
+      .withColumn("p", explode(slice(pivotRanking(col("q_emb"), piv), 1, nProbe)))
+      .select(col("q_id"), col("p.pid").as("pid"))
+      .join(adcDf, "q_id")
+    // ADC scoring: m lookups + sqrt per candidate; codes never leave
+    // their rows, raw floats never enter the join
+    val adot = (0 until m).map(mi =>
+      element_at(element_at(col("adc"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val an2 = (0 until m).map(mi =>
+      element_at(element_at(col("nt"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _)
+    val approx = indexed.join(broadcast(probes), Seq("pid"))
+      .withColumn("acos",
+        when(an2 > 0, adot / sqrt(an2)).otherwise(lit(0.0)))
+      // no dedupe needed: a vector has ONE list and a query's probed
+      // lists are distinct, so each (q, vector) pair joins at most once
+      .select(col("q_id"), col("vec_id"), col("acos"))
+    val topr = udaf(new graft.functions.TopKAgg(rerank))
+    val cand = approx.groupBy("q_id")
+      .agg(topr(-col("acos"), col("vec_id")).as("cand"))
+      .select(col("q_id"), explode(col("cand")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"))
+    // exact re-rank over the bounded candidate set
+    val exact = cand
+      .join(corp, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .select("q_id", "vec_id", "cos")
+    topKPerQuery(exact)
+  }
+
   /** D24: spherical k-means refinement over the embedding corpus —
     * the clustering stage of embedding-space curation (SemDeDup,
     * Abbas et al. 2023, clusters before intra-cluster dedup; DsDm /
@@ -628,6 +813,9 @@ object Similarity {
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
     Q("ann_lsh", (s, d) => annLsh(s, d), None),
+    // rows-only by nature (trained pivots + trained codebooks — the
+    // D7 convention): fidelity pinned by the recall spec instead
+    Q("ann_ivfpq", (s, d) => annIvfPq(s, d), None),
     // exact oracle: pivots, assignment, probes and ranking are all
     // deterministic SQL; cosine ties resolve identically because both
     // engines accumulate the double dot/norms in array order
