@@ -273,6 +273,60 @@ object Multimodal {
       Resized(m.media_id, m.format, sw, sh, dw, dh, baos.toByteArray)
     }
 
+    /** dHash as (hi32, lo32) — see [[Multimodal.dedupImage]] for the
+      * exact cell/compare definition this must mirror (the DuckDB
+      * oracle recomputes it from the generator arithmetic, so any
+      * drift here is a hash mismatch, not a silent approximation).
+      */
+    def dhash(m: MediaIn): (Long, Long) = {
+      val img = readImage(m)
+      val w = img.getWidth
+      val h = img.getHeight
+      val s = Array.ofDim[Long](8, 9)
+      val n = Array.ofDim[Long](8, 9)
+      var cy = 0
+      while (cy < 8) {
+        val ylo = cy * h / 8
+        val yhi = math.min(h, math.max(ylo + 1, (cy + 1) * h / 8))
+        var cx = 0
+        while (cx < 9) {
+          val xlo = cx * w / 9
+          val xhi = math.min(w, math.max(xlo + 1, (cx + 1) * w / 9))
+          var ss = 0L
+          var y = ylo
+          while (y < yhi) {
+            var x = xlo
+            while (x < xhi) {
+              val p = img.getRGB(x, y)
+              ss += ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+              x += 1
+            }
+            y += 1
+          }
+          s(cy)(cx) = ss
+          n(cy)(cx) = (xhi - xlo).toLong * (yhi - ylo)
+          cx += 1
+        }
+        cy += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          // right mean > left mean, by exact cross-multiplication
+          if (s(cy)(cx + 1) * n(cy)(cx) > s(cy)(cx) * n(cy)(cx + 1)) {
+            val i = cy * 8 + cx
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      (hi, lo)
+    }
+
     /** Container-header frame count — no sample decode. */
     def frameCount(m: MediaIn): Int = parseWav(m.media).frameCount(FrameSamples)
 
@@ -370,6 +424,92 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** D12d: perceptual-hash IMAGE near-dup (round 9) — the multimodal
+    * member of the dedup family: dHash (difference hash — the
+    * DCT-free perceptual hash, deterministic and therefore
+    * oracle-able) computed in the existing decode `mapPartitions`,
+    * then the D3 SimHash banding machinery over the 64-bit hash.
+    *
+    * dHash definition (exact-integer, both engines): the decoded
+    * image reduces to a 9×8 grid of AREA-SUM cells — cell (cx, cy)
+    * covers x ∈ [⌊cx·w/9⌋, max(⌊cx·w/9⌋+1, ⌊(cx+1)·w/9⌋)) ∩ [0, w)
+    * (the max-clamp keeps cells of sub-grid images non-empty;
+    * likewise y over h/8) — and bit cy·8+cx is set iff the RIGHT
+    * cell's channel-sum mean exceeds the LEFT's, compared by exact
+    * cross-multiplication (S_r·N_l > S_l·N_r — no float division
+    * anywhere). The hash travels as two 32-bit halves
+    * (dhash_hi, dhash_lo), which sidesteps 64-bit sign-construction
+    * differences between engines.
+    *
+    * Near-dup: 16 bands × 4 bits; by pigeonhole any pair within
+    * Hamming 15 shares an exact band, so banding loses NOTHING at the
+    * default `maxHamming` = 10 (the conventional dHash budget — the
+    * fixture's smooth gradients put many cells at near-ties, and a
+    * half-size re-encode flips ~7 bits) and the banded+verified
+    * answer EQUALS the all-pairs scan the DuckDB oracle runs (the D3
+    * argument). Narrow 4-bit buckets cost candidate volume at
+    * corpus scale — [[Dedup.capBuckets]] bounds the degenerate ones,
+    * and a 100 TB deployment widens to rotated multi-index tables.
+    * Lossless (PNG) sources only: dHash is defined on decoded
+    * pixels, and lossless decode reproduces the generator arithmetic
+    * the oracle recomputes; a real pipeline normalizes lossy formats
+    * through the D12b thumbnail path first.
+    *
+    * Scale shape: decode+hash is the narrow batched `mapPartitions`
+    * every D12 operator shares (pixels never leave their task; 16
+    * bytes of hash per image move); banding explodes ×8, buckets are
+    * [[Dedup.capBuckets]]-bounded; verify is two xors on join rows.
+    */
+  def dedupImage(s: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
+    dedupImageOn(
+      mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
+      maxHamming)
+
+  /** [[dedupImage]] on an arbitrary (media_id, media, format) frame —
+    * the seam the planted resized-copy spec drives.
+    */
+  private[ops] def dedupImageOn(media: DataFrame,
+      maxHamming: Int = 10): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    // cut: feeds the banding explode AND the final output join
+    val hashed = media.filter(col("format") === "png")
+      .select(col("media_id"), col("media"), col("format")).as[MediaIn]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val (hi, lo) = JdkCodec.dhash(m)
+        (m.media_id, hi, lo)
+      }))
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+      .transform(graft.Lineage.cut)
+    val banded = Dedup.capBuckets(
+      hashed.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        explode(expr("transform(sequence(0, 15), b -> struct(b as band, " +
+          "if(b < 8, shiftright(dhash_lo, b * 4) & 15, " +
+          "shiftright(dhash_hi, (b - 8) * 4) & 15) as bhash))")).as("b"))
+        .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+          col("b.band"), col("b.bhash")),
+      Seq("band", "bhash"))
+      .transform(graft.Lineage.cut)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("x.dhash_hi").as("ha"),
+        col("x.dhash_lo").as("la"),
+        col("y.media_id").as("b"), col("y.dhash_hi").as("hb"),
+        col("y.dhash_lo").as("lb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb"))) <= maxHamming)
+    val neighborMin = cand.select(col("a").as("media_id"), col("b").as("nbr"))
+      .unionByName(cand.select(col("b").as("media_id"), col("a").as("nbr")))
+      .groupBy("media_id").agg(min(col("nbr")).as("mn"))
+    hashed.join(neighborMin, Seq("media_id"), "left")
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        least(coalesce(col("mn"), col("media_id")), col("media_id"))
+          .as("keep_id"))
+      .orderBy("media_id")
+  }
+
   /** Format distribution over the sniffed (never decoded) column —
     * the "query metadata without touching pixels" path.
     */
@@ -385,6 +525,66 @@ object Multimodal {
     * recomputes what a correct decode must report without decoding.
     */
   val queries: Seq[Q] = Seq(
+    // dHash near-dup: the oracle re-derives every hash bit from the
+    // generator's pixel arithmetic (lossless decode reproduces it
+    // exactly), then runs the EXACT all-pairs Hamming scan — equal to
+    // the banded engine answer by the pigeonhole argument
+    Q("dedup_image", (s, d) => dedupImage(s, d), Some(
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id * 7) % 300 AS w,
+        |         8 + (doc_id * 13) % 200 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM imgs),
+        |px AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |gr AS (
+        |  SELECT media_id, x, y,
+        |         ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g
+        |  FROM (SELECT media_id, x, y,
+        |          ((media_id * 2654435761 + x * 31 + y * 17) >> 8) & 16777215 AS p
+        |        FROM px)),
+        |cxb AS (
+        |  SELECT media_id, cx, (cx * w) // 9 AS xlo,
+        |         least(w, greatest((cx * w) // 9 + 1, ((cx + 1) * w) // 9)) AS xhi
+        |  FROM (SELECT media_id, w, unnest(range(0, 9)) AS cx FROM imgs)),
+        |cyb AS (
+        |  SELECT media_id, cy, (cy * h) // 8 AS ylo,
+        |         least(h, greatest((cy * h) // 8 + 1, ((cy + 1) * h) // 8)) AS yhi
+        |  FROM (SELECT media_id, h, unnest(range(0, 8)) AS cy FROM imgs)),
+        |colsum AS (
+        |  SELECT g.media_id, c.cx, g.y, sum(g.g) AS s, count(*) AS n
+        |  FROM gr g JOIN cxb c
+        |    ON g.media_id = c.media_id AND g.x >= c.xlo AND g.x < c.xhi
+        |  GROUP BY 1, 2, 3),
+        |cell AS (
+        |  SELECT cs.media_id, cs.cx, c.cy, sum(cs.s) AS s, sum(cs.n) AS n
+        |  FROM colsum cs JOIN cyb c
+        |    ON cs.media_id = c.media_id AND cs.y >= c.ylo AND cs.y < c.yhi
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT l.media_id, l.cy * 8 + l.cx AS i,
+        |         CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+        |  FROM cell l JOIN cell r
+        |    ON l.media_id = r.media_id AND l.cy = r.cy AND r.cx = l.cx + 1),
+        |hash AS (
+        |  SELECT media_id,
+        |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS dhash_hi,
+        |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS dhash_lo
+        |  FROM bits GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.media_id AS a, b.media_id AS b
+        |  FROM hash a JOIN hash b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+        |        bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10),
+        |nbr AS (
+        |  SELECT media_id, min(nb) AS mn
+        |  FROM (SELECT a AS media_id, b AS nb FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs)
+        |  GROUP BY 1)
+        |SELECT h.media_id, h.dhash_hi, h.dhash_lo,
+        |       least(coalesce(n.mn, h.media_id), h.media_id) AS keep_id
+        |FROM hash h LEFT JOIN nbr n USING (media_id)
+        |ORDER BY media_id""".stripMargin)),
     Q("mm_meta", mmMeta, Some(
       """SELECT doc_id AS media_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
