@@ -23,12 +23,26 @@ import org.apache.spark.sql.functions.col
   */
 object Report {
   val Datasets: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // the three chart cells (img/gamecount.png, highcount.png,
+    // openings.png) ...
     "chess_daily_counts" ->
       ((g: DataFrame) => graft.ops.ChessQueries.chessDailyCountsOn(g)),
     "chess_daily_high_elo" ->
       ((g: DataFrame) => graft.ops.ChessQueries.chessDailyHighEloOn(g)),
     "chess_top_openings" ->
-      ((g: DataFrame) => graft.ops.ChessQueries.chessTopOpeningsOn(g)))
+      ((g: DataFrame) => graft.ops.ChessQueries.chessTopOpeningsOn(g)),
+    // ... plus the five tabular cells (round 9 — full eda.ipynb
+    // export parity: every cell's output is now a CSV dataset)
+    "chess_count" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessCountOn(g)),
+    "chess_approx_players" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessApproxPlayersOn(g)),
+    "chess_winner_prop" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessWinnerPropOn(g)),
+    "chess_termination" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessTerminationOn(g)),
+    "chess_top_players" ->
+      ((g: DataFrame) => graft.ops.ChessQueries.chessTopPlayersOn(g)))
 
   /** One row per game from a player-game-role ingest parquet: each game
     * appears exactly twice (once per role), so the White-role slice is

@@ -124,8 +124,13 @@ object ChessQueries {
     * divergence: a `player` tiebreak for a deterministic result (the
     * reference's sort is on n_games alone).
     */
-  def chessTopPlayers(s: SparkSession, dir: String): DataFrame = {
-    val g = games(s)
+  def chessTopPlayers(s: SparkSession, dir: String): DataFrame =
+    chessTopPlayersOn(games(s))
+
+  /** [[chessTopPlayers]] on an arbitrary one-row-per-game frame — the
+    * seam [[graft.Report]] drives against real ingest output.
+    */
+  def chessTopPlayersOn(g: DataFrame): DataFrame = {
     val w = g.groupBy(col("White").as("player"))
       .agg(count(lit(1)).as("count_white"))
     val b = g.groupBy(col("Black").as("player"))
@@ -141,22 +146,31 @@ object ChessQueries {
 
   /** eda.ipynb "Total number of games". */
   def chessCount(s: SparkSession, dir: String): DataFrame =
-    games(s).agg(count(lit(1)).as("num_games"))
+    chessCountOn(games(s))
+
+  def chessCountOn(g: DataFrame): DataFrame =
+    g.agg(count(lit(1)).as("num_games"))
 
   /** eda.ipynb "number of players (approx)" — HLL++ like polars'
     * approx_n_unique.
     */
   def chessApproxPlayers(s: SparkSession, dir: String): DataFrame =
-    games(s).agg(
+    chessApproxPlayersOn(games(s))
+
+  def chessApproxPlayersOn(g: DataFrame): DataFrame =
+    g.agg(
       approx_count_distinct(col("White")).as("n_white"),
       approx_count_distinct(col("Black")).as("n_black"))
 
   /** eda.ipynb "How often does white win?" — recode + proportion. */
-  def chessWinnerProp(s: SparkSession, dir: String): DataFrame = {
+  def chessWinnerProp(s: SparkSession, dir: String): DataFrame =
+    chessWinnerPropOn(games(s))
+
+  def chessWinnerPropOn(g: DataFrame): DataFrame = {
     val winner = when(col("Result") === "1-0", "white")
       .when(col("Result") === "0-1", "black")
       .when(col("Result") === "1/2-1/2", "draw")
-    val counts = games(s).select(winner.as("winner"))
+    val counts = g.select(winner.as("winner"))
       .filter(col("winner").isNotNull)
       .groupBy("winner").agg(count(lit(1)).as("cnt"))
     Eda.withProportion(counts)
@@ -164,8 +178,11 @@ object ChessQueries {
   }
 
   /** eda.ipynb "how did the game end?". */
-  def chessTermination(s: SparkSession, dir: String): DataFrame = {
-    val counts = games(s).groupBy("Termination").agg(count(lit(1)).as("cnt"))
+  def chessTermination(s: SparkSession, dir: String): DataFrame =
+    chessTerminationOn(games(s))
+
+  def chessTerminationOn(g: DataFrame): DataFrame = {
+    val counts = g.groupBy("Termination").agg(count(lit(1)).as("cnt"))
     Eda.withProportion(counts)
       .orderBy(desc("cnt"), col("Termination"))
   }
