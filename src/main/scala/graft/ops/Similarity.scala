@@ -743,6 +743,17 @@ object Similarity {
     * at `f(vec_id, pid, cos)` — the final assignment), shared with the
     * `dedup_semantic` oracle which composes intra-cluster near-dup on
     * top of the same bit-exact assignment.
+    *
+    * Similarity scans (`s1`/`s2`) fold per-VECTOR arrays
+    * (`list_transform(range, i -> e[i]*ce[i])` then a left fold) off a
+    * vectors × k cross join, NOT a vec×dim×pid explode grouped back
+    * into fold lists: the products and the left-to-right fold order
+    * are identical doubles either way, but the explode form
+    * materialized ~n·d·k join rows with three n·d·k-element list
+    * aggregates — the DuckDB-side OOM that kept this oracle out of
+    * the sf10 sweep (200k×64×8 ≈ 10⁸ rows). The mean update keeps the
+    * per-dim vec_id-ordered fold (n·d list elements — bounded) which
+    * matches the engine's orderedFold update bit-for-bit.
     */
   private[ops] val KmeansCtes: String =
       """v AS (
@@ -755,15 +766,17 @@ object Similarity {
         |           ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pid
         |  FROM v),
         |c0 AS (
-        |  SELECT p.pid, d.dim, d.val AS cval
-        |  FROM piv p JOIN vd d USING (vec_id) WHERE p.pid < 8),
+        |  SELECT p.pid, v.e AS ce
+        |  FROM piv p JOIN v USING (vec_id) WHERE p.pid < 8),
         |s1 AS (
-        |  SELECT vd.vec_id, c.pid,
-        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
-        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
-        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
-        |  FROM vd JOIN c0 c ON vd.dim = c.dim
-        |  GROUP BY vd.vec_id, c.pid),
+        |  SELECT v.vec_id, c.pid,
+        |         list_reduce(list_transform(range(1, len(v.e) + 1),
+        |           i -> v.e[i] * c.ce[i]), (x, y) -> x + y) AS dot,
+        |         sqrt(list_reduce(list_transform(range(1, len(v.e) + 1),
+        |           i -> v.e[i] * v.e[i]), (x, y) -> x + y)) AS sna,
+        |         sqrt(list_reduce(list_transform(range(1, len(c.ce) + 1),
+        |           i -> c.ce[i] * c.ce[i]), (x, y) -> x + y)) AS snb
+        |  FROM v CROSS JOIN c0 c),
         |a1 AS (
         |  SELECT vec_id, pid FROM (
         |    SELECT vec_id, pid, row_number() OVER (PARTITION BY vec_id
@@ -771,22 +784,29 @@ object Similarity {
         |                           ELSE dot / (sna * snb) END DESC,
         |                      pid DESC) AS rk
         |    FROM s1) WHERE rk = 1),
+        |c0d AS (
+        |  SELECT pid, i AS dim, ce[i] AS cval
+        |  FROM (SELECT pid, ce, unnest(range(1, len(ce) + 1)) AS i FROM c0)),
         |c1 AS (
         |  SELECT c.pid, c.dim, COALESCE(u.m, c.cval) AS cval
-        |  FROM c0 c LEFT JOIN (
+        |  FROM c0d c LEFT JOIN (
         |    SELECT a.pid, d.dim,
         |           list_reduce(list(d.val ORDER BY d.vec_id), (x, y) -> x + y)
         |             / count(*) AS m
         |    FROM a1 a JOIN vd d USING (vec_id)
         |    GROUP BY a.pid, d.dim) u
         |  ON c.pid = u.pid AND c.dim = u.dim),
+        |c1a AS (
+        |  SELECT pid, list(cval ORDER BY dim) AS ce FROM c1 GROUP BY pid),
         |s2 AS (
-        |  SELECT vd.vec_id, c.pid,
-        |         list_reduce(list(vd.val * c.cval ORDER BY vd.dim), (x, y) -> x + y) AS dot,
-        |         sqrt(list_reduce(list(vd.val * vd.val ORDER BY vd.dim), (x, y) -> x + y)) AS sna,
-        |         sqrt(list_reduce(list(c.cval * c.cval ORDER BY vd.dim), (x, y) -> x + y)) AS snb
-        |  FROM vd JOIN c1 c ON vd.dim = c.dim
-        |  GROUP BY vd.vec_id, c.pid),
+        |  SELECT v.vec_id, c.pid,
+        |         list_reduce(list_transform(range(1, len(v.e) + 1),
+        |           i -> v.e[i] * c.ce[i]), (x, y) -> x + y) AS dot,
+        |         sqrt(list_reduce(list_transform(range(1, len(v.e) + 1),
+        |           i -> v.e[i] * v.e[i]), (x, y) -> x + y)) AS sna,
+        |         sqrt(list_reduce(list_transform(range(1, len(c.ce) + 1),
+        |           i -> c.ce[i] * c.ce[i]), (x, y) -> x + y)) AS snb
+        |  FROM v CROSS JOIN c1a c),
         |f AS (
         |  SELECT vec_id, pid, cos FROM (
         |    SELECT vec_id, pid,
