@@ -346,6 +346,66 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** D30: deterministic sharded-export manifest — the "cut the corpus
+    * into dataloader shards" step at the end of a curation pipeline
+    * (WebDataset/Megatron-style: training jobs read shard files, so
+    * the engine must assign every document to exactly one of N shards
+    * reproducibly and report what each shard holds). Shard identity is
+    * the first hex nibble of a salted md5 (16 shards, uniform, pure
+    * function of doc_id — same determinism contract as D14's split:
+    * identical across cluster sizes, retries and engines). The
+    * manifest is what a loader needs for planning: document count,
+    * whitespace-token count (the batch-budget currency), byte volume,
+    * and the doc_id range per shard.
+    *
+    * Scale shape: one narrow projection + one 16-group partial
+    * aggregation — no full-corpus shuffle at any scale (the rows that
+    * move are 16 × #map-tasks partials). The physical write
+    * ([[writeShards]]) adds one hash exchange on the shard key so
+    * each shard lands as one contiguous file set.
+    */
+  def exportShards(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("shard",
+        (expr("locate(substr(md5(concat('shard:', cast(doc_id as string))), 1, 1)," +
+          " '0123456789abcdef')") - 1).cast("int"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.wsTokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
+  /** The physical export behind the [[exportShards]] manifest: one
+    * hash exchange on the shard key, docs sorted by their shuffle rank
+    * (salted-hash order — a deterministic global shuffle, so the
+    * training loader reads an order decorrelated from ingest order),
+    * written as `shard=N/` parquet. Returns the manifest recomputed
+    * FROM THE WRITTEN FILES, so a caller (and ExportShardsSpec) can
+    * assert write-vs-plan equality.
+    */
+  def writeShards(s: SparkSession, dir: String, out: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("shard",
+        (expr("locate(substr(md5(concat('shard:', cast(doc_id as string))), 1, 1)," +
+          " '0123456789abcdef')") - 1).cast("int"))
+      .withColumn("pos", hexKey(col("doc_id"), "order:"))
+    docs.repartition(16, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    s.read.parquet(out)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.wsTokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
   private def tokensSql =
     raw"""CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)"""
 
@@ -462,6 +522,24 @@ object Sampling {
         |SELECT doc_id, tokens,
         |  CAST(cb // 2048 AS BIGINT) AS ctx_id,
         |  CAST(cb % 2048 AS BIGINT) AS ctx_off
-        |FROM c ORDER BY doc_id""".stripMargin))
+        |FROM c ORDER BY doc_id""".stripMargin)),
+    // shard nibble via strpos/locate over the same hex alphabet (both
+    // 1-based, both exact); SUMs cast back to BIGINT — DuckDB widens
+    // BIGINT sums to HUGEINT, which would stringify identically but
+    // schema-mismatch against Spark's long
+    Q("export_shards", (s, d) => exportShards(s, d), Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |      AS INTEGER) AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS toks,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }

@@ -490,6 +490,52 @@ object Similarity {
     topKPerQuery(exact)
   }
 
+  /** D31: symmetric int8 embedding quantization — the storage form a
+    * 100 TB vector corpus actually ships (a float32 corpus quantized
+    * to int8 cuts ANN index storage and shuffle volume 4×; the D17b
+    * IVF-PQ path compresses further but destroys per-dimension
+    * values, while int8 keeps them — the common serving format for
+    * re-rankable indexes). Per vector: scale = max|x|/127, code_i =
+    * ⌊x_i/scale + ½⌋ — all-int8 by construction (−127..127), zero
+    * vectors keep scale 0 and all-zero codes. Also reports the
+    * round-trip reconstruction error (mean squared, dim-order fold)
+    * so a curation pipeline can gate on quantization loss.
+    *
+    * Cross-engine exactness: max over |x| is order-insensitive and
+    * exact; scale, x/scale, +½ are single correctly-rounded IEEE ops;
+    * ⌊·⌋ then int-cast is exact (never a bare double→int cast: Spark
+    * truncates, DuckDB rounds); the error fold runs in dimension
+    * order on both engines. Scale shape: a narrow row-local
+    * projection — no shuffle, no driver state, codegen-friendly HOFs
+    * over the array column.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    embedQuantizeOn(corpus(s, dir))
+
+  /** [[embedQuantize]] over an explicit (vec_id, embedding) frame —
+    * the testable seam. */
+  private[ops] def embedQuantizeOn(vecs: DataFrame): DataFrame = {
+    vecs
+      .withColumn("scale",
+        aggregate(col("embedding"), lit(0.0),
+          (a, v) => greatest(a, abs(v.cast("double")))) / 127.0)
+      .withColumn("codes",
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0)))
+        .otherwise(transform(col("embedding"),
+          v => floor(v.cast("double") / col("scale") + 0.5).cast("int"))))
+      .withColumn("mse",
+        when(col("scale") === 0.0, lit(0.0))
+        .otherwise(
+          aggregate(
+            zip_with(col("embedding"), col("codes"), (v, c) =>
+              (v.cast("double") - c.cast("double") * col("scale")) *
+              (v.cast("double") - c.cast("double") * col("scale"))),
+            lit(0.0), (a, t) => a + t) / size(col("embedding")).cast("double")))
+      .select(col("vec_id"), col("scale"), col("codes"), col("mse"))
+      .orderBy("vec_id")
+  }
+
   /** D24: spherical k-means refinement over the embedding corpus —
     * the clustering stage of embedding-space curation (SemDeDup,
     * Abbas et al. 2023, clusters before intra-cluster dedup; DsDm /
@@ -877,6 +923,30 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
+    // per-element arithmetic is single correctly-rounded IEEE ops on
+    // both engines (see embedQuantize scaladoc); floor-then-cast, not
+    // a bare double→int cast
+    Q("embed_quantize", (s, d) => embedQuantize(s, d), Some(
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, e,
+        |    list_reduce(list_transform(e, x -> abs(x)),
+        |                (a, b) -> greatest(a, b)) / 127.0 AS scale
+        |  FROM v),
+        |c AS (
+        |  SELECT vec_id, e, scale,
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(e, x -> CAST(0 AS INTEGER))
+        |         ELSE list_transform(e, x ->
+        |           CAST(floor(x / scale + 0.5) AS INTEGER)) END AS codes
+        |  FROM q)
+        |SELECT vec_id, scale, codes,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |       ELSE list_reduce(list_transform(range(1, len(e) + 1), i ->
+        |              (e[i] - codes[i] * scale) * (e[i] - codes[i] * scale)),
+        |              (x, y) -> x + y) / len(e) END AS mse
+        |FROM c ORDER BY vec_id""".stripMargin)),
     // full unrolled re-derivation of one Lloyd step: DuckDB rebuilds
     // the hash-chosen centroids, the dim-ordered similarity folds, the
     // vec_id-ordered mean folds and the (cos desc, pid desc) argmax —
