@@ -112,7 +112,105 @@ object Bpe {
     (merges.result(), words)
   }
 
+  /** D32: BPE ENCODING — applying the trained tokenizer to the corpus
+    * (the tokenize-everything job that follows D22's training and
+    * precedes every token-budget stage: D16 packing, D26 batching and
+    * token accounting all want BPE counts, not whitespace counts).
+    * Trains `nMerges` merges with [[train]], then encodes via the
+    * dedup-family invariant: the VOCABULARY is encoded once (train's
+    * final symbolization IS the encoded vocabulary — unique words,
+    * never the corpus), and the corpus just joins each token
+    * occurrence to its word's symbol count. Output per document:
+    * token count, BPE token count, and the first word's full symbol
+    * sequence (`first_enc` pins actual symbol streams, not just
+    * counts, through the hash compare).
+    *
+    * Scale shape: training as D22 (one (pair,count) driver row per
+    * merge); encoding is one narrow posexplode + one vocabulary join
+    * + one doc-keyed partial agg. The vocab join is broadcast here
+    * (test-scale vocabularies are model-sized); a web-scale
+    * vocabulary (10⁸+ words) drops the hint and the same plan is a
+    * word-keyed shuffle join — nothing else changes.
+    *
+    * The oracle is the full unrolled re-derivation: DuckDB replays
+    * all `nMerges` training rounds (pair count → (cnt desc, pair)
+    * argmax → greedy left-to-right rewrite as a list-of-lists fold)
+    * and re-encodes every document — so a drifted tie-break, a wrong
+    * merge order, or a non-greedy rewrite all hash-mismatch.
+    */
+  def bpeEncode(s: SparkSession, dir: String, nMerges: Int = 20): DataFrame = {
+    val (_, vocab) = train(s, dir, nMerges)
+    val enc = vocab.select(col("word"), col("sym"),
+      size(col("sym")).cast("long").as("n_sym"))
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(TextOps.wsTokens(col("text")), _ =!= "")))
+      .withColumnRenamed("col", "tok")
+    toks.join(broadcast(enc), toks("tok") === enc("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe"),
+        min_by(col("sym"), col("pos")).as("first_enc"))
+      .orderBy("doc_id")
+  }
+
+  /** The [[bpeEncode]] oracle: `w`/`v0` as bpe_pairs, then `nMerges`
+    * unrolled (pair-count → argmax → fold-rewrite) stages, then the
+    * per-document re-encode. The rewrite folds ONE-TOKEN LISTS so the
+    * accumulator type matches the element type (DuckDB's list_reduce
+    * takes no initial value); `acc[-1] = p1 AND x = p2 → pop+append
+    * merged` is exactly the engine's greedy left-to-right `aggregate`
+    * lambda.
+    */
+  private[ops] def encodeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""WITH w AS (
+        |  SELECT token AS word, count(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |v0 AS MATERIALIZED (
+        |  SELECT word, wc,
+        |    list_append(list_transform(range(1, length(word) + 1),
+        |      i -> substr(word, CAST(i AS INT), 1)), '</w>') AS sym
+        |  FROM w)""")
+    for (k <- 1 to nMerges) {
+      sb.append(s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT sym[CAST(i AS INT)] AS p1, sym[CAST(i AS INT) + 1] AS p2, wc
+        |  FROM (SELECT wc, sym, unnest(range(1, len(sym))) AS i FROM v${k - 1})),
+        |m$k AS (
+        |  SELECT p1, p2 FROM p$k GROUP BY p1, p2
+        |  ORDER BY sum(wc) DESC, p1, p2 LIMIT 1),
+        |v$k AS MATERIALIZED (
+        |  SELECT word, wc,
+        |    list_reduce(list_transform(sym, t -> [t]),
+        |      (acc, x) -> CASE WHEN acc[-1] = m.p1 AND x[1] = m.p2
+        |                  THEN list_append(array_pop_back(acc), m.p1 || m.p2)
+        |                  ELSE list_append(acc, x[1]) END) AS sym
+        |  FROM v${k - 1} CROSS JOIN m$k m)""")
+    }
+    sb.append(raw""",
+        |enc AS (SELECT word, sym, CAST(len(sym) AS BIGINT) AS n_sym FROM v$nMerges),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, arr[CAST(i AS INT)] AS tok
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split_regex(text, '\s+'),
+        |                            t -> t <> '') AS arr
+        |              FROM documents)))
+        |SELECT t.doc_id, count(*) AS n_words,
+        |  CAST(sum(e.n_sym) AS BIGINT) AS n_bpe,
+        |  arg_min(e.sym, t.pos) AS first_enc
+        |FROM toks t JOIN enc e ON t.tok = e.word
+        |GROUP BY t.doc_id ORDER BY t.doc_id""")
+    sb.toString.stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("bpe_encode", (s, d) => bpeEncode(s, d), Some(encodeOracleSql(20))),
     // full re-derivation: DuckDB rebuilds the char+sentinel pair
     // multiset per distinct word via substr arithmetic; sum(wc) is
     // HUGEINT there, cast back to BIGINT. Both engines index strings

@@ -56,6 +56,35 @@ class BpeSpec extends SparkSpec {
       ("a", "</w>", 2L), ("b", "a", 2L)))
   }
 
+  test("bpe_encode: counts and first-word encoding on a hand-computed corpus") {
+    // "abab" x4, "ab" x2: merges learned in order (a,b) 10, (ab,</w>) hm —
+    // trace: v0 pairs: (a,b):10, (b,a):4, (b,</w>):6 → merge1 (a,b)
+    // v1: abab→[ab,ab,</w>], ab→[ab,</w>]; pairs: (ab,ab):4, (ab,</w>):6
+    //   → merge2 (ab,</w>)
+    // v2: abab→[ab,ab</w>], ab→[ab</w>]; pairs: (ab,ab</w>):4 → merge3
+    // v3: abab→[abab</w>], ab→[ab</w>] — no pairs left, train stops
+    val d = corpus("abab" -> 4, "ab" -> 2)
+    val enc = Bpe.bpeEncode(spark, d, nMerges = 5).collect()
+    assert(enc.length === 1)
+    val r = enc(0)
+    // the one doc holds 6 words; 4 encode to 1 symbol, 2 to 1 symbol
+    assert(r.getLong(1) === 6L)   // n_words
+    assert(r.getLong(2) === 6L)   // n_bpe: every word fully merged
+    // doc text starts with "abab" (corpus builder order)
+    assert(r.getSeq[String](3) === Seq("abab</w>"))
+  }
+
+  test("bpe_encode: partially merged words keep multi-symbol encodings") {
+    // merges stop at 1: only (a,b) learned; "aba" → [ab, a, </w>]
+    val d = corpus("ab" -> 5, "aba" -> 1)
+    val enc = Bpe.bpeEncode(spark, d, nMerges = 1).collect()
+    val r = enc(0)
+    assert(r.getLong(1) === 6L)
+    // "ab" → [ab, </w>] (2 syms) x5 + "aba" → [ab, a, </w>] (3) = 13
+    assert(r.getLong(2) === 13L)
+    assert(r.getSeq[String](3) === Seq("ab", "</w>"))
+  }
+
   test("bpe train stops early when no pairs remain") {
     // single-char word: syms [x, </w>] -> one pair, then nothing
     val d = corpus("x" -> 4)
