@@ -44,7 +44,11 @@ object Bench {
     // and perceptual-hash image near-dup (decode + dHash in the
     // multimodal batch scan, then SimHash banding) — the first
     // multimodal entry in the headline set
-    "ann_ivfpq", "text_c4_clean", "dedup_image")
+    "ann_ivfpq", "text_c4_clean", "dedup_image",
+    // round 9 (cont.): the tokenizer-apply workload — the D22 train
+    // loop (20 count→argmax→rewrite rounds on the collapsed
+    // vocabulary) plus the corpus-wide encode join
+    "bpe_encode")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the

@@ -1149,11 +1149,11 @@ object Dedup {
     // 100 GB before being killed).
     Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), Some(
       raw"""WITH
-        |uniq AS (
+        |uniq AS MATERIALIZED (
         |  SELECT min(doc_id) AS rep, text,
         |         list(doc_id ORDER BY doc_id) AS members
         |  FROM documents GROUP BY text),
-        |sets AS (
+        |sets AS MATERIALIZED (
         |  SELECT rep, members,
         |         list_distinct(list_transform(
         |           range(1, len(string_split_regex(text, '\s+')) - 1),
@@ -1161,9 +1161,9 @@ object Dedup {
         |                string_split_regex(text, '\s+')[i+1] || ' ' ||
         |                string_split_regex(text, '\s+')[i+2])) AS sh
         |  FROM uniq),
-        |good AS (SELECT rep, members, sh FROM sets WHERE len(sh) > 0),
-        |inv AS (SELECT rep, unnest(sh) AS g FROM good),
-        |cand AS (
+        |good AS MATERIALIZED (SELECT rep, members, sh FROM sets WHERE len(sh) > 0),
+        |inv AS MATERIALIZED (SELECT rep, unnest(sh) AS g FROM good),
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT x.rep AS a, y.rep AS b
         |  FROM inv x JOIN inv y ON x.g = y.g AND x.rep < y.rep),
         |upairs AS (
@@ -1201,8 +1201,8 @@ object Dedup {
     // docs map back through their text group).
     Q("dedup_clusters", (s, d) => dedupClusters(s, d), Some(
       raw"""WITH RECURSIVE
-        |uniq AS (SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
-        |sets AS (
+        |uniq AS MATERIALIZED (SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+        |sets AS MATERIALIZED (
         |  SELECT rep,
         |         list_distinct(list_transform(
         |           range(1, len(string_split_regex(text, '\s+')) - 1),
@@ -1210,12 +1210,12 @@ object Dedup {
         |                string_split_regex(text, '\s+')[i+1] || ' ' ||
         |                string_split_regex(text, '\s+')[i+2])) AS sh
         |  FROM uniq),
-        |good AS (SELECT rep, sh FROM sets WHERE len(sh) > 0),
-        |inv AS (SELECT rep, unnest(sh) AS g FROM good),
-        |cand AS (
+        |good AS MATERIALIZED (SELECT rep, sh FROM sets WHERE len(sh) > 0),
+        |inv AS MATERIALIZED (SELECT rep, unnest(sh) AS g FROM good),
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT x.rep AS a, y.rep AS b
         |  FROM inv x JOIN inv y ON x.g = y.g AND x.rep < y.rep),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT src, dst FROM (
         |    SELECT c.a AS src, c.b AS dst,
         |           len(list_intersect(x.sh, y.sh)) AS inter,
@@ -1224,7 +1224,7 @@ object Dedup {
         |    JOIN good x ON x.rep = c.a
         |    JOIN good y ON y.rep = c.b)
         |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
-        |und AS (
+        |und AS MATERIALIZED (
         |  SELECT src, dst FROM edges
         |  UNION ALL
         |  SELECT dst AS src, src AS dst FROM edges),
@@ -1257,7 +1257,7 @@ object Dedup {
     // one remaining quadratic skip).
     Q("dedup_embed", (s, d) => dedupEmbed(s, d), Some(
       """WITH
-        |uniq AS (
+        |uniq AS MATERIALIZED (
         |  SELECT embedding, min(vec_id) AS gmin
         |  FROM embeddings GROUP BY embedding),
         |cmins AS (
@@ -1310,7 +1310,7 @@ object Dedup {
     // its rep's pid.
     Q("dedup_semantic", (s, d) => dedupSemantic(s, d), Some(
       s"""WITH ${Similarity.KmeansCtes},
-         |uniq AS (
+         |uniq AS MATERIALIZED (
          |  SELECT embedding, min(vec_id) AS gmin
          |  FROM embeddings GROUP BY embedding),
          |cmins AS (

@@ -802,19 +802,19 @@ object Similarity {
     * matches the engine's orderedFold update bit-for-bit.
     */
   private[ops] val KmeansCtes: String =
-      """v AS (
+      """v AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |vd AS (
+        |vd AS MATERIALIZED (
         |  SELECT vec_id, i AS dim, e[i] AS val
         |  FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i FROM v)),
-        |piv AS (
+        |piv AS MATERIALIZED (
         |  SELECT vec_id, row_number() OVER (
         |           ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pid
         |  FROM v),
-        |c0 AS (
+        |c0 AS MATERIALIZED (
         |  SELECT p.pid, v.e AS ce
         |  FROM piv p JOIN v USING (vec_id) WHERE p.pid < 8),
-        |s1 AS (
+        |s1 AS MATERIALIZED (
         |  SELECT v.vec_id, c.pid,
         |         list_reduce(list_transform(range(1, len(v.e) + 1),
         |           i -> v.e[i] * c.ce[i]), (x, y) -> x + y) AS dot,
@@ -823,17 +823,17 @@ object Similarity {
         |         sqrt(list_reduce(list_transform(range(1, len(c.ce) + 1),
         |           i -> c.ce[i] * c.ce[i]), (x, y) -> x + y)) AS snb
         |  FROM v CROSS JOIN c0 c),
-        |a1 AS (
+        |a1 AS MATERIALIZED (
         |  SELECT vec_id, pid FROM (
         |    SELECT vec_id, pid, row_number() OVER (PARTITION BY vec_id
         |             ORDER BY CASE WHEN sna * snb = 0 THEN 0.0
         |                           ELSE dot / (sna * snb) END DESC,
         |                      pid DESC) AS rk
         |    FROM s1) WHERE rk = 1),
-        |c0d AS (
+        |c0d AS MATERIALIZED (
         |  SELECT pid, i AS dim, ce[i] AS cval
         |  FROM (SELECT pid, ce, unnest(range(1, len(ce) + 1)) AS i FROM c0)),
-        |c1 AS (
+        |c1 AS MATERIALIZED (
         |  SELECT c.pid, c.dim, COALESCE(u.m, c.cval) AS cval
         |  FROM c0d c LEFT JOIN (
         |    SELECT a.pid, d.dim,
@@ -842,9 +842,9 @@ object Similarity {
         |    FROM a1 a JOIN vd d USING (vec_id)
         |    GROUP BY a.pid, d.dim) u
         |  ON c.pid = u.pid AND c.dim = u.dim),
-        |c1a AS (
+        |c1a AS MATERIALIZED (
         |  SELECT pid, list(cval ORDER BY dim) AS ce FROM c1 GROUP BY pid),
-        |s2 AS (
+        |s2 AS MATERIALIZED (
         |  SELECT v.vec_id, c.pid,
         |         list_reduce(list_transform(range(1, len(v.e) + 1),
         |           i -> v.e[i] * c.ce[i]), (x, y) -> x + y) AS dot,
@@ -853,7 +853,7 @@ object Similarity {
         |         sqrt(list_reduce(list_transform(range(1, len(c.ce) + 1),
         |           i -> c.ce[i] * c.ce[i]), (x, y) -> x + y)) AS snb
         |  FROM v CROSS JOIN c1a c),
-        |f AS (
+        |f AS MATERIALIZED (
         |  SELECT vec_id, pid, cos FROM (
         |    SELECT vec_id, pid,
         |           CASE WHEN sna * snb = 0 THEN 0.0
