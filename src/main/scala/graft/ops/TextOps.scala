@@ -1044,19 +1044,19 @@ object TextOps {
     // missing init is immaterial); 6dp rounding absorbs any last-ulp
     // log2 divergence between engines
     Q("text_perplexity", textPerplexity, Some(
-      raw"""WITH d AS (
+      raw"""WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
         |  FROM documents),
-        |uni AS (
+        |uni AS MATERIALIZED (
         |  SELECT t1, count(*) AS c1
         |  FROM (SELECT unnest(a) AS t1 FROM d) GROUP BY t1),
         |v AS (SELECT count(*) AS v FROM uni),
-        |bg AS (
+        |bg AS MATERIALIZED (
         |  SELECT doc_id, pos, a[pos] AS t1, a[pos + 1] AS t2 FROM (
         |    SELECT doc_id, a, unnest(range(1, len(a))) AS pos
         |    FROM d WHERE len(a) >= 2)),
-        |bi AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
+        |bi AS MATERIALIZED (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
         |sc AS (
         |  SELECT bg.doc_id, bg.pos,
         |    -log2(CAST(bi.c12 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) AS lp
@@ -1075,21 +1075,21 @@ object TextOps {
     // unseen first words exercise the (0+1)/(c1+V) and 1/V smoothing
     // fallbacks; same ordered-fold + 6dp-round exactness as D21
     Q("text_perplexity_heldout", (s, d) => textPerplexityHeldout(s, d), Some(
-      raw"""WITH d AS (
+      raw"""WITH d AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
         |  FROM documents),
-        |uni AS (
+        |uni AS MATERIALIZED (
         |  SELECT t1, count(*) AS c1
         |  FROM (SELECT unnest(a) AS t1 FROM d WHERE doc_id < 250)
         |  GROUP BY t1),
         |v AS (SELECT count(*) AS v FROM uni),
-        |tb AS (
+        |tb AS MATERIALIZED (
         |  SELECT a[pos] AS t1, a[pos + 1] AS t2 FROM (
         |    SELECT a, unnest(range(1, len(a))) AS pos FROM d
         |    WHERE doc_id < 250 AND len(a) >= 2)),
-        |bi AS (SELECT t1, t2, count(*) AS c12 FROM tb GROUP BY t1, t2),
-        |sb AS (
+        |bi AS MATERIALIZED (SELECT t1, t2, count(*) AS c12 FROM tb GROUP BY t1, t2),
+        |sb AS MATERIALIZED (
         |  SELECT doc_id, pos, a[pos] AS t1, a[pos + 1] AS t2 FROM (
         |    SELECT doc_id, a, unnest(range(1, len(a))) AS pos FROM d
         |    WHERE doc_id >= 250 AND len(a) >= 2)),
