@@ -151,7 +151,12 @@ object Bpe {
       .agg(
         count(lit(1)).as("n_words"),
         sum(col("n_sym")).as("n_bpe"),
-        min_by(col("sym"), col("pos")).as("first_enc"))
+        // serialized (space-joined), NOT an array column: the driver's
+        // pandas hash-compare cannot sort/factorize list cells, so every
+        // registered query ships scalar columns only (ScalarOutputSpec
+        // guards this structurally). A symbol can never contain a space
+        // (tokens are whitespace-split), so the join is lossless.
+        array_join(min_by(col("sym"), col("pos")), " ").as("first_enc"))
       .orderBy("doc_id")
   }
 
@@ -187,10 +192,11 @@ object Bpe {
         |v$k AS MATERIALIZED (
         |  SELECT word, wc,
         |    list_reduce(list_transform(sym, t -> [t]),
-        |      (acc, x) -> CASE WHEN acc[-1] = m.p1 AND x[1] = m.p2
+        |      (acc, x) -> CASE WHEN m.p1 IS NOT NULL
+        |                       AND acc[-1] = m.p1 AND x[1] = m.p2
         |                  THEN list_append(array_pop_back(acc), m.p1 || m.p2)
         |                  ELSE list_append(acc, x[1]) END) AS sym
-        |  FROM v${k - 1} CROSS JOIN m$k m)""")
+        |  FROM v${k - 1} LEFT JOIN m$k m ON TRUE)""")
     }
     sb.append(raw""",
         |enc AS (SELECT word, sym, CAST(len(sym) AS BIGINT) AS n_sym FROM v$nMerges),
@@ -203,7 +209,7 @@ object Bpe {
         |              FROM documents)))
         |SELECT t.doc_id, count(*) AS n_words,
         |  CAST(sum(e.n_sym) AS BIGINT) AS n_bpe,
-        |  arg_min(e.sym, t.pos) AS first_enc
+        |  array_to_string(arg_min(e.sym, t.pos), ' ') AS first_enc
         |FROM toks t JOIN enc e ON t.tok = e.word
         |GROUP BY t.doc_id ORDER BY t.doc_id""")
     sb.toString.stripMargin

@@ -255,8 +255,13 @@ object Multimodal {
       * upscaled) + re-encode PNG. Real pixel work via Graphics2D
       * bilinear scaling.
       */
-    def resize(batch: Seq[MediaIn], box: Int): Seq[Resized] = batch.map { m =>
-      val img = readImage(m)
+    /** Box-fit bilinear scale (aspect preserved, never upscaled) —
+      * the one scaling kernel shared by the thumbnail sink ([[resize]])
+      * and the normalized perceptual-hash path ([[dhashNormalized]]):
+      * both MUST produce identical pixels or a thumbnail and its
+      * source would hash apart.
+      */
+    def scaleToBox(img: BufferedImage, box: Int): BufferedImage = {
       val (sw, sh) = (img.getWidth, img.getHeight)
       val scale = math.min(1.0, box.toDouble / math.max(sw, sh))
       val dw = math.max(1, math.round(sw * scale).toInt)
@@ -268,9 +273,16 @@ object Multimodal {
           RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, dw, dh, null)
       } finally g.dispose()
+      out
+    }
+
+    def resize(batch: Seq[MediaIn], box: Int): Seq[Resized] = batch.map { m =>
+      val img = readImage(m)
+      val out = scaleToBox(img, box)
       val baos = new ByteArrayOutputStream()
       require(ImageIO.write(out, "png", baos), "no ImageIO png writer")
-      Resized(m.media_id, m.format, sw, sh, dw, dh, baos.toByteArray)
+      Resized(m.media_id, m.format, img.getWidth, img.getHeight,
+        out.getWidth, out.getHeight, baos.toByteArray)
     }
 
     /** dHash as (hi32, lo32) — see [[Multimodal.dedupImage]] for the
@@ -278,8 +290,18 @@ object Multimodal {
       * oracle recomputes it from the generator arithmetic, so any
       * drift here is a hash mismatch, not a silent approximation).
       */
-    def dhash(m: MediaIn): (Long, Long) = {
-      val img = readImage(m)
+    def dhash(m: MediaIn): (Long, Long) = dhashImage(readImage(m))
+
+    /** dHash normalized through the [[scaleToBox]] thumbnail kernel —
+      * the cross-format path: a lossy (jpeg) source and its lossless
+      * twin decode to near-identical pixels, and hashing both at
+      * thumbnail scale keeps their cell sums comparable regardless of
+      * stored resolution.
+      */
+    def dhashNormalized(m: MediaIn, box: Int): (Long, Long) =
+      dhashImage(scaleToBox(readImage(m), box))
+
+    def dhashImage(img: BufferedImage): (Long, Long) = {
       val w = img.getWidth
       val h = img.getHeight
       val s = Array.ofDim[Long](8, 9)
@@ -441,72 +463,119 @@ object Multimodal {
     * (dhash_hi, dhash_lo), which sidesteps 64-bit sign-construction
     * differences between engines.
     *
-    * Near-dup: 16 bands × 4 bits; by pigeonhole any pair within
-    * Hamming 15 shares an exact band, so banding loses NOTHING at the
-    * default `maxHamming` = 10 (the conventional dHash budget — the
-    * fixture's smooth gradients put many cells at near-ties, and a
-    * half-size re-encode flips ~7 bits) and the banded+verified
-    * answer EQUALS the all-pairs scan the DuckDB oracle runs (the D3
-    * argument). Narrow 4-bit buckets cost candidate volume at
-    * corpus scale — [[Dedup.capBuckets]] bounds the degenerate ones,
-    * and a 100 TB deployment widens to rotated multi-index tables.
-    * Lossless (PNG) sources only: dHash is defined on decoded
-    * pixels, and lossless decode reproduces the generator arithmetic
-    * the oracle recomputes; a real pipeline normalizes lossy formats
-    * through the D12b thumbnail path first.
+    * Near-dup candidates (round 10 — the scale-safe shape; round 9's
+    * 16 bands × 4 bits had only 16 bucket values per band, a ~n²/32
+    * quadratic self-join that [[Dedup.capBuckets]] could only degrade
+    * to zero recall):
+    *
+    * 1. **Exact-collapse first** (the dedup-family invariant): images
+    *    group by their full 64-bit hash and the pair scan runs on
+    *    UNIQUE hashes only, keep labels mapping back through the
+    *    16-byte hash-group join — candidate volume is bounded by
+    *    distinct-hash volume, not corpus volume (at sf0.01 the 167
+    *    images hold 24 distinct hashes; exact copies and re-encodes
+    *    of one master are the overwhelming near-dup mass of a real
+    *    crawl).
+    * 2. **8 bands × 8 bits + Hamming-1 flip-mask probes** (the D5c
+    *    multi-probe pattern): a pair within Hamming 15 has ≥ one band
+    *    with ≤ 1 differing bit (2·8 > 15 pigeonhole), so probing each
+    *    band's exact bucket plus its 8 single-bit flips loses NOTHING
+    *    at the default `maxHamming` = 10 — with 256-value buckets
+    *    instead of 16. [[Dedup.capBuckets]] still bounds degenerate
+    *    buckets, but now a full bucket means a genuinely dense
+    *    Hamming ball, not n/16 of the corpus.
+    *
+    * The banded+verified answer EQUALS the all-pairs scan the DuckDB
+    * oracle runs: for every member i of hash-group g,
+    * min(i, neighbors(i)) = least(gmin(g), min adjacent-group gmin) —
+    * identical-hash members are Hamming-0 neighbors of each other, so
+    * the per-group label IS the per-image label.
+    *
+    * Lossless (PNG) sources only in THIS registered form: lossless
+    * decode reproduces the generator arithmetic the oracle recomputes.
+    * [[dedupImageAll]] is the full-corpus form — every image format
+    * routed through the D12b thumbnail normalize ([[JdkCodec.scaleToBox]])
+    * before hashing, so lossy (jpeg) media participate; spec-pinned
+    * (cross-format planted pair; no SQL oracle by nature — jpeg
+    * decode is not SQL-expressible).
     *
     * Scale shape: decode+hash is the narrow batched `mapPartitions`
     * every D12 operator shares (pixels never leave their task; 16
-    * bytes of hash per image move); banding explodes ×8, buckets are
-    * [[Dedup.capBuckets]]-bounded; verify is two xors on join rows.
+    * bytes of hash per image move); the collapse is one 16-byte-key
+    * exchange; banding explodes ×8 exact + ×72 probe rows per UNIQUE
+    * hash; verify is two xors on join rows.
     */
   def dedupImage(s: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
     dedupImageOn(
       mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
       maxHamming)
 
+  /** The full-corpus (lossy-inclusive) form: png AND jpeg, every
+    * image thumbnail-normalized before hashing — see [[dedupImage]].
+    */
+  def dedupImageAll(s: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
+    dedupImageOn(
+      mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
+      maxHamming, includeLossy = true)
+
   /** [[dedupImage]] on an arbitrary (media_id, media, format) frame —
-    * the seam the planted resized-copy spec drives.
+    * the seam the planted resized-copy and cross-format specs drive.
     */
   private[ops] def dedupImageOn(media: DataFrame,
-      maxHamming: Int = 10): DataFrame = {
+      maxHamming: Int = 10, includeLossy: Boolean = false): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    // cut: feeds the banding explode AND the final output join
-    val hashed = media.filter(col("format") === "png")
+    val formats = if (includeLossy) Seq("png", "jpeg") else Seq("png")
+    // cut: feeds the hash-group collapse AND the final map-back join
+    val hashed = media.filter(col("format").isin(formats: _*))
       .select(col("media_id"), col("media"), col("format")).as[MediaIn]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val (hi, lo) = JdkCodec.dhash(m)
+        val (hi, lo) =
+          if (includeLossy) JdkCodec.dhashNormalized(m, ResizeBox)
+          else JdkCodec.dhash(m)
         (m.media_id, hi, lo)
       }))
       .toDF("media_id", "dhash_hi", "dhash_lo")
       .transform(graft.Lineage.cut)
+    // exact-collapse: the pair scan below runs on UNIQUE hashes only
+    val groups = hashed.groupBy("dhash_hi", "dhash_lo")
+      .agg(min(col("media_id")).as("gmin"))
+      .transform(graft.Lineage.cut)
+    def bandVal = "if(b < 4, shiftright(dhash_lo, b * 8) & 255, " +
+      "shiftright(dhash_hi, (b - 4) * 8) & 255)"
     val banded = Dedup.capBuckets(
-      hashed.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
-        explode(expr("transform(sequence(0, 15), b -> struct(b as band, " +
-          "if(b < 8, shiftright(dhash_lo, b * 4) & 15, " +
-          "shiftright(dhash_hi, (b - 8) * 4) & 15) as bhash))")).as("b"))
-        .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+      groups.select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
+        explode(expr(s"transform(sequence(0, 7), b -> " +
+          s"struct(b as band, $bandVal as bhash))")).as("b"))
+        .select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
           col("b.band"), col("b.bhash")),
       Seq("band", "bhash"))
-      .transform(graft.Lineage.cut)
-    val cand = banded.as("x").join(banded.as("y"),
+    // Hamming-1 multi-probe: each unique hash probes its band value
+    // and all 8 single-bit flips (mask 0 finds band-equal pairs)
+    val probes = groups.select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
+      explode(expr(s"flatten(transform(sequence(0, 7), b -> " +
+        s"transform(array(0, 1, 2, 4, 8, 16, 32, 64, 128), " +
+        s"m -> struct(b as band, ($bandVal ^ m) as bhash))))")).as("b"))
+      .select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
+        col("b.band"), col("b.bhash"))
+    val cand = probes.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("a"), col("x.dhash_hi").as("ha"),
+          col("x.gmin") < col("y.gmin"))
+      .select(col("x.gmin").as("a"), col("x.dhash_hi").as("ha"),
         col("x.dhash_lo").as("la"),
-        col("y.media_id").as("b"), col("y.dhash_hi").as("hb"),
+        col("y.gmin").as("b"), col("y.dhash_hi").as("hb"),
         col("y.dhash_lo").as("lb"))
       .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) +
         bit_count(col("la").bitwiseXOR(col("lb"))) <= maxHamming)
-    val neighborMin = cand.select(col("a").as("media_id"), col("b").as("nbr"))
-      .unionByName(cand.select(col("b").as("media_id"), col("a").as("nbr")))
-      .groupBy("media_id").agg(min(col("nbr")).as("mn"))
-    hashed.join(neighborMin, Seq("media_id"), "left")
-      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
-        least(coalesce(col("mn"), col("media_id")), col("media_id"))
-          .as("keep_id"))
+    val neighborMin = cand.select(col("a").as("gmin"), col("b").as("nbr"))
+      .unionByName(cand.select(col("b").as("gmin"), col("a").as("nbr")))
+      .groupBy("gmin").agg(min(col("nbr")).as("mn"))
+    val groupKeep = groups.join(neighborMin, Seq("gmin"), "left")
+      .select(col("dhash_hi"), col("dhash_lo"),
+        least(coalesce(col("mn"), col("gmin")), col("gmin")).as("keep_id"))
+    hashed.join(groupKeep, Seq("dhash_hi", "dhash_lo"))
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"), col("keep_id"))
       .orderBy("media_id")
   }
 
@@ -529,6 +598,10 @@ object Multimodal {
     // generator's pixel arithmetic (lossless decode reproduces it
     // exactly), then runs the EXACT all-pairs Hamming scan — equal to
     // the banded engine answer by the pigeonhole argument
+    // lossy-inclusive twin: jpeg decode isn't SQL-expressible, so no
+    // oracle by nature — pinned by the cross-format planted spec and
+    // the shared hash/keep machinery the dedup_image oracle proves
+    Q("dedup_image_all", (s, d) => dedupImageAll(s, d), None),
     Q("dedup_image", (s, d) => dedupImage(s, d), Some(
       """WITH imgs AS (
         |  SELECT doc_id AS media_id,
@@ -568,8 +641,8 @@ object Multimodal {
         |    ON l.media_id = r.media_id AND l.cy = r.cy AND r.cx = l.cx + 1),
         |hash AS (
         |  SELECT media_id,
-        |    sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS dhash_hi,
-        |    sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS dhash_lo
+        |    CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
         |  FROM bits GROUP BY 1),
         |pairs AS (
         |  SELECT a.media_id AS a, b.media_id AS b

@@ -532,7 +532,16 @@ object Similarity {
               (v.cast("double") - c.cast("double") * col("scale")) *
               (v.cast("double") - c.cast("double") * col("scale"))),
             lit(0.0), (a, t) => a + t) / size(col("embedding")).cast("double")))
-      .select(col("vec_id"), col("scale"), col("codes"), col("mse"))
+      // comma-serialized, NOT an array column: the driver's pandas
+      // hash-compare cannot sort/factorize list cells, so registered
+      // queries ship scalar columns only (ScalarOutputSpec). The raw
+      // int-array form stays available via the internal `codes` column
+      // above for consumers that want it (the serialization is the
+      // last projection, lossless for integers).
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("codes"), _.cast("string")), ",")
+          .as("codes"),
+        col("mse"))
       .orderBy("vec_id")
   }
 
@@ -931,8 +940,9 @@ object Similarity {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (
         |  SELECT vec_id, e,
-        |    list_reduce(list_transform(e, x -> abs(x)),
-        |                (a, b) -> greatest(a, b)) / 127.0 AS scale
+        |    CASE WHEN len(e) = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(e, x -> abs(x)),
+        |                (a, b) -> greatest(a, b)) / 127.0 END AS scale
         |  FROM v),
         |c AS (
         |  SELECT vec_id, e, scale,
@@ -941,7 +951,9 @@ object Similarity {
         |         ELSE list_transform(e, x ->
         |           CAST(floor(x / scale + 0.5) AS INTEGER)) END AS codes
         |  FROM q)
-        |SELECT vec_id, scale, codes,
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)),
+        |                  ',') AS codes,
         |  CASE WHEN scale = 0 THEN 0.0
         |       ELSE list_reduce(list_transform(range(1, len(e) + 1), i ->
         |              (e[i] - codes[i] * scale) * (e[i] - codes[i] * scale)),

@@ -71,7 +71,7 @@ class BpeSpec extends SparkSpec {
     assert(r.getLong(1) === 6L)   // n_words
     assert(r.getLong(2) === 6L)   // n_bpe: every word fully merged
     // doc text starts with "abab" (corpus builder order)
-    assert(r.getSeq[String](3) === Seq("abab</w>"))
+    assert(r.getString(3) === "abab</w>")
   }
 
   test("bpe_encode: partially merged words keep multi-symbol encodings") {
@@ -82,7 +82,7 @@ class BpeSpec extends SparkSpec {
     assert(r.getLong(1) === 6L)
     // "ab" → [ab, </w>] (2 syms) x5 + "aba" → [ab, a, </w>] (3) = 13
     assert(r.getLong(2) === 13L)
-    assert(r.getSeq[String](3) === Seq("ab", "</w>"))
+    assert(r.getString(3) === "ab </w>")
   }
 
   test("bpe train stops early when no pairs remain") {

@@ -12,7 +12,8 @@ class EmbedQuantizeSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val scale = r.getDouble(1)
-      val codes = r.getSeq[Int](2)
+      // codes ship comma-serialized (scalar-only output contract)
+      val codes = r.getString(2).split(",").filter(_.nonEmpty).map(_.toInt).toSeq
       val mse = r.getDouble(3)
       assert(codes.forall(c => c >= -127 && c <= 127), "code outside int8 range")
       // symmetric quantization is tight: the max-|x| dimension maps to
@@ -37,13 +38,13 @@ class EmbedQuantizeSpec extends SparkSpec {
     // code path (corpus loading swapped for the fixture)
     val q = Similarity.embedQuantizeOn(fixture).orderBy("vec_id").collect()
     // vec 1: scale = 2/127; codes = round(x * 127 / 2) = [64, -127, 32]
-    assert(q(0).getSeq[Int](2) === Seq(64, -127, 32))
+    assert(q(0).getString(2) === "64,-127,32")
     assert(math.abs(q(0).getDouble(1) - 2.0 / 127) < 1e-12)
     // zero vector: scale 0, all-zero codes, zero error
     assert(q(1).getDouble(1) === 0.0)
-    assert(q(1).getSeq[Int](2) === Seq(0, 0, 0))
+    assert(q(1).getString(2) === "0,0,0")
     assert(q(1).getDouble(3) === 0.0)
     // vec 3: scale = 1; codes are the rounded values themselves
-    assert(q(2).getSeq[Int](2) === Seq(127, -127, 64))
+    assert(q(2).getString(2) === "127,-127,64")
   }
 }

@@ -36,14 +36,19 @@ class ExportShardsSpec extends SparkSpec {
       val back = spark.read.parquet(out)
       assert(back.count() === back.select("doc_id").distinct().count())
       // in-shard order is the salted-hash shuffle order, not ingest
-      // order: positions are sorted within every shard's files
-      val pos = back.select(col("shard"), col("pos")).collect()
-        .groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
-      // a re-read preserves parquet row order per file; with one
-      // sorted write task per shard the read-back sequence per shard
-      // must already be sorted
-      pos.foreach { case (sh, ps) =>
-        assert(ps === ps.sorted, s"shard $sh not in shuffle order") }
+      // order: positions are sorted within every PHYSICAL FILE. Group
+      // by input_file_name(), not by shard: at larger sizes a shard
+      // file spans several row-group splits that Spark bin-packs by
+      // size, so shard-level concatenation of collect() rows need not
+      // be globally ordered even though each written file is (the
+      // round-9 advisor's scale-fragility finding).
+      val pos = back.select(input_file_name().as("f"), col("pos")).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+      // parquet preserves row order within a split and splits of one
+      // file cover disjoint, contiguous row ranges — so per-file rows
+      // collected from a single-split read are written-order
+      pos.foreach { case (f, ps) =>
+        assert(ps === ps.sorted, s"file $f not in shuffle order") }
     } finally graft.LocalFs.deleteRecursively(java.nio.file.Paths.get(out))
   }
 }
