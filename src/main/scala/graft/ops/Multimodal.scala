@@ -518,16 +518,19 @@ object Multimodal {
       mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
       maxHamming, includeLossy = true)
 
-  /** [[dedupImage]] on an arbitrary (media_id, media, format) frame —
-    * the seam the planted resized-copy and cross-format specs drive.
+  /** The shared hashing front-end: decode + dHash per image as a
+    * narrow batched `mapPartitions` → (media_id, dhash_hi, dhash_lo).
+    * `includeLossy` switches between the direct-hash lossless form
+    * (png only — the oracle-able arithmetic) and the full-corpus form
+    * (png + jpeg, every image thumbnail-normalized through
+    * [[JdkCodec.scaleToBox]] first).
     */
-  private[ops] def dedupImageOn(media: DataFrame,
-      maxHamming: Int = 10, includeLossy: Boolean = false): DataFrame = {
+  private[graft] def hashFrameOf(media: DataFrame,
+      includeLossy: Boolean): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     val formats = if (includeLossy) Seq("png", "jpeg") else Seq("png")
-    // cut: feeds the hash-group collapse AND the final map-back join
-    val hashed = media.filter(col("format").isin(formats: _*))
+    media.filter(col("format").isin(formats: _*))
       .select(col("media_id"), col("media"), col("format")).as[MediaIn]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
         val (hi, lo) =
@@ -536,29 +539,49 @@ object Multimodal {
         (m.media_id, hi, lo)
       }))
       .toDF("media_id", "dhash_hi", "dhash_lo")
-      .transform(graft.Lineage.cut)
+  }
+
+  private def bandVal = "if(b < 4, shiftright(dhash_lo, b * 8) & 255, " +
+    "shiftright(dhash_hi, (b - 4) * 8) & 255)"
+
+  /** The exact band table: 8 rows per input row, (band, bhash) of the
+    * 8-bit band value appended to the carried columns. This is what a
+    * persistent image-hash index stores ([[graft.streaming.ImageStreams]]).
+    */
+  private[graft] def bandRowsOf(hashes: DataFrame): DataFrame =
+    hashes.withColumn("b",
+        explode(expr(s"transform(sequence(0, 7), b -> " +
+          s"struct(b as band, $bandVal as bhash))")))
+      .withColumn("band", col("b.band")).withColumn("bhash", col("b.bhash"))
+      .drop("b")
+
+  /** The Hamming-1 multi-probe table: 72 rows per input row — each
+    * band's exact value plus its 8 single-bit flips (mask 0 finds
+    * band-equal pairs). Probing these against [[bandRowsOf]] buckets
+    * finds every pair with ≤ 1 differing bit in SOME band, which by
+    * pigeonhole (2·8 > 15) is every pair within Hamming 15.
+    */
+  private[graft] def probeRowsOf(hashes: DataFrame): DataFrame =
+    hashes.withColumn("b",
+        explode(expr(s"flatten(transform(sequence(0, 7), b -> " +
+          s"transform(array(0, 1, 2, 4, 8, 16, 32, 64, 128), " +
+          s"m -> struct(b as band, ($bandVal ^ m) as bhash))))")))
+      .withColumn("band", col("b.band")).withColumn("bhash", col("b.bhash"))
+      .drop("b")
+
+  /** [[dedupImage]] on an arbitrary (media_id, media, format) frame —
+    * the seam the planted resized-copy and cross-format specs drive.
+    */
+  private[ops] def dedupImageOn(media: DataFrame,
+      maxHamming: Int = 10, includeLossy: Boolean = false): DataFrame = {
+    // cut: feeds the hash-group collapse AND the final map-back join
+    val hashed = hashFrameOf(media, includeLossy).transform(graft.Lineage.cut)
     // exact-collapse: the pair scan below runs on UNIQUE hashes only
     val groups = hashed.groupBy("dhash_hi", "dhash_lo")
       .agg(min(col("media_id")).as("gmin"))
       .transform(graft.Lineage.cut)
-    def bandVal = "if(b < 4, shiftright(dhash_lo, b * 8) & 255, " +
-      "shiftright(dhash_hi, (b - 4) * 8) & 255)"
-    val banded = Dedup.capBuckets(
-      groups.select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
-        explode(expr(s"transform(sequence(0, 7), b -> " +
-          s"struct(b as band, $bandVal as bhash))")).as("b"))
-        .select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
-          col("b.band"), col("b.bhash")),
-      Seq("band", "bhash"))
-    // Hamming-1 multi-probe: each unique hash probes its band value
-    // and all 8 single-bit flips (mask 0 finds band-equal pairs)
-    val probes = groups.select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
-      explode(expr(s"flatten(transform(sequence(0, 7), b -> " +
-        s"transform(array(0, 1, 2, 4, 8, 16, 32, 64, 128), " +
-        s"m -> struct(b as band, ($bandVal ^ m) as bhash))))")).as("b"))
-      .select(col("gmin"), col("dhash_hi"), col("dhash_lo"),
-        col("b.band"), col("b.bhash"))
-    val cand = probes.as("x").join(banded.as("y"),
+    val banded = Dedup.capBuckets(bandRowsOf(groups), Seq("band", "bhash"))
+    val cand = probeRowsOf(groups).as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.gmin") < col("y.gmin"))
       .select(col("x.gmin").as("a"), col("x.dhash_hi").as("ha"),
@@ -579,6 +602,82 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** D12e: INCREMENTAL image near-dup — dedup a new batch of images
+    * against the already-admitted corpus: the multimodal member of the
+    * incremental-admission family (D1b exact digests, D5c embedding
+    * cosine). A batch image with a history hash within `maxHamming` is
+    * dropped (its near-dup is already admitted); the history-clean
+    * remainder collapses within-batch by the min-id rule — only group
+    * reps survive, exactly [[graft.ops.Dedup.newVectorsAgainstHistory]]'s
+    * shape over dHash space. Returns the admitted
+    * (media_id, dhash_hi, dhash_lo) rows.
+    *
+    * `splitId` models the history/batch boundary on the test corpus; a
+    * deployment passes its persistent band index
+    * ([[newImagesAgainstHistory]] — the seam the streaming twin
+    * [[graft.streaming.ImageStreams.dedupStream]] shares, so batch and
+    * stream cannot drift). History pixels are never re-decoded in a
+    * deployment: the index stores 8 (band, bhash) rows per admitted
+    * hash and only candidate hash pairs are verified.
+    */
+  def dedupImageIncremental(s: SparkSession, dir: String,
+      splitId: Long = 250L, maxHamming: Int = 10): DataFrame = {
+    val hashed = hashFrameOf(
+        mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
+        includeLossy = false)
+      .transform(graft.Lineage.cut)
+    val hist = hashed.filter(col("media_id") < splitId)
+    val batch = hashed.filter(col("media_id") >= splitId)
+    newImagesAgainstHistory(batch, bandRowsOf(hist), maxHamming)
+      .orderBy("media_id")
+  }
+
+  /** The batch-vs-history survivor rule for IMAGES, shared by
+    * [[dedupImageIncremental]] and the streaming twin: batch hashes
+    * collapse to unique reps, flip-mask-probe the history BAND index
+    * (the history is banded once, at admission — never re-decoded,
+    * never rescanned), candidates are exact-Hamming verified, hits
+    * drop their whole hash group, and the clean remainder runs the
+    * within-batch banded collapse (a rep survives iff no SMALLER clean
+    * rep is within `maxHamming`). `histBands` carries
+    * (dhash_hi, dhash_lo, band, bhash) — the persistent index rows.
+    */
+  private[graft] def newImagesAgainstHistory(batch: DataFrame,
+      histBands: DataFrame, maxHamming: Int = 10): DataFrame = {
+    // exact-collapse front-end: only reps can survive (identical
+    // copies of a history-hit hash are all history-dups through the
+    // rep; non-minimal copies of a clean hash are dominated by their
+    // group min)
+    val reps = batch.groupBy("dhash_hi", "dhash_lo")
+      .agg(min(col("media_id")).as("media_id"))
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+      .transform(graft.Lineage.cut)
+    val histHit = probeRowsOf(reps).as("x")
+      .join(Dedup.capBuckets(histBands, Seq("band", "bhash")).as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash"))
+      .select(col("x.dhash_hi"), col("x.dhash_lo"),
+        col("y.dhash_hi").as("hh"), col("y.dhash_lo").as("hl"))
+      .distinct()
+      .filter(bit_count(col("dhash_hi").bitwiseXOR(col("hh"))) +
+        bit_count(col("dhash_lo").bitwiseXOR(col("hl"))) <= maxHamming)
+      .select(col("dhash_hi"), col("dhash_lo")).distinct()
+    val clean = reps.join(histHit, Seq("dhash_hi", "dhash_lo"), "left_anti")
+      .transform(graft.Lineage.cut) // feeds both within-batch sides + output
+    val banded = Dedup.capBuckets(bandRowsOf(clean), Seq("band", "bhash"))
+    val dominated = probeRowsOf(clean).as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.dhash_hi").as("ha"), col("x.dhash_lo").as("la"),
+        col("y.media_id").as("media_id"),
+        col("y.dhash_hi").as("hb"), col("y.dhash_lo").as("lb"))
+      .distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb"))) <= maxHamming)
+      .select(col("media_id")).distinct()
+    clean.join(dominated, Seq("media_id"), "left_anti")
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+  }
+
   /** Format distribution over the sniffed (never decoded) column —
     * the "query metadata without touching pixels" path.
     */
@@ -593,57 +692,70 @@ object Multimodal {
     * below is the SQL twin of a [[MediaGen]] pure function, so DuckDB
     * recomputes what a correct decode must report without decoding.
     */
+  /** Shared dHash re-derivation CTEs (imgs → … → hash): DuckDB
+    * recomputes EVERY hash bit of every png fixture from the
+    * generator's pixel arithmetic — the mm_meta trick. Reused by the
+    * `dedup_image` and `dedup_image_incremental` oracles (one
+    * definition, so the two can never drift).
+    */
+  private val DhashCtes: String =
+    """imgs AS (
+      |  SELECT doc_id AS media_id,
+      |         8 + (doc_id * 7) % 300 AS w,
+      |         8 + (doc_id * 13) % 200 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM imgs),
+      |px AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |gr AS (
+      |  SELECT media_id, x, y,
+      |         ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g
+      |  FROM (SELECT media_id, x, y,
+      |          ((media_id * 2654435761 + x * 31 + y * 17) >> 8) & 16777215 AS p
+      |        FROM px)),
+      |cxb AS (
+      |  SELECT media_id, cx, (cx * w) // 9 AS xlo,
+      |         least(w, greatest((cx * w) // 9 + 1, ((cx + 1) * w) // 9)) AS xhi
+      |  FROM (SELECT media_id, w, unnest(range(0, 9)) AS cx FROM imgs)),
+      |cyb AS (
+      |  SELECT media_id, cy, (cy * h) // 8 AS ylo,
+      |         least(h, greatest((cy * h) // 8 + 1, ((cy + 1) * h) // 8)) AS yhi
+      |  FROM (SELECT media_id, h, unnest(range(0, 8)) AS cy FROM imgs)),
+      |colsum AS (
+      |  SELECT g.media_id, c.cx, g.y, sum(g.g) AS s, count(*) AS n
+      |  FROM gr g JOIN cxb c
+      |    ON g.media_id = c.media_id AND g.x >= c.xlo AND g.x < c.xhi
+      |  GROUP BY 1, 2, 3),
+      |cell AS (
+      |  SELECT cs.media_id, cs.cx, c.cy, sum(cs.s) AS s, sum(cs.n) AS n
+      |  FROM colsum cs JOIN cyb c
+      |    ON cs.media_id = c.media_id AND cs.y >= c.ylo AND cs.y < c.yhi
+      |  GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT l.media_id, l.cy * 8 + l.cx AS i,
+      |         CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+      |  FROM cell l JOIN cell r
+      |    ON l.media_id = r.media_id AND l.cy = r.cy AND r.cx = l.cx + 1),
+      |hash AS MATERIALIZED (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** The fixture contract, restated for the oracles: every dimension
+    * below is the SQL twin of a [[MediaGen]] pure function, so DuckDB
+    * recomputes what a correct decode must report without decoding.
+    */
   val queries: Seq[Q] = Seq(
     // dHash near-dup: the oracle re-derives every hash bit from the
     // generator's pixel arithmetic (lossless decode reproduces it
     // exactly), then runs the EXACT all-pairs Hamming scan — equal to
-    // the banded engine answer by the pigeonhole argument
-    // lossy-inclusive twin: jpeg decode isn't SQL-expressible, so no
-    // oracle by nature — pinned by the cross-format planted spec and
-    // the shared hash/keep machinery the dedup_image oracle proves
+    // the collapsed+banded engine answer by the pigeonhole argument.
+    // The lossy-inclusive twin has no oracle by nature (jpeg decode is
+    // not SQL-expressible) — pinned by the cross-format planted spec
+    // and the shared hash/keep machinery the dedup_image oracle proves
     Q("dedup_image_all", (s, d) => dedupImageAll(s, d), None),
     Q("dedup_image", (s, d) => dedupImage(s, d), Some(
-      """WITH imgs AS (
-        |  SELECT doc_id AS media_id,
-        |         8 + (doc_id * 7) % 300 AS w,
-        |         8 + (doc_id * 13) % 200 AS h
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM imgs),
-        |px AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
-        |gr AS (
-        |  SELECT media_id, x, y,
-        |         ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g
-        |  FROM (SELECT media_id, x, y,
-        |          ((media_id * 2654435761 + x * 31 + y * 17) >> 8) & 16777215 AS p
-        |        FROM px)),
-        |cxb AS (
-        |  SELECT media_id, cx, (cx * w) // 9 AS xlo,
-        |         least(w, greatest((cx * w) // 9 + 1, ((cx + 1) * w) // 9)) AS xhi
-        |  FROM (SELECT media_id, w, unnest(range(0, 9)) AS cx FROM imgs)),
-        |cyb AS (
-        |  SELECT media_id, cy, (cy * h) // 8 AS ylo,
-        |         least(h, greatest((cy * h) // 8 + 1, ((cy + 1) * h) // 8)) AS yhi
-        |  FROM (SELECT media_id, h, unnest(range(0, 8)) AS cy FROM imgs)),
-        |colsum AS (
-        |  SELECT g.media_id, c.cx, g.y, sum(g.g) AS s, count(*) AS n
-        |  FROM gr g JOIN cxb c
-        |    ON g.media_id = c.media_id AND g.x >= c.xlo AND g.x < c.xhi
-        |  GROUP BY 1, 2, 3),
-        |cell AS (
-        |  SELECT cs.media_id, cs.cx, c.cy, sum(cs.s) AS s, sum(cs.n) AS n
-        |  FROM colsum cs JOIN cyb c
-        |    ON cs.media_id = c.media_id AND cs.y >= c.ylo AND cs.y < c.yhi
-        |  GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT l.media_id, l.cy * 8 + l.cx AS i,
-        |         CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
-        |  FROM cell l JOIN cell r
-        |    ON l.media_id = r.media_id AND l.cy = r.cy AND r.cx = l.cx + 1),
-        |hash AS (
-        |  SELECT media_id,
-        |    CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
-        |    CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
-        |  FROM bits GROUP BY 1),
+      s"""WITH $DhashCtes,
         |pairs AS (
         |  SELECT a.media_id AS a, b.media_id AS b
         |  FROM hash a JOIN hash b ON a.media_id < b.media_id
@@ -657,6 +769,30 @@ object Multimodal {
         |SELECT h.media_id, h.dhash_hi, h.dhash_lo,
         |       least(coalesce(n.mn, h.media_id), h.media_id) AS keep_id
         |FROM hash h LEFT JOIN nbr n USING (media_id)
+        |ORDER BY media_id""".stripMargin)),
+    // incremental admission: history-hit batch images drop (any hist
+    // hash within Hamming 10), clean survivors collapse by the min-id
+    // rule — the per-image all-pairs form of the rep-collapsed engine
+    // rule (equivalence argued at newImagesAgainstHistory: dominance
+    // transfers through hash-group reps)
+    Q("dedup_image_incremental", (s, d) => dedupImageIncremental(s, d), Some(
+      s"""WITH $DhashCtes,
+        |hist AS (SELECT * FROM hash WHERE media_id < 250),
+        |bat AS (SELECT * FROM hash WHERE media_id >= 250),
+        |histhit AS (
+        |  SELECT DISTINCT b.media_id FROM bat b JOIN hist h
+        |    ON bit_count(xor(b.dhash_hi, h.dhash_hi)) +
+        |       bit_count(xor(b.dhash_lo, h.dhash_lo)) <= 10),
+        |clean AS (
+        |  SELECT * FROM bat
+        |  WHERE media_id NOT IN (SELECT media_id FROM histhit)),
+        |dominated AS (
+        |  SELECT DISTINCT b.media_id FROM clean b JOIN clean a
+        |    ON a.media_id < b.media_id
+        |   AND bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+        |       bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10)
+        |SELECT media_id, dhash_hi, dhash_lo FROM clean
+        |WHERE media_id NOT IN (SELECT media_id FROM dominated)
         |ORDER BY media_id""".stripMargin)),
     Q("mm_meta", mmMeta, Some(
       """SELECT doc_id AS media_id,
