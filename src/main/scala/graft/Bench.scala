@@ -188,7 +188,11 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).filter(_ >= 0).sum
     val totalCpu = results.map(_._2.cpu).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$totalCpu%.3f,"queries":${field(_.wall)},"cpu":${field(_.cpu)},"gc":${field(_.gc)},"runs":${rawField(_.wall)},"cpu_runs":${rawField(_.cpu)},"gc_runs":${rawField(_.gc)},"sf":"$sfDir"}"""
+    // "order" records the interleave sequence (each timed pass visits
+    // queries in exactly this order), so cross-round sample-i
+    // alignment is reconstructible from the record alone
+    val order = live.map(n => s""""$n"""").mkString("[", ",", "]")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$totalCpu%.3f,"queries":${field(_.wall)},"cpu":${field(_.cpu)},"gc":${field(_.gc)},"runs":${rawField(_.wall)},"cpu_runs":${rawField(_.cpu)},"gc_runs":${rawField(_.gc)},"order":$order,"sf":"$sfDir"}"""
     println(json)
     // Durable twin of the stdout line (VERDICT r8 item 7: the driver's
     // BENCH_r08 capture truncated to 6 of 23 queries — the committed

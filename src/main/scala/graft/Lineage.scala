@@ -54,6 +54,26 @@ object Lineage {
     }
   }
 
+  /** [[cut]] with the RDD lineage truncated too. The default [[cut]]
+    * keeps RDD lineage (recomputable blocks — the safety property),
+    * which means a VERY long iterative chain (hundreds of rounds)
+    * accumulates an RDD DAG whose recursive task deserialization
+    * eventually overflows the stack — measured: `Bpe.train` at ~300
+    * merge rounds dies in `StackOverflowError` inside
+    * `ObjectInputStream` (round 10, SURVEY §8). Loops beyond ~100
+    * rounds route every [[Bpe.RddChainCap]]-th cut through here:
+    * reliable `checkpoint()` when `graft.checkpoint.dir` is set (the
+    * cluster deployment mode — files survive executor churn),
+    * `localCheckpoint()` otherwise (blocks are not recomputable for
+    * THIS frame — an accepted, bounded exposure paid once per cap
+    * window, not per round).
+    */
+  def cutHard(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption(ConfKey).exists(_.nonEmpty)) cut(df)
+    else df.localCheckpoint()
+  }
+
   /** Drop a [[cut]] frame's persisted blocks. Safe whenever nothing
     * still NEEDS the materialization (the default mode recomputes on a
     * re-read; reliable mode re-reads its checkpoint files — there the

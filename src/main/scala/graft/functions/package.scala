@@ -155,4 +155,17 @@ package object functions {
     bridge.column(BloomMightContain(
       bridge.expression(bits), bridge.expression(key), numHashes))
   }
+
+  /** Product-quantization codes of a float-vector column via the
+    * native one-pass [[PqEncode]] expression: element mi is subspace
+    * mi's L2-nearest-center id. `centers(mi*k + code)` holds that
+    * slot's ds-dim center. Replaces the m·k `aggregate(zip_with(…))`
+    * folds + per-subspace `array_sort` of the HOF formulation
+    * (fuzz-pinned bit-identical) with one fused primitive loop.
+    */
+  def pqEncode(vec: Column, centers: Array[Array[Double]],
+      m: Int, k: Int, ds: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(PqEncode(bridge.expression(vec), centers, m, k, ds))
+  }
 }

@@ -77,8 +77,16 @@ object Bpe {
     *
     * Each round's vocabulary is Lineage.cut to truncate the
     * growing lineage, and the previous round's blocks are unpersisted
-    * once the next materializes (the CC-loop hygiene, Dedup).
+    * once the next materializes (the CC-loop hygiene, Dedup). Every
+    * [[RddChainCap]]-th round the cut is the HARD form
+    * ([[graft.Lineage.cutHard]]) that truncates RDD lineage too: the
+    * default cut keeps a recomputable RDD chain, and at production
+    * merge counts (~300+) that chain's recursive task
+    * deserialization overflows the stack (found by `graft.BpeProbe`
+    * at 500 merges, round 10 — SURVEY §8).
     */
+  val RddChainCap = 64
+
   def train(s: SparkSession, dir: String, nMerges: Int): (Seq[Merge], DataFrame) = {
     var words = wordCounts(s, dir)
       .withColumn("sym", initialSyms(col("word")))
@@ -103,7 +111,9 @@ object Bpe {
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(concat(element_at(acc, -1), x))))
               .otherwise(concat(acc, array(x))))
-        val next = words.withColumn("sym", merged).transform(graft.Lineage.cut)
+        val next = words.withColumn("sym", merged).transform(
+          if ((i + 1) % RddChainCap == 0) graft.Lineage.cutHard
+          else graft.Lineage.cut)
         words.unpersist()
         words = next
       }

@@ -404,11 +404,27 @@ object Similarity {
   }
 
   /** Row-local PQ encoding: per subspace, the L2-nearest center id —
-    * argmin ‖x−c‖² = argmax (dot(x,c) − ‖c‖²/2), m·k fused folds per
-    * row, no shuffle. Ties to the larger code (the [[bestOf]]
-    * convention).
+    * argmin ‖x−c‖² = argmax (dot(x,c) − ‖c‖²/2), no shuffle. Ties to
+    * the larger code (the [[bestOf]] convention). Round 10: the
+    * native one-pass [[graft.functions.PqEncode]] expression — the
+    * m·k `aggregate(zip_with(…))` folds of [[pqCodesHof]] were 256
+    * interpreter lambdas per row at the default dials, the encode
+    * stage's dominant CPU (the round-8 HOF rule); bit-identical
+    * (same dim-order dot fold, same scala-sum half-norms, same
+    * tie-break), pinned by PqEncodeSpec fuzz equality.
     */
   private def pqCodes(emb: Column,
+      books: Array[IndexedSeq[(Int, Array[Double])]], ds: Int): Column = {
+    val m = books.length
+    val k = books.head.size
+    val flat = books.flatMap(cb => cb.sortBy(_._1).map(_._2)).toArray
+    graft.functions.pqEncode(emb, flat, m, k, ds)
+  }
+
+  /** The HOF formulation [[pqCodes]] replaced — kept as the
+    * equality-spec twin (the D13 convention).
+    */
+  private[ops] def pqCodesHof(emb: Column,
       books: Array[IndexedSeq[(Int, Array[Double])]], ds: Int): Column =
     array(books.zipWithIndex.map { case (cb, mi) =>
       val sub = slice(emb, mi * ds + 1, ds)

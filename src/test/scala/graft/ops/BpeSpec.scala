@@ -85,6 +85,22 @@ class BpeSpec extends SparkSpec {
     assert(r.getString(3) === "ab </w>")
   }
 
+  test("bpe train survives chains past RddChainCap (the 300-round StackOverflow regression)") {
+    // the default Lineage.cut keeps RDD lineage; without the periodic
+    // cutHard, ~300 accumulated rounds overflow the task-deser stack
+    // (found by BpeProbe at 500 merges). 2·cap + 10 rounds crosses two
+    // hard-cut windows; a vocabulary of random 6-char words over 8
+    // letters supplies enough distinct pairs to actually learn them.
+    val rng = new scala.util.Random(7)
+    val words = Seq.fill(400)(
+      Array.fill(6)(('a' + rng.nextInt(8)).toChar).mkString -> 1)
+    val n = 2 * Bpe.RddChainCap + 10
+    val d = corpus(words: _*)
+    val (merges, vocab) = Bpe.train(spark, d, n)
+    vocab.unpersist()
+    assert(merges.size === n, s"expected $n merges, learned ${merges.size}")
+  }
+
   test("bpe train stops early when no pairs remain") {
     // single-char word: syms [x, </w>] -> one pair, then nothing
     val d = corpus("x" -> 4)
