@@ -168,4 +168,16 @@ package object functions {
     val bridge = org.apache.spark.sql.graft.bridge
     bridge.column(PqEncode(bridge.expression(vec), centers, m, k, ds))
   }
+
+  /** `struct(cos, pid)` of the best (max cosine, ties to larger pid)
+    * of a fixed center set, via the native one-pass [[CosBest]]
+    * expression — the k-means/SemDeDup assignment kernel, replacing k
+    * HOF dot folds + an `array_sort` per row (fuzz-pinned
+    * bit-identical incl. null/zero/NaN semantics).
+    */
+  def cosBest(vec: Column, centers: Seq[(Int, Array[Double])]): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(CosBest(bridge.expression(vec),
+      centers.map(_._2).toArray, centers.map(_._1).toArray))
+  }
 }

@@ -599,6 +599,20 @@ object Similarity {
     * k-means|| weighting pass.
     */
   private def bestOf(emb: Column,
+      centers: Seq[(Int, Array[Double])]): Column =
+    // round 10: the native one-pass [[graft.functions.CosBest]] —
+    // the HOF form below was k interpreter dot folds + an array_sort
+    // per row, the assignment stage's dominant CPU in
+    // embed_kmeans/dedup_semantic; bit-identical (same dim-order
+    // folds, same driver sqrt(Σc²), same struct-max tie-break incl.
+    // NaN-greatest and the null→(null, max pid) path), pinned by
+    // CosBestSpec fuzz equality against [[bestOfHof]]
+    graft.functions.cosBest(emb, centers)
+
+  /** The HOF formulation [[bestOf]] replaced — kept as the
+    * equality-spec twin (the D13 convention).
+    */
+  private[ops] def bestOfHof(emb: Column,
       centers: Seq[(Int, Array[Double])]): Column = {
     val na = aggregate(transform(emb, x =>
       x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v)
