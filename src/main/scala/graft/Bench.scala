@@ -48,7 +48,10 @@ object Bench {
     // round 9 (cont.): the tokenizer-apply workload — the D22 train
     // loop (20 count→argmax→rewrite rounds on the collapsed
     // vocabulary) plus the corpus-wide encode join
-    "bpe_encode")
+    "bpe_encode",
+    // round 10: incremental image admission — decode+dHash of the
+    // whole corpus, history band-index probe, within-batch collapse
+    "dedup_image_incremental")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the

@@ -528,18 +528,26 @@ object Similarity {
   def embedQuantize(s: SparkSession, dir: String): DataFrame =
     embedQuantizeOn(corpus(s, dir))
 
+  /** The quantization arithmetic as a reusable pair (scale, codes) —
+    * one definition shared by [[embedQuantizeOn]] (the storage form)
+    * and [[annQuantized]] (searching ON the codes), so the two can
+    * never drift.
+    */
+  private def quantScale(emb: Column): Column =
+    aggregate(emb, lit(0.0),
+      (a, v) => greatest(a, abs(v.cast("double")))) / 127.0
+
+  private def quantCodes(emb: Column, scale: Column): Column =
+    when(scale === 0.0, transform(emb, _ => lit(0)))
+      .otherwise(transform(emb,
+        v => floor(v.cast("double") / scale + 0.5).cast("int")))
+
   /** [[embedQuantize]] over an explicit (vec_id, embedding) frame —
     * the testable seam. */
   private[ops] def embedQuantizeOn(vecs: DataFrame): DataFrame = {
     vecs
-      .withColumn("scale",
-        aggregate(col("embedding"), lit(0.0),
-          (a, v) => greatest(a, abs(v.cast("double")))) / 127.0)
-      .withColumn("codes",
-        when(col("scale") === 0.0,
-          transform(col("embedding"), _ => lit(0)))
-        .otherwise(transform(col("embedding"),
-          v => floor(v.cast("double") / col("scale") + 0.5).cast("int"))))
+      .withColumn("scale", quantScale(col("embedding")))
+      .withColumn("codes", quantCodes(col("embedding"), col("scale")))
       .withColumn("mse",
         when(col("scale") === 0.0, lit(0.0))
         .otherwise(
@@ -559,6 +567,34 @@ object Similarity {
           .as("codes"),
         col("mse"))
       .orderBy("vec_id")
+  }
+
+  /** D31b: top-k ANN over the INT8-QUANTIZED corpus (round 10 —
+    * closing the D31 loop: the quantized form is the serving format,
+    * so search must run ON the codes, not just store them). Cosine
+    * over symmetric per-vector quantization is scale-free — cos(s_a·
+    * c_a, s_b·c_b) = cos(c_a, c_b), the per-vector scales cancel — so
+    * the scored index is PURE int8 codes: 4× smaller frames in the
+    * scoring join and nothing dequantized. The code dot products are
+    * exact integer sums (≤ 127²·d, exact in double), which makes the
+    * ranking BIT-identical across engines without any fold-order
+    * care — better-oracled than the float cosine it approximates.
+    * Same broadcast-queries + bounded TopKAgg shape as [[annBruteforce]];
+    * recall vs the exact float answer is spec-pinned.
+    */
+  def annQuantized(s: SparkSession, dir: String): DataFrame =
+    annQuantizedOn(corpus(s, dir), querySet(s, dir))
+
+  private[ops] def annQuantizedOn(corp: DataFrame,
+      queries: DataFrame): DataFrame = {
+    def codesF(c: Column) =
+      transform(quantCodes(c, quantScale(c)), _.cast("float"))
+    val cc = corp.select(col("vec_id"), codesF(col("embedding")).as("cemb"))
+    val qq = queries.select(col("q_id"), codesF(col("q_emb")).as("qemb"))
+    val scored = cc.join(broadcast(qq))
+      .withColumn("cos", cosine(col("cemb"), col("qemb")))
+      .select("q_id", "vec_id", "cos")
+    topKPerQuery(scored)
   }
 
   /** D24: spherical k-means refinement over the embedding corpus —
@@ -910,6 +946,34 @@ object Similarity {
          |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
          |                                CAST(q.embedding AS DOUBLE[])) AS cos
          |  FROM embeddings c, embeddings q WHERE q.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
+    // quantized search: the code dots are exact integer sums, so the
+    // ranking is bit-identical across engines (no fold-order care);
+    // the quantization CTE is the embed_quantize formulation verbatim
+    Q("ann_quantized", (s, d) => annQuantized(s, d), Some(
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cs AS (
+         |  SELECT vec_id, e,
+         |    CASE WHEN len(e) = 0 THEN 0.0
+         |         ELSE list_reduce(list_transform(e, x -> abs(x)),
+         |                (a, b) -> greatest(a, b)) / 127.0 END AS scale
+         |  FROM v),
+         |codes AS (
+         |  SELECT vec_id,
+         |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+         |         ELSE list_transform(e, x -> floor(x / scale + 0.5)) END AS c
+         |  FROM cs),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+         |         list_cosine_similarity(d.c, q.c) AS cos
+         |  FROM codes d, codes q WHERE q.vec_id < $NQueries),
          |ranked AS (
          |  SELECT q_id, vec_id, cos,
          |         row_number() OVER (PARTITION BY q_id

@@ -177,6 +177,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("ann_quantized recall@5 vs exact bruteforce is >= 0.9 on sf0.01 embeddings") {
+    // int8 symmetric quantization keeps per-dimension values to
+    // ±scale/2, so the quantized ranking should reproduce the exact
+    // top-5 almost everywhere — far tighter than the LSH bound
+    val sf = "/root/testdata/sf0.01"
+    val bf = Similarity.annBruteforce(spark, sf).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = Similarity.annQuantized(spark, sf).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(qz).size.toDouble / bf.size
+    info(f"ann_quantized recall@5 vs bruteforce: $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+    // self is always rank 1 (a vector's quantized cosine with itself is 1)
+    val self = Similarity.annQuantized(spark, sf).collect()
+      .filter(_.getLong(1) == 1L)
+    self.foreach(r => assert(r.getLong(0) === r.getLong(2),
+      s"query ${r.getLong(0)} rank-1 is not itself"))
+  }
+
   test("ann_ivf: every query finds itself at rank 1 with cosine 1") {
     // a query's own list is always its first probe, so self-recall is
     // exact regardless of corpus geometry

@@ -31,6 +31,10 @@ SKIPS = {
         "arithmetic - O(total pixels) ~ 4e9 rows at 166k images; "
         "oracle-pinned at sf0.01/sf0.1, engine sf10-verified via the "
         "collapsed hash dump (SURVEY s8 round 10)",
+    "dedup_image_incremental": "same DhashCtes per-pixel re-derivation "
+        "as dedup_image (one shared definition) - O(total pixels) at "
+        "sf10; oracle-pinned at sf0.01/sf0.1, engine sf10-verified in "
+        "the dump",
 }
 
 NUMERIC = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE",
@@ -72,7 +76,9 @@ def compare(con, name, sql, out_dir):
         return rec
     try:
         con.execute(f"CREATE OR REPLACE VIEW s_raw AS SELECT * FROM read_parquet('{files[0]}')")
-        con.execute(f"CREATE OR REPLACE VIEW o_raw AS ({sql})")
+        # TEMP TABLE, not VIEW: the count + two EXCEPT passes below
+        # would otherwise re-evaluate a heavy oracle three times
+        con.execute(f"CREATE OR REPLACE TEMP TABLE o_raw AS ({sql})")
         rec["spark_rows"] = con.execute("SELECT count(*) FROM s_raw").fetchone()[0]
         rec["oracle_rows"] = con.execute("SELECT count(*) FROM o_raw").fetchone()[0]
         rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
@@ -108,6 +114,10 @@ def compare(con, name, sql, out_dir):
         rec["err"] = traceback.format_exc()[-400:]
         rec["hash_match"] = False
     finally:
+        try:
+            con.execute("DROP TABLE IF EXISTS o_raw")
+        except Exception:
+            pass
         rec["secs"] = round(time.time() - t0, 1)
         if not rec["notes"]:
             del rec["notes"]
