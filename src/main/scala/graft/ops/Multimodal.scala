@@ -591,6 +591,9 @@ object Multimodal {
       .distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) +
         bit_count(col("la").bitwiseXOR(col("lb"))) <= maxHamming)
+      // cut: BOTH direction projections of the union below read this
+      // frame — without materialization the probe join runs twice
+      .transform(graft.Lineage.cut)
     val neighborMin = cand.select(col("a").as("gmin"), col("b").as("nbr"))
       .unionByName(cand.select(col("b").as("gmin"), col("a").as("nbr")))
       .groupBy("gmin").agg(min(col("nbr")).as("mn"))
