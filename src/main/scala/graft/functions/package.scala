@@ -180,4 +180,14 @@ package object functions {
     bridge.column(CosBest(bridge.expression(vec),
       centers.map(_._2).toArray, centers.map(_._1).toArray))
   }
+
+  /** `struct(n_lines, kept)` of the C4 line rule over a page column
+    * via the native one-pass [[C4LineFilter]] byte scan — replaces
+    * the nested per-line regex-split + lambda-filter HOFs
+    * (fuzz-pinned bit-identical).
+    */
+  def c4LineFilter(text: Column, minWords: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(C4LineFilter(bridge.expression(text), minWords))
+  }
 }

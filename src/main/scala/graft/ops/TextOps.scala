@@ -123,17 +123,29 @@ object TextOps {
     */
   def textLineFilter(s: SparkSession, dir: String, minWords: Int = 3,
       minLines: Int = 3): DataFrame = {
-    val lines = split(col("text"), "\n")
+    // round 10: the native one-pass line scan (the nested per-line
+    // HOFs were ~10x the page-build cost — see C4LineFilter);
+    // bit-identical to [[lineRuleHof]], fuzz-pinned
+    val lf = graft.functions.c4LineFilter(col("text"), minWords)
+    docs(s, dir)
+      .select(col("doc_id"),
+        lf.getField("n_lines").as("n_lines"),
+        size(lf.getField("kept")).cast("long").as("n_kept"),
+        concat_ws("\n", lf.getField("kept")).as("cleaned_text"))
+      .withColumn("keep", col("n_kept") >= minLines)
+      .orderBy("doc_id")
+  }
+
+  /** The HOF line rule the native [[graft.functions.C4LineFilter]]
+    * replaced — kept as the equality-spec twin (the D13 convention):
+    * `struct(n_lines, kept)` from split + nested lambda filters.
+    */
+  private[ops] def lineRuleHof(text: Column, minWords: Int): Column = {
+    val lines = split(text, "\n")
     val kept = filter(lines, l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
         size(filter(wsTokens(l), t => t =!= "")) >= minWords)
-    docs(s, dir)
-      .select(col("doc_id"),
-        size(lines).cast("long").as("n_lines"),
-        size(kept).cast("long").as("n_kept"),
-        concat_ws("\n", kept).as("cleaned_text"))
-      .withColumn("keep", col("n_kept") >= minLines)
-      .orderBy("doc_id")
+    struct(size(lines).cast("long").as("n_lines"), kept.as("kept"))
   }
 
   /** D29b: FULL C4 §2.2 cleaning (Raffel et al. 2020) — the round-8
@@ -204,16 +216,14 @@ object TextOps {
     */
   private[graft] def textC4CleanOn(pages: DataFrame, minWords: Int = 3,
       minLines: Int = 3): DataFrame = {
-    val lines = split(col("text"), "\n")
-    val sents = filter(lines, l =>
-      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
-        size(filter(wsTokens(l), t => t =!= "")) >= minWords)
+    // round 10: native one-pass line scan (see [[textLineFilter]])
+    val lf = graft.functions.c4LineFilter(col("text"), minWords)
     // cut: feeds the span explode AND the final rebuild
     val surv = pages
       .filter(!contains(lower(col("text")), lit("lorem ipsum")) &&
         !contains(col("text"), lit("{")))
-      .select(col("doc_id"), size(lines).cast("long").as("n_lines"),
-        sents.as("sents"))
+      .select(col("doc_id"), lf.getField("n_lines").as("n_lines"),
+        lf.getField("kept").as("sents"))
       .withColumn("n_kept", size(col("sents")).cast("long"))
       .filter(col("n_kept") >= minLines)
       .transform(graft.Lineage.cut)
