@@ -93,6 +93,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         functions.BloomMightContain(children.head, children(1), k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("c4_line_filter"),
+      new ExpressionInfo(
+        classOf[functions.C4LineFilter].getName, "c4_line_filter",
+        "c4_line_filter(text, min_words) - struct(n_lines, kept) of the C4 " +
+          "line rule: lines ending in ./!/? with >= min_words tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "c4_line_filter expects 2 arguments")
+        val mw = children(1) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval() match {
+              case i: java.lang.Integer => i.intValue()
+              case other => throw new IllegalArgumentException(
+                s"c4_line_filter min_words must be a non-null integer constant, got $other")
+            }
+          case e => throw new IllegalArgumentException(
+            s"c4_line_filter min_words must be an integer constant, got $e")
+        }
+        functions.C4LineFilter(children.head, mw)
+      }))
     // the remaining unary text/dedup scans: same one-arg shape. Each
     // tuple carries its implementing class so DESCRIBE FUNCTION
     // reports the right one (not ShingleIds for all five).

@@ -71,6 +71,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       bloom_might_contain(array(-1L, -1L), 7L, 4) AS full""".stripMargin)
         .head()
       assert(!bl.getBoolean(0) && bl.getBoolean(1))
+      // c4_line_filter: struct(n_lines, kept) of the C4 line rule
+      val c4 = spark.sql(
+        """SELECT c4_line_filter('keep me now.\ndrop\nme three too.', 3) AS r"""
+      ).head().getStruct(0)
+      assert(c4.getLong(0) === 3L)
+      assert(c4.getSeq[String](1) === Seq("keep me now.", "me three too."))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
