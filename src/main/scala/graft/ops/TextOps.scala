@@ -216,10 +216,27 @@ object TextOps {
     */
   private[graft] def textC4CleanOn(pages: DataFrame, minWords: Int = 3,
       minLines: Int = 3): DataFrame = {
+    val surv = c4Surv(pages, minWords, minLines)
+    val spans = c4Spans(surv)
+    val winners = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val droppedOcc = spans.join(winners, "h")
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .select(col("doc_id"), col("pos"))
+    c4Rebuild(surv, droppedOcc)
+  }
+
+  /** C4 stage 1-2 (page rules + the native line rule) → the surviving
+    * pages frame (doc_id, n_lines, sents, n_kept), Lineage-cut (it
+    * feeds the span explode AND the final rebuild). One seam shared
+    * by the full cleaner, the incremental cleaner and the streaming
+    * twin.
+    */
+  private[graft] def c4Surv(pages: DataFrame, minWords: Int = 3,
+      minLines: Int = 3): DataFrame = {
     // round 10: native one-pass line scan (see [[textLineFilter]])
     val lf = graft.functions.c4LineFilter(col("text"), minWords)
-    // cut: feeds the span explode AND the final rebuild
-    val surv = pages
+    pages
       .filter(!contains(lower(col("text")), lit("lorem ipsum")) &&
         !contains(col("text"), lit("{")))
       .select(col("doc_id"), lf.getField("n_lines").as("n_lines"),
@@ -227,11 +244,17 @@ object TextOps {
       .withColumn("n_kept", size(col("sents")).cast("long"))
       .filter(col("n_kept") >= minLines)
       .transform(graft.Lineage.cut)
-    // span digests projected row-locally: the exchange below carries
-    // (doc_id, pos, 16-byte md5) — never the sentence text
+  }
+
+  /** Three-consecutive-sentence span digests of a surviving-pages
+    * frame — (doc_id, pos, h) rows, projected row-locally: the
+    * exchanges downstream carry the 16-byte md5, never span text.
+    * Lineage-cut (the full cleaner reads it twice).
+    */
+  private[graft] def c4Spans(surv: DataFrame): DataFrame = {
     val spanIdx = when(col("n_kept") >= 3L,
       sequence(lit(1L), col("n_kept") - 2)).otherwise(array().cast("array<long>"))
-    val spans = surv.select(col("doc_id"),
+    surv.select(col("doc_id"),
         explode(transform(spanIdx, i => struct(i.as("pos"),
           md5(concat_ws("\n",
             element_at(col("sents"), i.cast("int")),
@@ -239,11 +262,16 @@ object TextOps {
             element_at(col("sents"), (i + 2).cast("int"))).cast("binary"))
             .as("h")))).as("sp"))
       .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
-      .transform(graft.Lineage.cut) // feeds the winner agg AND the dup side
-    val winners = spans.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    val dropped = spans.join(winners, "h")
-      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .transform(graft.Lineage.cut)
+  }
+
+  /** The rebuild: expand dropped span occurrences (doc_id, pos) to
+    * their three sentence positions and re-join the surviving pages
+    * without them.
+    */
+  private[graft] def c4Rebuild(surv: DataFrame,
+      droppedOcc: DataFrame): DataFrame = {
+    val dropped = droppedOcc
       .select(col("doc_id"),
         explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("dpos"))
       .distinct()
@@ -255,6 +283,60 @@ object TextOps {
           !array_contains(coalesce(col("dl"), array().cast("array<long>")),
             (i + 1).cast("long")))).as("final_text"))
       .orderBy("doc_id")
+  }
+
+  /** D29c: INCREMENTAL C4 cleaning — clean a batch of pages against
+    * the spans the corpus has ALREADY seen (the continuous-crawl
+    * deployment of D29b, and the text-cleaning member of the
+    * incremental-admission family D1b/D5c/D12e): a batch span whose
+    * digest exists in history drops ALL its occurrences (the first
+    * occurrence was kept when it was first seen); among history-clean
+    * spans the smallest (doc_id, pos) batch occurrence wins and later
+    * ones drop — exactly the full rule with history as a prefix.
+    * The history participates ONLY as its distinct span-digest index
+    * (16 bytes per span ever seen — page text is never rescanned).
+    * Shared seam with the streaming twin
+    * [[graft.streaming.TextStreams.c4CleanStream]].
+    */
+  def textC4CleanIncremental(s: SparkSession, dir: String,
+      splitId: Long = 250L, minWords: Int = 3, minLines: Int = 3): DataFrame = {
+    val pages = c4Pages(docs(s, dir)).transform(graft.Lineage.cut)
+    val histSpans = c4Spans(
+        c4Surv(pages.filter(col("doc_id") < splitId), minWords, minLines))
+      .select("h").distinct()
+    cleanAgainstHistory(pages.filter(col("doc_id") >= splitId),
+      histSpans, minWords, minLines)
+  }
+
+  /** The batch-vs-history C4 rule on explicit frames — `histSpans` is
+    * the persistent distinct span-digest index a deployment
+    * materializes once and appends to.
+    */
+  private[graft] def cleanAgainstHistory(pages: DataFrame,
+      histSpans: DataFrame, minWords: Int = 3,
+      minLines: Int = 3): DataFrame = {
+    val surv = c4Surv(pages, minWords, minLines)
+    cleanCore(surv, c4Spans(surv), histSpans)
+  }
+
+  /** The batch-vs-history rule on pre-derived (surv, spans) frames —
+    * the exact seam the streaming twin drives (it derives surv/spans
+    * once and also feeds `spans` to its index write).
+    */
+  private[graft] def cleanCore(surv: DataFrame, spans: DataFrame,
+      histSpans: DataFrame): DataFrame = {
+    val hist = histSpans.select(col("h")).distinct()
+    // every occurrence of a history span drops; clean spans keep only
+    // their first (smallest (doc_id, pos)) batch occurrence
+    val histHit = spans.join(hist, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val cleanSpans = spans.join(hist, Seq("h"), "left_anti")
+    val winners = cleanSpans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val batchDup = cleanSpans.join(winners, "h")
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .select(col("doc_id"), col("pos"))
+    c4Rebuild(surv, histHit.unionByName(batchDup))
   }
 
   /** D9: quality scoring from exact integer counts; the composite
@@ -806,6 +888,46 @@ object TextOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Shared C4 oracle CTEs (page build -> line/page rules -> span
+    * digests): one definition reused by the full and incremental
+    * cleaning oracles, so the two derivations can never drift.
+    */
+  private val C4OracleCtes: String =
+    raw"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |built AS (
+      |  SELECT doc_id,
+      |    [array_to_string(tk[(j-1)*6+1 : j*6], ' ') || '.'
+      |     FOR j IN range(1, CAST(len(tk) // 6 AS BIGINT) + 1)] AS base
+      |  FROM toks),
+      |pg AS (
+      |  SELECT doc_id, array_to_string(
+      |    (CASE WHEN doc_id % 7 = 0 THEN
+      |       ['share this page now.', 'follow us on social media.',
+      |        'all rights reserved by the site.'] ELSE CAST([] AS VARCHAR[]) END)
+      |    || base
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ['menu.'] ELSE CAST([] AS VARCHAR[]) END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN ['curly { brace line appears here.'] ELSE CAST([] AS VARCHAR[]) END)
+      |    || (CASE WHEN doc_id % 13 = 0 THEN ['this page contains lorem ipsum text.'] ELSE CAST([] AS VARCHAR[]) END),
+      |    chr(10)) AS text
+      |  FROM built),
+      |surv AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      (ends_with(l,'.') OR ends_with(l,'!') OR ends_with(l,'?'))
+      |      AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3) AS sents
+      |  FROM pg
+      |  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')),
+      |surv2 AS MATERIALIZED (
+      |  SELECT doc_id, n_lines, sents, CAST(len(sents) AS BIGINT) AS n_kept
+      |  FROM surv WHERE len(sents) >= 3),
+      |spans AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    md5(sents[CAST(i AS INT)] || chr(10) || sents[CAST(i+1 AS INT)] || chr(10) || sents[CAST(i+2 AS INT)]) AS h
+      |  FROM surv2, unnest(range(1, n_kept - 1)) AS r(i))""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -852,41 +974,8 @@ object TextOps {
     // occurrence window — winner/drop structure is non-vacuous (the
     // % 7 boilerplate block repeats across ~70 surviving pages)
     Q("text_c4_clean", (s, d) => textC4Clean(s, d), Some(
-      raw"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
-        |  FROM documents),
-        |built AS (
-        |  SELECT doc_id,
-        |    [array_to_string(tk[(j-1)*6+1 : j*6], ' ') || '.'
-        |     FOR j IN range(1, CAST(len(tk) // 6 AS BIGINT) + 1)] AS base
-        |  FROM toks),
-        |pg AS (
-        |  SELECT doc_id, array_to_string(
-        |    (CASE WHEN doc_id % 7 = 0 THEN
-        |       ['share this page now.', 'follow us on social media.',
-        |        'all rights reserved by the site.'] ELSE CAST([] AS VARCHAR[]) END)
-        |    || base
-        |    || (CASE WHEN doc_id % 5 = 0 THEN ['menu.'] ELSE CAST([] AS VARCHAR[]) END)
-        |    || (CASE WHEN doc_id % 11 = 0 THEN ['curly { brace line appears here.'] ELSE CAST([] AS VARCHAR[]) END)
-        |    || (CASE WHEN doc_id % 13 = 0 THEN ['this page contains lorem ipsum text.'] ELSE CAST([] AS VARCHAR[]) END),
-        |    chr(10)) AS text
-        |  FROM built),
-        |surv AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |    list_filter(string_split(text, chr(10)), l ->
-        |      (ends_with(l,'.') OR ends_with(l,'!') OR ends_with(l,'?'))
-        |      AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3) AS sents
-        |  FROM pg
-        |  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')),
-        |surv2 AS (
-        |  SELECT doc_id, n_lines, sents, CAST(len(sents) AS BIGINT) AS n_kept
-        |  FROM surv WHERE len(sents) >= 3),
-        |spans AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    md5(sents[CAST(i AS INT)] || chr(10) || sents[CAST(i+1 AS INT)] || chr(10) || sents[CAST(i+2 AS INT)]) AS h
-        |  FROM surv2, unnest(range(1, n_kept - 1)) AS r(i)),
-        |marked AS (
+      s"WITH $C4OracleCtes,\n" +
+      """marked AS (
         |  SELECT doc_id, pos, h,
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         |  FROM spans),
@@ -902,6 +991,38 @@ object TextOps {
         |    [s.sents[CAST(i AS INT)] FOR i IN range(1, s.n_kept + 1)
         |       IF d.dl IS NULL OR NOT list_contains(d.dl, i)], chr(10)), '') AS final_text
         |FROM surv2 s LEFT JOIN drops d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+    // incremental C4: history spans (doc_id < 250) drop every batch
+    // occurrence; clean spans keep the smallest batch (doc_id, pos)
+    Q("text_c4_clean_incremental",
+      (s, d) => textC4CleanIncremental(s, d), Some(
+      s"WITH $C4OracleCtes,\n" +
+      """histspans AS (SELECT DISTINCT h FROM spans WHERE doc_id < 250),
+        |bat AS (SELECT * FROM spans WHERE doc_id >= 250),
+        |histhit AS (
+        |  SELECT doc_id, pos FROM bat
+        |  WHERE h IN (SELECT h FROM histspans)),
+        |batmarked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM bat WHERE h NOT IN (SELECT h FROM histspans)),
+        |occ AS (
+        |  SELECT doc_id, pos FROM histhit
+        |  UNION ALL
+        |  SELECT doc_id, pos FROM batmarked WHERE rn > 1),
+        |dups AS (
+        |  SELECT DISTINCT doc_id, dpos
+        |  FROM (SELECT doc_id, unnest([pos, pos+1, pos+2]) AS dpos FROM occ)),
+        |drops AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped, list(dpos) AS dl
+        |  FROM dups GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_lines, s.n_kept,
+        |  coalesce(d.n_dropped, 0) AS n_dropped,
+        |  coalesce(array_to_string(
+        |    [s.sents[CAST(i AS INT)] FOR i IN range(1, s.n_kept + 1)
+        |       IF d.dl IS NULL OR NOT list_contains(d.dl, i)], chr(10)), '') AS final_text
+        |FROM surv2 s LEFT JOIN drops d USING (doc_id)
+        |WHERE s.doc_id >= 250
         |ORDER BY doc_id""".stripMargin)),
     // chunking oracle: same integer window arithmetic (window 64,
     // overlap 16, stride 48; `//` = DuckDB integer division, the

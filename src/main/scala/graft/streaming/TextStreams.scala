@@ -145,6 +145,82 @@ object TextStreams {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /** E10: continuous C4 cleaning against a PERSISTENT span index —
+    * the streaming twin of `text_c4_clean_incremental` (D29c), and
+    * the shape a continuously-crawled corpus needs: the corpus-wide
+    * three-sentence-span dedup must remember every span ever seen, so
+    * the index lives as a parquet table of distinct span digests
+    * (16 bytes/span — page text never rescanned) that each
+    * micro-batch probes and appends to. Arriving pages run the same
+    * row-local line/page rules as the batch cleaner; a batch span
+    * already in history drops all its occurrences (its first
+    * occurrence was kept when first seen), history-clean spans keep
+    * their first in-batch occurrence. Cleaning rule IS
+    * [[graft.ops.TextOps.cleanCore]] — the code path the D29c oracle
+    * pins.
+    *
+    * Index layout + replay protocol follow [[dedupStream]] (E9): the
+    * index partitions on (ingest_batch, kgrp — digest prefix), the
+    * per-batch read prunes to the batch's own prefix groups
+    * ([[c4HistoryRead]]), both sinks use batch-partitioned dynamic
+    * overwrite and the history read excludes the current batch id.
+    */
+  def c4CleanStream(spark: SparkSession, pagesDir: String, outDir: String,
+      indexDir: String, checkpointDir: String, minWords: Int = 3,
+      minLines: Int = 3): StreamingQuery = {
+    val schema = spark.read.parquet(pagesDir).schema
+    spark.readStream.schema(schema).parquet(pagesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        c4ApplyBatch(spark, batch.toDF(), batchId, outDir, indexDir,
+          minWords, minLines)
+      }
+      .start()
+  }
+
+  /** The kgrp-pruned history-span read (the [[historyRead]] pattern on
+    * the span-digest index).
+    */
+  private[streaming] def c4HistoryRead(spark: SparkSession, indexDir: String,
+      batchId: Long, spans: DataFrame): DataFrame = {
+    val groups = spans.select(kgrp(col("h")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    spark.read.parquet(indexDir)
+      .filter(col("ingest_batch") =!= batchId) // replay: own rows aren't history
+      .filter(col("kgrp").isin(groups: _*))
+      .select("h")
+  }
+
+  private[streaming] def c4ApplyBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, outDir: String, indexDir: String,
+      minWords: Int = 3, minLines: Int = 3): Unit = {
+    val surv = graft.ops.TextOps.c4Surv(batch, minWords, minLines)
+    val spans = graft.ops.TextOps.c4Spans(surv)
+    val hist =
+      if (nonEmptyDir(spark, indexDir)) c4HistoryRead(spark, indexDir, batchId, spans)
+      else spans.select("h").limit(0)
+    val cleaned = graft.ops.TextOps.cleanCore(surv, spans, hist)
+      .withColumn("ingest_batch", lit(batchId))
+      .transform(graft.Lineage.cut) // self-overwrite + two sinks
+    try {
+      // index append: the batch's NEW distinct span digests (replay
+      // overwrites exactly its own partitions)
+      spans.select("h").distinct()
+        .join(hist.select("h").distinct(), Seq("h"), "left_anti")
+        .withColumn("ingest_batch", lit(batchId))
+        .withColumn("kgrp", kgrp(col("h")))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "kgrp")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(indexDir)
+      cleaned.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(outDir)
+    } finally graft.Lineage.free(cleaned)
+  }
+
   /** E8: streaming heavy hitters — the running top tokens of a
     * document stream via the Misra–Gries Aggregator
     * ([[graft.functions.MisraGriesAgg]]). The sketch buffer IS the
