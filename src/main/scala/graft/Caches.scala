@@ -43,4 +43,23 @@ object Caches {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
   }
+
+  /** Scoped variant for the streaming `foreachBatch` appliers (round
+    * 10, review finding): a micro-batch's pipeline makes several
+    * [[Lineage.cut]] materializations INSIDE shared seams
+    * (`newImagesAgainstHistory`'s reps/clean, `c4Surv`/`c4Spans`, …)
+    * that the applier cannot reach to free — without this, a
+    * long-running stream leaks 2-3 persisted frames per micro-batch
+    * forever. Unpersists exactly the RDDs persisted DURING `body`
+    * (pre-existing user caches and other streams' blocks survive;
+    * cut blocks are recomputable by construction, so even a racing
+    * concurrent stream only pays a recompute, never a failure).
+    */
+  def scoped[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -75,24 +75,40 @@ object PqEncode {
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
-      var best = Double.NegativeInfinity
-      var bestCode = 0
-      var c = 0
-      while (c < k) {
-        val ctr = centers(mi * k + c)
-        var dot = 0.0
-        var j = 0
-        while (j < ds) {
-          dot += x.getFloat(mi * ds + j).toDouble * ctr(j)
-          j += 1
-        }
-        val s = dot - halfNorms(mi * k + c)
-        // iterate ascending code with >=: ties take the larger code,
-        // matching the struct-max tie-break of the HOF formulation
-        if (s >= best) { best = s; bestCode = c }
-        c += 1
+      // a null element nulls every cell's dot fold in the HOF form,
+      // and an all-null-score struct array sorts to the LARGEST code
+      // (review finding: the silent getFloat read diverged)
+      var hasNull = false
+      var j0 = 0
+      while (j0 < ds && !hasNull) {
+        if (x.isNullAt(mi * ds + j0)) hasNull = true
+        j0 += 1
       }
-      codes(mi) = bestCode
+      if (hasNull) codes(mi) = k - 1
+      else {
+        var best = Double.NegativeInfinity
+        var bestCode = 0
+        var have = false
+        var c = 0
+        while (c < k) {
+          val ctr = centers(mi * k + c)
+          var dot = 0.0
+          var j = 0
+          while (j < ds) {
+            dot += x.getFloat(mi * ds + j).toDouble * ctr(j)
+            j += 1
+          }
+          val s = dot - halfNorms(mi * k + c)
+          // Double.compare is the total order Spark's struct sort uses
+          // (NaN greatest — review finding: a plain >= never lets a
+          // NaN score win, diverging from the HOF's array_sort);
+          // ascending code with >=-update keeps ties on the larger code
+          val cmp = java.lang.Double.compare(s, best)
+          if (!have || cmp >= 0) { best = s; bestCode = c; have = true }
+          c += 1
+        }
+        codes(mi) = bestCode
+      }
       mi += 1
     }
     new GenericArrayData(codes)

@@ -417,7 +417,16 @@ object Similarity {
       books: Array[IndexedSeq[(Int, Array[Double])]], ds: Int): Column = {
     val m = books.length
     val k = books.head.size
-    val flat = books.flatMap(cb => cb.sortBy(_._1).map(_._2)).toArray
+    val flat = books.flatMap { cb =>
+      val sorted = cb.sortBy(_._1)
+      // PqEncode emits slot POSITIONS — they equal the stored code ids
+      // only under contiguous 0..k-1 ids, which every trainer here
+      // produces; guard the precondition instead of silently drifting
+      // from the HOF form (review finding)
+      require(sorted.map(_._1) == (0 until k),
+        s"pq codebook ids must be contiguous 0..${k - 1}, got ${sorted.map(_._1)}")
+      sorted.map(_._2)
+    }.toArray
     graft.functions.pqEncode(emb, flat, m, k, ds)
   }
 

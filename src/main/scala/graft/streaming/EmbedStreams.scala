@@ -115,7 +115,7 @@ object EmbedStreams {
 
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, outDir: String, indexDir: String,
-      threshold: Double = 0.9): Unit = {
+      threshold: Double = 0.9): Unit = graft.Caches.scoped(spark) {
     val sigsDir = s"$indexDir/sigs"
     val vecsDir = s"$indexDir/vecs"
     val emb = batch.select(col("vec_id"), col("embedding"))

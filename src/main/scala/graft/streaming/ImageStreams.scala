@@ -105,7 +105,7 @@ object ImageStreams {
 
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, outDir: String, indexDir: String,
-      maxHamming: Int = 10): Unit = {
+      maxHamming: Int = 10): Unit = graft.Caches.scoped(spark) {
     val hashesDir = s"$indexDir/hashes"
     val hashed = graft.ops.Multimodal.hashFrameOf(
         batch.withColumn("format",
@@ -122,7 +122,12 @@ object ImageStreams {
       .withColumn("ingest_batch", lit(batchId))
       .transform(graft.Lineage.cut) // 2 sinks below; also self-overwrite
     try {
-      graft.ops.Multimodal.bandRowsOf(admitted)
+      // project media_id away: the history read only ever consumes
+      // (dhash_hi, dhash_lo, band, bhash) — 8 hash+band rows per
+      // admitted image, nothing else (review finding: carrying the id
+      // bloated the index ~a third for a column every read dropped)
+      graft.ops.Multimodal.bandRowsOf(
+          admitted.select("dhash_hi", "dhash_lo", "ingest_batch"))
         .withColumn("bgrp", bandGroup(col("bhash")))
         .write.mode("overwrite")
         .partitionBy("ingest_batch", "band", "bgrp")

@@ -96,7 +96,7 @@ object TextStreams {
 
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, outDir: String, indexDir: String,
-      bloomBits: Option[Int] = None, bloomHashes: Int = 4): Unit = {
+      bloomBits: Option[Int] = None, bloomHashes: Int = 4): Unit = graft.Caches.scoped(spark) {
     val keyed = batch.withColumn("tkey", md5(col("text").cast("binary")))
     val hist =
       if (nonEmptyDir(spark, indexDir)) historyRead(spark, indexDir, batchId, keyed)
@@ -194,12 +194,17 @@ object TextStreams {
 
   private[streaming] def c4ApplyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, outDir: String, indexDir: String,
-      minWords: Int = 3, minLines: Int = 3): Unit = {
+      minWords: Int = 3, minLines: Int = 3): Unit = graft.Caches.scoped(spark) {
     val surv = graft.ops.TextOps.c4Surv(batch, minWords, minLines)
     val spans = graft.ops.TextOps.c4Spans(surv)
-    val hist =
+    // cut: consumed three times per batch (cleanCore's semi + anti
+    // joins and the index-write anti-join) — without materialization
+    // each re-scans the ever-growing index's pruned partitions
+    // (review finding)
+    val hist = (
       if (nonEmptyDir(spark, indexDir)) c4HistoryRead(spark, indexDir, batchId, spans)
       else spans.select("h").limit(0)
+    ).transform(graft.Lineage.cut)
     val cleaned = graft.ops.TextOps.cleanCore(surv, spans, hist)
       .withColumn("ingest_batch", lit(batchId))
       .transform(graft.Lineage.cut) // self-overwrite + two sinks

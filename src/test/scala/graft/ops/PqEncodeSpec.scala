@@ -44,6 +44,31 @@ class PqEncodeSpec extends SparkSpec {
     }
   }
 
+  test("NaN and null elements equal the HOF formulation (review-finding pins)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(131)
+    val m = 2; val ds = 2; val k = 3
+    val books = randomBooks(rng, m, k, ds)
+    val flat = books.flatMap(_.sortBy(_._1).map(_._2)).toArray
+    // NaN in subspace 0 only: that subspace's scores are all NaN (the
+    // HOF sort ranks NaN greatest, ties to the larger code → k-1);
+    // subspace 1 encodes normally
+    val df = Seq((1L, Array(Float.NaN, 0.5f, 0.25f, -0.5f)))
+      .toDF("vec_id", "embedding")
+      // a null ELEMENT row (not expressible in the typed Seq)
+      .unionByName(Seq(2L).toDF("vec_id").withColumn("embedding",
+        array(lit(null).cast("float"), lit(1.0f), lit(0.5f), lit(0.25f))))
+    val out = df.select(col("vec_id"),
+        Similarity.pqCodesHof(col("embedding"), books, ds).as("hof"),
+        graft.functions.pqEncode(col("embedding"), flat, m, k, ds).as("nat"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getSeq[Int](2))).toMap
+    out.foreach { case (id, (h, n)) =>
+      assert(h === n, s"vec $id: HOF $h != native $n") }
+    assert(out(1L)._2.head === k - 1, "NaN subspace takes the max code")
+    assert(out(2L)._2.head === k - 1, "null-element subspace takes the max code")
+  }
+
   test("PqEncode codegen COMPILES: strict no-fallback run stays correct") {
     import spark.implicits._
     val conf = spark.conf

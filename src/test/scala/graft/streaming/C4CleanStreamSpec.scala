@@ -115,6 +115,25 @@ class C4CleanStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("micro-batches leak no persisted blocks (the scoped-sweep contract)") {
+    // the seams inside a batch (c4Surv/c4Spans/hist/cleaned cuts) are
+    // unreachable from the applier — Caches.scoped must free exactly
+    // what each batch persisted, or a long-running stream grows 2-3
+    // frames per batch forever (round-10 review finding)
+    import spark.implicits._
+    val out = Files.createTempDirectory("c4l_out").toString
+    val idx = Files.createTempDirectory("c4l_idx").toString
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (b <- 0 until 4) {
+      val pages = Seq((b * 10 + 1).toLong -> page(
+        ownA.map(_.replace("one", s"v$b")), withBoiler = true))
+        .toDF("doc_id", "text")
+      TextStreams.c4ApplyBatch(spark, pages, b.toLong, out, idx)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "persisted-RDD count must return to baseline after every batch")
+  }
+
   test("doc_id-ordered arrival reproduces the batch full cleaner") {
     import spark.implicits._
     val src = Files.createTempDirectory("c4s2_src").toString
