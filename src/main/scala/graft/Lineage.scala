@@ -36,10 +36,24 @@ object Lineage {
     */
   val ConfKey = "graft.checkpoint.dir"
 
+  /** Test-only plan probe. A cut HIDES its upstream plan from every
+    * consumer (they see a LogicalRDD), so a plan guard that inspects
+    * only a query's final `executedPlan` cannot see, e.g., a
+    * digest-keyed window buried inside a materialized collapse frame —
+    * exactly the unsplittable-task anti-pattern CollapseSkewSpec pins
+    * against. When [[probePlans]] is on, [[cut]] records the physical
+    * plan of every frame it materializes; off (the default), the cost
+    * is one volatile read.
+    */
+  private[graft] val planProbe =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile private[graft] var probePlans: Boolean = false
+
   /** Materialize `df` now and return a frame whose plan starts from
     * the materialized rows. See object doc for the two modes.
     */
   def cut(df: DataFrame): DataFrame = {
+    if (probePlans) planProbe.add(df.queryExecution.executedPlan.toString)
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -71,7 +85,10 @@ object Lineage {
   def cutHard(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption(ConfKey).exists(_.nonEmpty)) cut(df)
-    else df.localCheckpoint()
+    else {
+      if (probePlans) planProbe.add(df.queryExecution.executedPlan.toString)
+      df.localCheckpoint()
+    }
   }
 
   /** Drop a [[cut]] frame's persisted blocks. Safe whenever nothing

@@ -90,10 +90,16 @@ object Dedup {
     *    quadratically, with unchanged semantics — exact dups have the
     *    same signatures and the same jaccard to everything);
     *  - `sets`: the shingle-id set PER UNIQUE SET only.
-    * Both derive narrowly from one materialized `grouped` table
-    * ([[graft.Lineage.cut]] truncates the plan lineage; consumers
-    * re-read its persisted — and, since round 7, recomputable —
-    * blocks). The MinHash signature table is NOT part of the corpus —
+    * The collapse itself is the skew-proof [[Collapse]] shape
+    * (groupBy + join-back, never a digest-keyed window — see the
+    * Collapse scaladoc for why a viral doc kills WindowExec). Two
+    * frames materialize ([[graft.Lineage.cut]] truncates the plan
+    * lineage; consumers re-read persisted — and, since round 7,
+    * recomputable — blocks): the shingle projection (it feeds both the
+    * collapse aggregate and the join-back; without the cut the
+    * expensive shingle pass would run twice) and the rep table (it
+    * feeds `sets`' several consumers and the doc→rep join).
+    * The MinHash signature table is NOT part of the corpus —
     * only the minhash path needs it ([[sigsOf]]); jaccard/cluster
     * operators must not pay its 64-min aggregation. Deployments that
     * cannot afford even recompute-from-source set
@@ -110,8 +116,7 @@ object Dedup {
     shingleCorpusOf(Tables.load(s, dir, "documents"))
 
   private def shingleCorpusOf(docs: DataFrame): ShingleCorpus = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("setkey")
-    val grouped = docs
+    val proj = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       // set identity = two independent hashes of the sorted id array
@@ -124,11 +129,13 @@ object Dedup {
       .withColumn("setkey", struct(
         xxhash64(array_sort(col("sh"))),
         hash(array_sort(col("sh")))))
-      .withColumn("rep", min(col("doc_id")).over(w))
       .transform(graft.Lineage.cut)
-    val docToRep = grouped.select("doc_id", "rep")
-    val sets = grouped.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("sh"))
+    // min_by carries the rep row's OWN shingle array (bit-identical to
+    // the rep-row filter it replaces: rep = min doc_id, ids unique)
+    val reps = Collapse.reps(proj, "setkey", payloads = Seq("sh"))
+      .transform(graft.Lineage.cut)
+    val docToRep = Collapse.docToRep(proj, reps, "setkey")
+    val sets = reps.select(col("rep").as("doc_id"), col("sh"))
     ShingleCorpus(docToRep, sets)
   }
 
@@ -168,9 +175,19 @@ object Dedup {
 
   private[ops] def capBuckets(banded: DataFrame, keys: Seq[String],
       cap: Int = MaxBucket): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    banded.withColumn("_bn", count(lit(1)).over(w))
-      .filter(col("_bn") <= cap).drop("_bn")
+    // groupBy-count + left-semi, NOT count(1) OVER (PARTITION BY keys):
+    // the degenerate bucket this guard exists for is exactly the key a
+    // window cannot split — every row of the viral bucket would land in
+    // ONE WindowExec task just to be counted and discarded. The partial
+    // aggregation counts it map-side, and the overflow bucket's rows
+    // simply never match the semi-join's keep-set (skewed semi joins
+    // are AQE-splittable; the follow-on bucket self-join reuses the
+    // same key partitioning).
+    val ok = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= cap)
+      .select(keys.map(col): _*)
+    banded.join(ok, keys, "left_semi")
   }
 
   /** D2: MinHash+LSH near-dup with exact-Jaccard verification, on the
@@ -255,15 +272,18 @@ object Dedup {
     simhashCorpusOf(Tables.load(s, dir, "documents"))
 
   private def simhashCorpusOf(docs: DataFrame): SimhashCorpus = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("tkey")
-    val grouped = docs
+    // No cut on the projection: the digest is one cheap md5 pass, so
+    // the two consumers just scan the (pruned) source twice — the
+    // join-back side never touches `text` at all, and full texts cross
+    // no exchange anywhere (the window this replaces shuffled every
+    // copy's text; min_by ships one text per digest per map task).
+    val proj = docs
       .select(col("doc_id"), col("text"))
-      .withColumn("tkey", md5(col("text").cast("binary")))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .transform(graft.Lineage.cut)
-    val docToRep = grouped.select("doc_id", "rep")
-    val uniqText = grouped.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("text"))
+      .withColumn("tkey", Collapse.textKey(col("text")))
+    val reps = Collapse.reps(proj, "tkey", payloads = Seq("text"))
+      .transform(graft.Lineage.cut) // feeds the doc→rep join AND simhashOf
+    val docToRep = Collapse.docToRep(proj, reps, "tkey")
+    val uniqText = reps.select(col("rep").as("doc_id"), col("text"))
     SimhashCorpus(docToRep, simhashOf(uniqText))
   }
 
@@ -373,23 +393,28 @@ object Dedup {
     * DISTINCT shingle sets implies a near-boilerplate corpus slice);
     * on corpora without such postings recall is exact.
     */
-  /** Per-group member slice with BOUNDED aggregation state: rank
-    * members within the group FIRST (row_number is sort-based, spills,
-    * never buffers the group) and collect only the topK+1 smallest
-    * ids — a viral doc duplicated 1e8 times contributes K+1 elements
-    * to the collect buffer, not 1e8 (collect_list skips the nulls the
-    * unmatched when() produces). The group size still aggregates over
-    * all rows, but count state is a single long.
+  /** Per-group member slice with BOUNDED aggregation state: the topK+1
+    * smallest member ids per group via the bounded
+    * [[graft.functions.TopKAgg]] aggregator (O(k) buffer; the map-side
+    * partial aggregation does the selection, so a viral doc duplicated
+    * 1e8 times contributes k-sized buffers per map task, never 1e8
+    * rows in one place). Replaced a row_number window over `rep` —
+    * same viral-group single-task exposure as the [[Collapse]] seam,
+    * since a window partition cannot be split. TopKAgg orders by
+    * (negScore, id); a constant score makes that "k smallest ids",
+    * ascending — exactly the sort_array(collect_list) slice it
+    * replaces. The group count aggregates alongside (single long of
+    * state).
     */
   private[ops] def boundedMembers(docToRep: DataFrame, topK: Int): DataFrame = {
-    val byId = org.apache.spark.sql.expressions.Window
-      .partitionBy("rep").orderBy("doc_id")
+    val topk = udaf(new graft.functions.TopKAgg(topK + 1))
     docToRep
-      .withColumn("rk", row_number().over(byId))
       .groupBy(col("rep"))
-      .agg(sort_array(collect_list(when(col("rk") <= topK + 1, col("doc_id"))))
-          .as("members"),
+      .agg(topk(lit(0.0), col("doc_id")).as("cand"),
         count(lit(1)).as("m"))
+      .select(col("rep"),
+        transform(col("cand"), c => c.getField("id")).as("members"),
+        col("m"))
   }
 
   /** Exact-verified inter-group jaccard pairs over the unique sets,

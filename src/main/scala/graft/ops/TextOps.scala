@@ -506,25 +506,26 @@ object TextOps {
     * is the unavoidable cross-doc exchange; everything else is narrow.
     */
   def textDupSpans(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("tkey")
-    // shingles projected BEFORE the group window so the raw text never
-    // crosses the shuffle; checkpointed because the frame feeds BOTH
-    // the doc→rep map and the rep-level gram explode — uncached, each
-    // branch would re-run the scan + shingle projection + group window
-    // (the shingleCorpus lesson, Dedup.scala)
-    val grouped = docs(s, dir)
+    // Exact-dup collapse via the skew-proof [[Collapse]] shape (groupBy
+    // + join-back, never a digest window — see Collapse). Shingles are
+    // projected once and checkpointed (the frame feeds BOTH the
+    // collapse aggregate and the doc→rep join — uncached, each branch
+    // would re-run the scan + shingle projection); the rep table is
+    // checkpointed too (it feeds the join AND the gram explode). Raw
+    // text never crosses a shuffle, and the rep row's shingle array
+    // rides min_by — one array per digest per map task.
+    val proj = docs(s, dir)
       .select(col("doc_id"),
         graft.functions.shingleIds(col("text")).as("sh"),
-        md5(col("text").cast("binary")).as("tkey"))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .withColumn("m", count(lit(1)).over(w))
+        Collapse.textKey(col("text")).as("tkey"))
       .transform(graft.Lineage.cut)
-    val docToRep = grouped.select(col("doc_id"), col("rep"), col("m"))
+    val reps = Collapse.reps(proj, "tkey", countAs = Some("m"),
+        payloads = Seq("sh"))
+      .transform(graft.Lineage.cut)
+    val docToRep = Collapse.docToRep(proj, reps, "tkey", extra = Seq("m"))
     // shingleIds is already distinct-within-doc, so perRep is a SET
     // of (rep, gram) rows and count(*) per gram == distinct-rep count
-    val perRep = grouped.filter(col("doc_id") === col("rep"))
-      .select(col("rep"), explode(col("sh")).as("g"))
+    val perRep = reps.select(col("rep"), explode(col("sh")).as("g"))
     val gramReps = perRep.groupBy("g").agg(count(lit(1)).as("nreps"))
     val repStats = perRep.join(gramReps, "g")
       .groupBy("rep").agg(count(lit(1)).as("n_grams"),
@@ -628,26 +629,27 @@ object TextOps {
     * fall back to 0).
     */
   def textPerplexity(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("tkey")
-    // exact-dup collapse first (the dedup-family invariant): model
-    // counts come from UNIQUE texts weighted by their multiplicity m —
-    // Σ-identical to counting every copy, so the answer is unchanged
-    // while the explode and the scoring joins run on unique content
-    // only (a dup-heavy crawl must not multiply the exchange). The
-    // token ARRAY is projected BEFORE the group window so raw text
-    // never crosses the digest shuffle; positions index non-empty
-    // tokens — the same filtered view both engines see.
-    val grouped = docs(s, dir)
+    // exact-dup collapse first (the dedup-family invariant), via the
+    // skew-proof [[Collapse]] shape (groupBy + join-back, never a
+    // digest window — see Collapse): model counts come from UNIQUE
+    // texts weighted by their multiplicity m — Σ-identical to counting
+    // every copy, so the answer is unchanged while the explode and the
+    // scoring joins run on unique content only (a dup-heavy crawl must
+    // not multiply the exchange). The token array rides min_by into
+    // the rep table (one array per digest per map task); the join-back
+    // branch prunes it away entirely — only (doc_id, digest) crosses
+    // that exchange, so no cut is needed on the projection (the second
+    // scan recomputes one cheap md5, not the tokenization). Positions
+    // index non-empty tokens — the same filtered view both engines see.
+    val proj = docs(s, dir)
       .select(col("doc_id"),
         filter(wsTokens(col("text")), t => t =!= "").as("a"),
-        md5(col("text").cast("binary")).as("tkey"))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .withColumn("m", count(lit(1)).over(w))
-      .transform(graft.Lineage.cut) // feeds the doc→rep map AND the rep-level model
-    val docToRep = grouped.select(col("doc_id"), col("rep"))
-    val repToks = grouped.filter(col("doc_id") === col("rep"))
-      .select(col("rep"), col("m"), col("a"))
+        Collapse.textKey(col("text")).as("tkey"))
+    val reps = Collapse.reps(proj, "tkey", countAs = Some("m"),
+        payloads = Seq("a"))
+      .transform(graft.Lineage.cut) // feeds the doc→rep join AND the rep-level model
+    val docToRep = Collapse.docToRep(proj, reps, "tkey")
+    val repToks = reps.select(col("rep"), col("m"), col("a"))
     val uni = repToks.select(explode(col("a")).as("t1"), col("m"))
       .groupBy("t1").agg(sum(col("m")).as("c1"))
       .cache() // feeds the model join AND the vocab-size total
@@ -755,7 +757,6 @@ object TextOps {
     * boolean.
     */
   def curationGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nWords = graft.functions.wsTokenCount(col("text"))
     val nDistinct = graft.functions.distinctTokenCount(col("text"))
     val nSh = greatest(size(split(col("text"), "\\s+")) - 2, lit(0)).cast("long")
@@ -766,13 +767,19 @@ object TextOps {
     }
     val langPred = when(graft.functions.containsCjk(col("text")), "zh")
       .otherwise(greatest(scores: _*).getField("lang"))
-    val w = Window.partitionBy("tkey")
-    docs(s, dir)
+    // dup flag via the skew-proof [[Collapse]] shape (groupBy +
+    // join-back, never a digest window — see Collapse). The scored
+    // projection is NARROW (a handful of ints + the digest — raw text
+    // is gone), so one cut materializes it for its two consumers; the
+    // collapse aggregate reads only (doc_id, tkey) from the cut blocks.
+    val keyed = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         nWords.as("n_words"), nDistinct.as("n_distinct"),
         nSh.as("n_sh"), nDsh.as("n_dsh"), langPred.as("lang_pred"),
-        md5(col("text").cast("binary")).as("tkey"))
-      .withColumn("dup", min(col("doc_id")).over(w) =!= col("doc_id"))
+        Collapse.textKey(col("text")).as("tkey"))
+      .transform(graft.Lineage.cut)
+    keyed.join(Collapse.reps(keyed, "tkey"), "tkey")
+      .withColumn("dup", col("rep") =!= col("doc_id"))
       .select(col("doc_id"), col("dup"),
         (col("n_words") < 5).as("too_short"),
         (col("n_distinct") * 10 < col("n_words") * 3).as("low_diversity"),

@@ -31,17 +31,45 @@ class AcquireSpec extends graft.SparkSpec {
     val staging = Files.createTempDirectory("graft_staging").toString
     val staged = Acquire.fetchMonth(2024, 1, staging,
       baseUrl = Some(mirror.toUri.toString))
-    assert(staged.getFileName.toString === name)
-    assert(Files.readAllBytes(staged).toSeq === payload.toSeq)
+    assert(staged.getName === name)
+    val stagedLocal = Paths.get(staged.toUri)
+    assert(Files.readAllBytes(stagedLocal).toSeq === payload.toSeq)
     // no leftover temp, and a second fetch short-circuits (mtime
     // unchanged even though the mirror could have been deleted)
-    assert(!Files.exists(staged.resolveSibling(name + ".inprogress")))
-    val mtime = Files.getLastModifiedTime(staged)
+    assert(Files.list(Paths.get(staging)).toArray.toSeq
+      .map(_.toString).forall(!_.contains(".inprogress")))
+    val mtime = Files.getLastModifiedTime(stagedLocal)
     Files.delete(mirror.resolve(name))
     val again = Acquire.fetchMonth(2024, 1, staging,
       baseUrl = Some(mirror.toUri.toString))
     assert(again === staged)
-    assert(Files.getLastModifiedTime(staged) === mtime)
+    assert(Files.getLastModifiedTime(stagedLocal) === mtime)
+  }
+
+  test("staging through an explicit Hadoop FileSystem URI (the object-store seam)") {
+    // `file:` exercises the same code path an `s3a://`/`hdfs://`
+    // staging dir hits: Path.getFileSystem + fs.create/rename/exists,
+    // never java.nio — the reference threads s3fs through exactly this
+    // seam (ingester.py:71-81, 415-424)
+    val mirror = Files.createTempDirectory("lichess_mirror_fs")
+    val name = Acquire.monthlyDumpName(2024, 2)
+    val body = PgnFixtures.gameTxt(7, "2024.02.03", sitePrefix = "fsuri")
+    PgnFixtures.writeDump(mirror, 2024, 2, body.getBytes("UTF-8"))
+
+    val stagingLocal = Files.createTempDirectory("graft_staging_uri")
+    val stagingUri = "file:" + stagingLocal.toString
+    val staged = Acquire.fetchMonth(2024, 2, stagingUri,
+      baseUrl = Some(mirror.toUri.toString))
+    assert(staged.toUri.getScheme === "file")
+    assert(staged.getName === name)
+    assert(Files.exists(stagingLocal.resolve(name)))
+    // hidden-staging invisibility survives the FileSystem route: a
+    // stale crashed temp next to the complete dump must be invisible
+    // to the PGN planner reading the same staging dir
+    Files.write(stagingLocal.resolve("." + name + ".inprogress.crashed"),
+      Array[Byte](1, 2, 3))
+    val games = spark.read.format("pgn").load(stagingUri)
+    assert(games.count() === 1) // the complete dump only, temp pruned
   }
 
   test("--month ingest runs end to end from a file:// mirror") {

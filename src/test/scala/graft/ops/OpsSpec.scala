@@ -87,15 +87,19 @@ class OpsSpec extends SparkSpec {
     val docs = (1L to 300L).map(i => Doc(i, base, "en", "s", base.length)) :+
       Doc(1000L, other, "en", "s", other.length)
     docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
-    // the members collect must be rank-guarded (bounded to topK+1
-    // elements per group), never a raw collect over the whole group
+    // the members slice must be the bounded TopKAgg aggregator (O(k)
+    // buffer, map-side partial selection), never a collect over the
+    // whole group and never a row_number window (a window partition
+    // cannot be split — the viral group would serialize in one task)
     val d2r = (1L to 300L).map(i => (i, 1L)).toDF("doc_id", "rep")
     val mem = Dedup.boundedMembers(d2r, topK = 5)
     val plan = mem.queryExecution.optimizedPlan.toString
-    assert(plan.contains("collect_list(CASE WHEN"),
-      s"members collect not rank-guarded:\n$plan")
-    assert(!plan.contains("collect_list(doc_id"),
+    assert(plan.contains("topkagg"),
+      s"members slice not the bounded TopKAgg:\n$plan")
+    assert(!plan.contains("collect_list"),
       "unbounded collect_list over the dup-group")
+    assert(!plan.contains("Window"),
+      "row_number window over the dup-group (unsplittable viral task)")
     val m = mem.head()
     assert(m.getAs[Seq[Long]]("members") === (1L to 6L)) // K+1, not 300
     assert(m.getAs[Long]("m") === 300L)

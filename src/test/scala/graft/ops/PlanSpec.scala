@@ -129,13 +129,20 @@ class PlanSpec extends SparkSpec {
 
   test("gate/profile/batching/heldout plans: one-pass scans, partial aggs") {
     // curation_gate claims ONE fused scan: every signal is a native
-    // row-local expression, so the physical plan must read the parquet
-    // exactly once (a second scan means a signal forked the pipeline)
+    // row-local expression, computed in the single projection that is
+    // materialized by Lineage.cut — the visible plan reads the CUT
+    // blocks (ExistingRDD) for both the dup-collapse aggregate and the
+    // join-back, and never re-reads the parquet. The dup flag must be
+    // the skew-proof groupBy+join collapse, not a digest window.
     locally {
       val plan = planOf(TextOps.curationGate(spark, dir))
       assert(!plan.contains("CartesianProduct"), s"cartesian join in:\n$plan")
       val scans = "Scan parquet".r.findAllIn(plan).length
-      assert(scans === 1, s"curation_gate reads the corpus $scans times:\n$plan")
+      assert(scans === 0, s"curation_gate re-reads the corpus past the cut:\n$plan")
+      assert(plan.contains("partial_min"),
+        s"dup collapse not partial-aggregated in:\n$plan")
+      assert(!plan.contains("Window"),
+        s"digest-keyed window in curation_gate (unsplittable viral task):\n$plan")
     }
     // q_profile: the multi-column exact distincts must plan as ONE
     // Expand-based aggregation over one scan, not one job per column
