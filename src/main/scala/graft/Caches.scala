@@ -50,16 +50,21 @@ object Caches {
     * (`newImagesAgainstHistory`'s reps/clean, `c4Surv`/`c4Spans`, …)
     * that the applier cannot reach to free — without this, a
     * long-running stream leaks 2-3 persisted frames per micro-batch
-    * forever. Unpersists exactly the RDDs persisted DURING `body`
-    * (pre-existing user caches and other streams' blocks survive;
-    * cut blocks are recomputable by construction, so even a racing
-    * concurrent stream only pays a recompute, never a failure).
+    * forever. Unpersists the RDDs persisted DURING `body`
+    * (pre-existing user caches and other streams' blocks survive),
+    * EXCEPT locally-checkpointed RDDs: a `localCheckpoint` block
+    * ([[Lineage.cutHard]], e.g. a concurrent `Bpe.train` sharing the
+    * session) is the ONLY copy of its data — unpersisting it would
+    * fail that job, not recompute it. Everything else swept here is
+    * recomputable by construction, so even a racing concurrent
+    * stream only pays a recompute, never a failure.
     */
   def scoped[T](spark: SparkSession)(body: => T): T = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     try body
     finally spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => !before.contains(id) }
+      .filter { case (id, rdd) => !before.contains(id) &&
+        !org.apache.spark.sql.GraftSqlShim.isLocallyCheckpointed(rdd) }
       .values.foreach(_.unpersist(blocking = false))
   }
 }

@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * sorts to (null, max pid) — so the result struct itself is NEVER
   * null, only its cos field can be.
   */
+// The Array constructor params make case-class equality REFERENCE
+// equality (arrays don't define structural ==): two semantically
+// identical CosBest instances never compare equal, so Catalyst's
+// canonicalization / common-subexpression elimination never dedups
+// them. Intentional: each plan builds its CosBest once (centers come
+// from one driver-side training pass), so nothing is lost, and the
+// primitive arrays keep the hot loop allocation-free — a Seq[Seq[_]]
+// would box every element per row.
 case class CosBest(child: Expression, centers: Array[Array[Double]],
     pids: Array[Int]) extends UnaryExpression {
 

@@ -28,6 +28,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * expression (the TermTfs/WordSetHits convention) — not
   * SQL-registered.
   */
+// Array params ⇒ reference (not structural) case-class equality: plan
+// canonicalization never dedups two identical PqEncode instances.
+// Intentional — one instance per plan, primitive arrays keep the
+// per-row loop allocation-free (see the same note on CosBest).
 case class PqEncode(child: Expression, centers: Array[Array[Double]],
     m: Int, k: Int, ds: Int) extends UnaryExpression {
 

@@ -579,6 +579,15 @@ object Multimodal {
     */
   private[ops] def dedupImageOn(media: DataFrame,
       maxHamming: Int = 10, includeLossy: Boolean = false): DataFrame = {
+    // the 8-band × 8-bit + Hamming-1 multi-probe scheme guarantees
+    // full candidate recall only for maxHamming <= 15 (pigeonhole:
+    // 16 differing bits can dirty all 8 bands beyond probe reach) —
+    // past that the banding silently loses pairs while the all-pairs
+    // equality claim still reads as exact. Recall is also modulo
+    // capBuckets on degenerate hash distributions (same caveat as
+    // every banded family member).
+    require(maxHamming <= 15,
+      s"maxHamming=$maxHamming exceeds the banding's recall guarantee (<= 15)")
     // cut: feeds the hash-group collapse AND the final map-back join
     val hashed = hashFrameOf(media, includeLossy).transform(graft.Lineage.cut)
     // exact-collapse: the pair scan below runs on UNIQUE hashes only
@@ -652,6 +661,10 @@ object Multimodal {
     */
   private[graft] def newImagesAgainstHistory(batch: DataFrame,
       histBands: DataFrame, maxHamming: Int = 10): DataFrame = {
+    // same banding recall bound as dedupImageOn: > 15 differing bits
+    // can escape all 8 Hamming-1 probe bands
+    require(maxHamming <= 15,
+      s"maxHamming=$maxHamming exceeds the banding's recall guarantee (<= 15)")
     // exact-collapse front-end: only reps can survive (identical
     // copies of a history-hit hash are all history-dups through the
     // rep; non-minimal copies of a clean hash are dominated by their

@@ -47,4 +47,18 @@ object GraftSqlShim {
     */
   def flushListeners(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Whether `rdd`'s persisted blocks are a `localCheckpoint` — i.e.
+    * the ONLY copy of the data (RDD lineage truncated): unpersisting
+    * such blocks destroys them instead of degrading to recompute.
+    * [[graft.Caches.scoped]] must skip these. `isLocallyCheckpointed`
+    * is `private[rdd]` (narrower than this package), but Scala access
+    * qualifiers erase to a public JVM method — one cached reflective
+    * handle reaches it without adding a compilation unit to
+    * `org.apache.spark.rdd`.
+    */
+  private lazy val isLocalCkpt =
+    classOf[org.apache.spark.rdd.RDD[_]].getMethod("isLocallyCheckpointed")
+  def isLocallyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    isLocalCkpt.invoke(rdd).asInstanceOf[Boolean]
 }

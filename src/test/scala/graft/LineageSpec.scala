@@ -70,4 +70,23 @@ class LineageSpec extends SparkSpec {
     assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("scoped frees cut/cache blocks but never a localCheckpoint (only copy)") {
+    // a localCheckpoint block (Lineage.cutHard, e.g. a concurrent
+    // Bpe.train sharing the session) is the ONLY copy of its data:
+    // scoped must leave it persisted — unpersisting it would destroy
+    // the job, not trigger a recompute
+    Caches.sweep(spark)
+    var hard: org.apache.spark.sql.DataFrame = null
+    Caches.scoped(spark) {
+      Lineage.cut((1 to 20).toDF("n")).count() // recomputable: swept
+      hard = Lineage.cutHard((21 to 40).toDF("n"))
+      hard.count()
+    }
+    val left = spark.sparkContext.getPersistentRDDs.values.toSeq
+    assert(left.size === 1, s"expected only the localCheckpoint block, got $left")
+    // and it is still readable (the data survived the sweep)
+    assert(hard.count() === 20)
+    Caches.sweep(spark)
+  }
 }
