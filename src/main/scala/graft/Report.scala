@@ -80,8 +80,11 @@ object Report {
     * chart-sized aggregates — day counts and a top-20 — not data), with
     * header so the CSV is self-describing. `games` is the one-row-per-
     * game input the charts aggregate; `outDir` is ONLY written to.
+    * The three chart cells are additionally RENDERED as PNGs under
+    * `outDir/img` ([[charts]]) — full presentation parity with
+    * eda.ipynb's plotnine saves, not just data parity.
     */
-  def run(spark: SparkSession, games: DataFrame, outDir: String): Unit =
+  def run(spark: SparkSession, games: DataFrame, outDir: String): Unit = {
     for ((name, query) <- Datasets) {
       query(games)
         .coalesce(1)
@@ -89,4 +92,31 @@ object Report {
         .csv(s"$outDir/$name.csv")
       System.err.println(s"[report] wrote $outDir/$name.csv")
     }
+    charts(games, outDir)
+  }
+
+  /** Renders eda.ipynb's three PNGs (cells 10-12: gamecount_plot,
+    * highcount_plot, opening_plot — same names, same 1000×600
+    * geometry) from the same oracle-pinned aggregates the CSVs
+    * export. The collect is chart-sized by construction: one row per
+    * day / a top-20.
+    */
+  def charts(games: DataFrame, outDir: String): Unit = {
+    import graft.ops.ChessQueries._
+    def f(name: String) = new java.io.File(s"$outDir/img/$name.png")
+    val daily = chessDailyCountsOn(games).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
+    Charts.linePng(daily, "Number of chess games played",
+      "Daily lichess popularity", f("gamecount_plot"))
+    val high = chessDailyHighEloOn(games).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
+    Charts.linePng(high, "Number of games with Elo rating > 2000",
+      "High-elo games per day", f("highcount_plot"))
+    val openings = chessTopOpeningsOn(games).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
+    Charts.barhPng(openings, "Number of uses", "20 most common openings",
+      f("opening_plot"))
+    for (n <- Seq("gamecount_plot", "highcount_plot", "opening_plot"))
+      System.err.println(s"[report] wrote $outDir/img/$n.png")
+  }
 }

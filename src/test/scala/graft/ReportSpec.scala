@@ -59,5 +59,19 @@ class ReportSpec extends SparkSpec {
     val daily = spark.read.option("header", "true")
       .csv(s"$outDir/chess_daily_counts.csv")
     assert(daily.agg(sum(col("cnt").cast("long"))).head().getLong(0) === 12L)
+
+    // the three chart cells render as real PNGs at the reference's
+    // 1000×600 plot geometry (plotnine 10×6 in @ 100 dpi), and are
+    // drawn-on (not blank canvases)
+    for (n <- Seq("gamecount_plot", "highcount_plot", "opening_plot")) {
+      val f = new java.io.File(s"$outDir/img/$n.png")
+      assert(f.isFile, s"$n.png missing")
+      val img = javax.imageio.ImageIO.read(f)
+      assert(img.getWidth === Charts.Width && img.getHeight === Charts.Height,
+        s"$n.png is ${img.getWidth}x${img.getHeight}")
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+        img.getWidth)
+      assert(px.distinct.length > 2, s"$n.png has no drawn content")
+    }
   }
 }
