@@ -111,10 +111,13 @@ class CollapseSkewSpec extends SparkSpec {
     // group/unique structure non-degenerate
     val copies = spark.range(1L, 1000001L)
       .select(col("id").as("doc_id"), lit(viral).as("text"))
+    // id-derived tail tokens: no cross-tail shingle/simhash overlap,
+    // so the probe isolates exact-dup skew (a templated tail is a
+    // legitimate near-dup workload, not this test's subject)
     val tail = spark.range(1000001L, 1002001L)
-      .select(col("id").as("doc_id"),
-        concat(lit("unique prose number "), col("id"),
-          lit(" about turbines and rivers and mills")).as("text"))
+      .select(col("id").as("doc_id"), format_string(
+        "u%1$da u%1$db u%1$dc u%1$dd u%1$de u%1$df u%1$dg u%1$dh",
+        col("id")).as("text"))
     copies.unionByName(tail)
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
