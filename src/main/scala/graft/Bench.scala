@@ -195,7 +195,28 @@ object Bench {
     // queries in exactly this order), so cross-round sample-i
     // alignment is reconstructible from the record alone
     val order = live.map(n => s""""$n"""").mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$totalCpu%.3f,"queries":${field(_.wall)},"cpu":${field(_.cpu)},"gc":${field(_.gc)},"runs":${rawField(_.wall)},"cpu_runs":${rawField(_.cpu)},"gc_runs":${rawField(_.gc)},"order":$order,"sf":"$sfDir"}"""
+    // --full: one [wall, cpu, gc] sample for EVERY registered query
+    // not in the headline set — the long-tail regression radar
+    // (round-10 verdict item 6: 79 of 107 keys had no tracked number;
+    // a regression in mm_resize or export_shards was invisible).
+    // Single-sample wall is noisy on this host — the CPU column is
+    // the cross-round comparison signal, same as the headline runs.
+    val fullJson = if (!args.contains("--full")) "" else {
+      val tail = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(headline.contains)
+      val entries = tail.map { name =>
+        val s = try once(name) catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] full: $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            Sample(-1.0, -1.0, -1.0)
+        }
+        System.err.println(f"[bench] full: $name ${s.wall}%.2fs cpu ${s.cpu}%.2f")
+        f""""$name":[${s.wall}%.3f,${s.cpu}%.3f,${s.gc}%.3f]"""
+      }
+      s""","full":${entries.mkString("{", ",", "}")}"""
+    }
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$totalCpu%.3f,"queries":${field(_.wall)},"cpu":${field(_.cpu)},"gc":${field(_.gc)},"runs":${rawField(_.wall)},"cpu_runs":${rawField(_.cpu)},"gc_runs":${rawField(_.gc)},"order":$order$fullJson,"sf":"$sfDir"}"""
     println(json)
     // Durable twin of the stdout line (VERDICT r8 item 7: the driver's
     // BENCH_r08 capture truncated to 6 of 23 queries — the committed
