@@ -150,8 +150,8 @@ def dhash_ctes():
 # collapse argument applied to the oracle.
 GRP_CTES = """
 grp0 AS (SELECT dhash_hi, dhash_lo, min(media_id) AS mn, count(*) AS c
-         FROM eng GROUP BY 1, 2),
-grp AS (SELECT g.*, (SELECT min(e.media_id) FROM eng e
+         FROM img_eng GROUP BY 1, 2),
+grp AS (SELECT g.*, (SELECT min(e.media_id) FROM img_eng e
                      WHERE e.dhash_hi = g.dhash_hi AND e.dhash_lo = g.dhash_lo
                        AND e.media_id > g.mn) AS mn2
         FROM grp0 g),
@@ -177,23 +177,27 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
         if not files or not full:
             rec["err"] = "no spark output (needs dedup_image dump for hashes)"
             return rec
-        con.execute("CREATE OR REPLACE TEMP TABLE s_raw AS "
+        # img_-prefixed TEMP TABLES: a temp table named s_raw would
+        # SHADOW the generic compare()'s s_raw VIEW for every later key
+        # (temp schema resolves first) - the corrupted-sweep bug this
+        # comment guards against; all three are dropped in finally
+        con.execute("CREATE OR REPLACE TEMP TABLE img_s_raw AS "
                     f"SELECT * FROM read_parquet('{files[0]}')")
         # eng = the full per-image hash table (dedup_image dumps one
         # row per png image); the incremental key reuses it as its
         # hash source — its own dump holds only batch survivors
-        con.execute("CREATE OR REPLACE TEMP TABLE eng AS "
+        con.execute("CREATE OR REPLACE TEMP TABLE img_eng AS "
                     "SELECT media_id, dhash_hi, dhash_lo FROM "
                     f"read_parquet('{full[0]}')")
-        rec["spark_rows"] = con.execute("SELECT count(*) FROM s_raw").fetchone()[0]
+        rec["spark_rows"] = con.execute("SELECT count(*) FROM img_s_raw").fetchone()[0]
 
         # (3) coverage: eng's id set == every png id in documents
         miss, extra = con.execute(
             f"""SELECT
               (SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
                WHERE doc_id % 3 = 0
-                 AND doc_id NOT IN (SELECT media_id FROM eng)),
-              (SELECT count(*) FROM eng
+                 AND doc_id NOT IN (SELECT media_id FROM img_eng)),
+              (SELECT count(*) FROM img_eng
                WHERE media_id NOT IN (
                  SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
                  WHERE doc_id % 3 = 0))""").fetchone()
@@ -213,26 +217,26 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
                     e.media_id)) AS keep_id
                 FROM (SELECT e.*, CASE WHEN e.media_id > g.mn THEN g.mn
                                        WHEN g.c > 1 THEN g.mn2 END AS own
-                      FROM eng e JOIN grp g
+                      FROM img_eng e JOIN grp g
                         ON e.dhash_hi = g.dhash_hi AND e.dhash_lo = g.dhash_lo) e
                 LEFT JOIN gp p
                   ON e.dhash_hi = p.dhash_hi AND e.dhash_lo = p.dhash_lo)
-              SELECT (SELECT count(*) FROM (SELECT * FROM s_raw EXCEPT ALL
+              SELECT (SELECT count(*) FROM (SELECT * FROM img_s_raw EXCEPT ALL
                                             SELECT * FROM exp)),
                      (SELECT count(*) FROM (SELECT * FROM exp EXCEPT ALL
-                                            SELECT * FROM s_raw)),
+                                            SELECT * FROM img_s_raw)),
                      (SELECT count(*) FROM exp)""").fetchone()
             rec["oracle_rows"] = bad[2]
         else:  # dedup_image_incremental: hist < 250, batch survivors
             bad = con.execute(f"""
               WITH {GRP_CTES},
-              histg AS (SELECT DISTINCT dhash_hi, dhash_lo FROM eng
+              histg AS (SELECT DISTINCT dhash_hi, dhash_lo FROM img_eng
                         WHERE media_id < 250),
               hit AS (SELECT DISTINCT b.dhash_hi, b.dhash_lo
                       FROM grp b JOIN histg h
                         ON bit_count(xor(b.dhash_hi, h.dhash_hi)) +
                            bit_count(xor(b.dhash_lo, h.dhash_lo)) <= 10),
-              clean AS (SELECT e.* FROM eng e
+              clean AS (SELECT e.* FROM img_eng e
                         WHERE e.media_id >= 250
                           AND NOT EXISTS (SELECT 1 FROM hit h
                                           WHERE h.dhash_hi = e.dhash_hi
@@ -253,10 +257,10 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
                                       AND c.dhash_lo = d.dhash_lo
                       WHERE c.media_id = g.mn
                         AND (d.nbmin IS NULL OR d.nbmin > c.media_id))
-              SELECT (SELECT count(*) FROM (SELECT * FROM s_raw EXCEPT ALL
+              SELECT (SELECT count(*) FROM (SELECT * FROM img_s_raw EXCEPT ALL
                                             SELECT * FROM exp)),
                      (SELECT count(*) FROM (SELECT * FROM exp EXCEPT ALL
-                                            SELECT * FROM s_raw)),
+                                            SELECT * FROM img_s_raw)),
                      (SELECT count(*) FROM exp)""").fetchone()
             rec["oracle_rows"] = bad[2]
         rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
@@ -271,12 +275,12 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
         # both keys (one shared eng hash table); re-deriving the same
         # slice twice would double the cost for zero extra coverage
         if name == "dedup_image":
-            n_png = con.execute("SELECT count(*) FROM eng").fetchone()[0]
+            n_png = con.execute("SELECT count(*) FROM img_eng").fetchone()[0]
             stride = 3 * max(1, n_png // 2000)
             ids = [r[0] for r in con.execute(
-                f"""SELECT mn FROM (SELECT min(media_id) AS mn FROM eng
+                f"""SELECT mn FROM (SELECT min(media_id) AS mn FROM img_eng
                                     GROUP BY dhash_hi, dhash_lo)
-                    UNION SELECT media_id FROM eng
+                    UNION SELECT media_id FROM img_eng
                     WHERE media_id % {stride} = 0""").fetchall()]
             rec["notes"].append(
                 f"slice: {len(ids)} of {n_png} pngs (all hash-group reps "
@@ -290,14 +294,14 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
                 f"WITH {dhash_ctes()} SELECT media_id, dhash_hi, dhash_lo "
                 "FROM hash").fetchall()
             con2.close()
-            con.execute("CREATE OR REPLACE TEMP TABLE der "
+            con.execute("CREATE OR REPLACE TEMP TABLE img_der "
                         "(media_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT)")
-            con.executemany("INSERT INTO der VALUES (?, ?, ?)", derived)
+            con.executemany("INSERT INTO img_der VALUES (?, ?, ?)", derived)
             nbad, nder = con.execute(
                 """SELECT count(*) FILTER (e.dhash_hi != d.dhash_hi
                                            OR e.dhash_lo != d.dhash_lo),
                           count(*)
-                   FROM der d JOIN eng e USING (media_id)""").fetchone()
+                   FROM img_der d JOIN img_eng e USING (media_id)""").fetchone()
             if nder != len(ids) or nbad:
                 rec["err"] = (f"slice hash re-derivation: {nbad} mismatched "
                               f"of {nder} derived (slice {len(ids)})")
@@ -311,6 +315,11 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
         rec["err"] = traceback.format_exc()[-400:]
         rec["hash_match"] = False
     finally:
+        for t in ("img_s_raw", "img_eng", "img_der"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
         rec["secs"] = round(time.time() - t0, 1)
     return rec
 
