@@ -21,23 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Task-duration listener: straggler ratio of everything run in
-    * `body`. */
-  private def withTaskStats(spark: SparkSession)(body: => Unit): (Long, Long) = {
-    val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+  /** Task stats for everything run in `body`: (max task ms, median
+    * task ms, detail line for the max task's STAGE). The global
+    * max/median mixes stages of very different task weights (a 32-way
+    * input scan vs hundreds of tiny exchange tasks), so the detail
+    * line localizes the max task — stage id, that stage's own
+    * max/median/task-count, and the stage name (scan / exchange /
+    * result) — which is what distinguishes "heaviest stage is the
+    * splittable input scan" from "one key serialized into one task".
+    */
+  private def withTaskStats(spark: SparkSession)(body: => Unit)
+      : (Long, Long, String) = {
+    val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        times.synchronized { times += t.taskInfo.duration }
+        times.synchronized { times += ((t.stageId, t.taskInfo.duration)) }
     }
     spark.sparkContext.addSparkListener(l)
     try body finally {
       org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
       spark.sparkContext.removeSparkListener(l)
     }
-    val sorted = times.synchronized(times.toSeq).sorted
-    if (sorted.isEmpty) (0L, 0L)
-    else (sorted.last, sorted(sorted.size / 2))
+    val all = times.synchronized(times.toSeq)
+    if (all.isEmpty) (0L, 0L, "no tasks")
+    else {
+      val sorted = all.map(_._2).sorted
+      val (maxStage, maxT) = all.maxBy(_._2)
+      val stage = all.filter(_._1 == maxStage).map(_._2).sorted
+      val detail = f"max task's stage: $maxStage (${stage.size} tasks, " +
+        f"stage median ${stage(stage.size / 2)}ms, stage max ${maxT}ms)"
+      (sorted.last, sorted(sorted.size / 2), detail)
+    }
   }
 
   private def viralCorpus(spark: SparkSession, copies: Int): String = {
@@ -120,14 +135,37 @@ object Scale {
           "text_dup_spans", "text_perplexity")
     for (name <- names) {
       val t0 = System.nanoTime()
-      val (maxT, medT) = withTaskStats(spark) {
+      val (maxT, medT, detail) = withTaskStats(spark) {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
       val ratio = if (medT > 0) maxT.toDouble / medT else 0.0
       System.err.println(f"[scale] $name ${(System.nanoTime() - t0) / 1e9}%.1fs" +
-        f" straggler max/median ${maxT}ms/${medT}ms = $ratio%.1fx")
+        f" straggler max/median ${maxT}ms/${medT}ms = $ratio%.1fx; $detail")
       Caches.sweep(spark) // each probe measures ITS cost, not leftovers
+    }
+
+    // AQE skew evidence on the collapse join-back itself: isolate
+    // Collapse.reps + docToRep on the corpus with broadcast joins off
+    // (so the tiny probe reps side can't sidestep the exchange — the
+    // shuffle-join path is what a 100 TB corpus with billions of
+    // distinct digests gets) and report whether OptimizeSkewedJoin
+    // carved the hot key's partition in the FINAL adaptive plan.
+    if (viralMode) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), graft.ops.Collapse.textKey(col("text")).as("k"))
+        val d2r = graft.ops.Collapse.docToRep(
+          docs, graft.ops.Collapse.reps(docs, "k"), "k")
+        d2r.write.format("noop").mode("overwrite").save()
+        val plan = d2r.queryExecution.executedPlan.toString
+        val skewed = plan.contains("skewed=true")
+        System.err.println(s"[scale] collapse join-back final plan: " +
+          (if (skewed) "AQE skew-split ENGAGED (skewed=true)"
+           else "no skew split in final plan") +
+          s"; AQEShuffleRead=${plan.contains("AQEShuffleRead")}")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
     spark.stop()
   }

@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * WindowExec; the viral-corpus probe (`graft.Scale viral`) measures
   * the straggler bound this buys.
   */
-private[ops] object Collapse {
+private[graft] object Collapse {
 
   /** Null-safe 128-bit content digest: md5 of the text bytes, with a
     * length-distinct sentinel for NULL texts (md5 hex is always 32
