@@ -43,7 +43,8 @@ private[chess] object IngestCore {
   def applyGames(spark: SparkSession, games: DataFrame, outDir: String,
       stateDir: Option[String], appliedId: Option[Long] = None,
       extraPartition: Seq[(String, Column)] = Nil,
-      ndjson: Option[(String, String)] = None): Boolean = {
+      ndjson: Option[(String, String)] = None,
+      compression: String = "snappy"): Boolean = {
     val curState = stateDir.flatMap { d =>
       // StateSwap.resolve recovers the committed copy after a crash at
       // any point of a previous run's commit
@@ -67,7 +68,8 @@ private[chess] object IngestCore {
         case (df, (name, value)) => df.withColumn(name, value)
       }
       ChessPipeline.writePartitioned(doubled, outDir,
-        extraPartitionCols = extraPartition.map(_._1))
+        extraPartitionCols = extraPartition.map(_._1),
+        compression = compression)
       stateDir.foreach { d =>
         // stage the updated state (counters + carried applied-id set),
         // then run the crash-safe three-step swap (see StateSwap: a

@@ -54,6 +54,12 @@ import org.apache.spark.sql.SparkSession
   * `restart_counter_games` parameter is dead code: defined at
   * ingest_lichess.py:9 with default True, never forwarded.)
   *
+  * `--compression=CODEC`: parquet codec for the monthly sink. Default
+  * snappy (decode speed); `--compression=gzip` reproduces the
+  * reference's pyarrow writer setting (ingester.py:418-421,
+  * `compression="gzip"` for Apache Drill compatibility) when a
+  * consumer needs byte-level codec parity.
+  *
   * `--debug`: the reference's verbosity knob (ingest_lichess.py:35,
   * logging.DEBUG vs INFO) — here it raises the Spark log level from
   * WARN to INFO (Spark's own DEBUG floods with executor internals a
@@ -86,10 +92,11 @@ object IngestMain {
   private val DebugFlag = "--debug"
   private val NdjsonArg = """--dir-ndjson=(.+)""".r
   private val MonthsArg = """--months=(\d{1,2}(?:,\d{1,2})*)""".r
+  private val CompressionArg = """--compression=([a-z0-9]+)""".r
 
   private val Usage =
-    "usage: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
-      "   or: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--months=M1,M2,...] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
+    "usage: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--compression=CODEC] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
+      "   or: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--compression=CODEC] [--months=M1,M2,...] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
 
   /** The reference CLI's month-subset flag (ingest_lichess.py:31-33
     * loops `range(start, end)` years × an explicit month LIST): with
@@ -151,7 +158,8 @@ object IngestMain {
     */
   private def stripFlags(args: Array[String]): Array[String] =
     args.filterNot(a => a == MovesFlag || a == DebugFlag ||
-      NdjsonArg.matches(a) || MonthsArg.matches(a))
+      NdjsonArg.matches(a) || MonthsArg.matches(a) ||
+      CompressionArg.matches(a))
 
   def main(args: Array[String]): Unit = {
     validateArgs(stripFlags(args)) // fail usage errors before Spark startup
@@ -195,6 +203,12 @@ object IngestMain {
     // debug output only, not a processing stage (no --ndjson-size:
     // file sizing is the writer's partitioning).
     val ndjsonDir = rawArgs.collectFirst { case NdjsonArg(d) => d }
+    // parquet codec for the sink (reference parity knob: ingester.py
+    // 418-421 writes gzip for Apache Drill compatibility; Spark's
+    // default snappy is ~5x faster to write). Validity is checked by
+    // the parquet writer itself - unknown codecs fail fast there.
+    val compression = rawArgs.collectFirst {
+      case CompressionArg(c) => c }.getOrElse("snappy")
     val subset = monthSubset(rawArgs)
     val args = stripFlags(rawArgs)
     validateArgs(args)
@@ -221,7 +235,8 @@ object IngestMain {
           if (!alreadyApplied(spark, Some(stateDir), monthId(y, m))) {
             val staged = Acquire.fetchMonth(y, m, stagingDir, baseUrl)
             ingestOne(spark, staged.toString, outDir, Some(stateDir), movesMode,
-              ndjsonDir, appliedId = Some(monthId(y, m)))
+              ndjsonDir, appliedId = Some(monthId(y, m)),
+              compression = compression)
           } else
             System.err.println(f"[ingest] $y%04d-$m%02d already applied. Skipping...")
         }
@@ -230,12 +245,13 @@ object IngestMain {
         if (!alreadyApplied(spark, args.lift(2), id)) {
           val staged = Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl)
           ingestOne(spark, staged.toString, args(1), args.lift(2), movesMode,
-            ndjsonDir, appliedId = Some(id))
+            ndjsonDir, appliedId = Some(id), compression = compression)
         } else
           System.err.println(s"[ingest] ${args(0).stripPrefix("--month=")} already applied. Skipping...")
       case pgnPath =>
         // arbitrary-path inputs have no natural work-unit id: no skip
-        ingestOne(spark, pgnPath, args(1), args.lift(2), movesMode, ndjsonDir)
+        ingestOne(spark, pgnPath, args(1), args.lift(2), movesMode, ndjsonDir,
+          compression = compression)
     }
   }
 
@@ -252,11 +268,13 @@ object IngestMain {
       stateDir: Option[String],
       movesMode: ChessPipeline.MovesMode = ChessPipeline.MovesMode.Omitted,
       ndjsonDir: Option[String] = None,
-      appliedId: Option[Long] = None): Unit = {
+      appliedId: Option[Long] = None,
+      compression: String = "snappy"): Unit = {
     val raw = spark.read.format("pgn").load(pgnPath)
     IngestCore.applyGames(spark,
       ChessPipeline.parseGames(raw, movesMode), outDir, stateDir, appliedId,
       ndjson = ndjsonDir.map(d =>
-        (d, new org.apache.hadoop.fs.Path(pgnPath).getName)))
+        (d, new org.apache.hadoop.fs.Path(pgnPath).getName)),
+      compression = compression)
   }
 }

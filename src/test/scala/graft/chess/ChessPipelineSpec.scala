@@ -323,6 +323,18 @@ class ChessPipelineSpec extends SparkSpec {
         .drop("year_month").collect().toSeq)
   }
 
+  test("--compression=gzip reaches the sink from the IngestMain CLI") {
+    val out = Files.createTempDirectory("ingest_cli_gzip").toString
+    IngestMain.run(spark,
+      Array("--compression=gzip", SamplePgn.ensureWritten(), out),
+      stagingDir = "/tmp/unused", baseUrl = None)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("year_month="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts.nonEmpty && parts.forall(_.contains(".gz.")),
+      s"expected gzip-stamped part files, got ${parts.take(3).mkString(",")}")
+  }
+
   test("sink fans one month over multiple range-partitioned tasks") {
     // 2000 rows spanning two months: the one-task-per-month hash
     // repartition this sink replaced would write exactly one file per
