@@ -128,7 +128,7 @@ object Scale {
         // window; the straggler ratio is what the rewrite is graded on
         Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_jaccard", "dedup_clusters", "text_dup_spans",
-          "text_perplexity", "curation_gate")
+          "text_perplexity", "curation_gate", "text_dsir")
       else
         Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_jaccard", "dedup_clusters", "contamination", "pack_contexts",

@@ -46,14 +46,17 @@ private[graft] object Collapse {
 
   /** One row per distinct `key`: `rep` = min(`idCol`), optional group
     * count, optional payload columns carried from the rep row
-    * (min_by). Aggregation state per key is one row regardless of how
-    * many copies a digest has; partial aggregation collapses hot keys
-    * map-side.
+    * (min_by), optional caller aggregates (`extraAggs` — e.g. DSIR's
+    * conditional copy counts; must themselves be partial-aggregable
+    * built-ins to keep the hot-key collapse map-side). Aggregation
+    * state per key is one row regardless of how many copies a digest
+    * has; partial aggregation collapses hot keys map-side.
     */
   def reps(proj: DataFrame, key: String, countAs: Option[String] = None,
-      payloads: Seq[String] = Nil, idCol: String = "doc_id"): DataFrame = {
+      payloads: Seq[String] = Nil, idCol: String = "doc_id",
+      extraAggs: Seq[Column] = Nil): DataFrame = {
     val aggs = payloads.map(p => min_by(col(p), col(idCol)).as(p)) ++
-      countAs.map(c => count(lit(1)).as(c))
+      countAs.map(c => count(lit(1)).as(c)) ++ extraAggs
     if (aggs.isEmpty)
       proj.groupBy(col(key)).agg(min(col(idCol)).as("rep"))
     else

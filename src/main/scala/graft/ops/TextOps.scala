@@ -895,6 +895,122 @@ object TextOps {
       .orderBy("query_id", "rk")
   }
 
+  /** The Gopher repetition-free stopword list (Rae et al. 2021,
+    * A1.1): a document must contain at least 2 of these.
+    */
+  private[ops] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** D33: Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    * appendix A1.1 — the published filter the reference-era pipelines
+    * standardized on): word-count bounds [50, 100k], mean word length
+    * in [3, 10], symbol-to-word ratio ('#' + '...') <= 0.1, <90% of
+    * lines bullet-led, <=30% of lines ellipsis-terminated, >=80% of
+    * words containing an alphabetic character, and >=2 of the 8
+    * [[GopherStops]].
+    *
+    * One narrow scan computes every signal as an exact integer count;
+    * the pass/fail decision compares integers only (cross-multiplied
+    * thresholds — `10*n_sym <= n_words`, never a float threshold to
+    * diverge between engines); ratios are emitted as exact-rational
+    * doubles for inspection. Row-local: scales linearly, no shuffle.
+    */
+  def textGopher(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(wsTokens(col("text")), t => t =!= "")
+    val lines = split(col("text"), "\n")
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .as("sum_wlen"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("n_sym"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.rlike("^[-*•] "))).cast("long")
+          .as("n_bullet"),
+        size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+          .as("n_ellipsis"),
+        GopherStops.map(w =>
+            when(col("text").rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
+          .reduce(_ + _).as("stop_hits"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          col("sum_wlen").cast("double") / col("n_words").cast("double")))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("sum_wlen") >= col("n_words") * 3 &&
+          col("sum_wlen") <= col("n_words") * 10 &&
+          col("n_sym") * 10 <= col("n_words") &&
+          col("n_bullet") * 10 <= col("n_lines") * 9 &&
+          col("n_ellipsis") * 10 <= col("n_lines") * 3 &&
+          col("n_alpha") * 5 >= col("n_words") * 4 &&
+          col("stop_hits") >= 2)
+      .orderBy("doc_id")
+  }
+
+  /** D34: DSIR-style importance scoring (Xie et al., NeurIPS 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per-token unigram importance weight log(p_target(w) / p_raw(w)),
+    * averaged per document. Positive score = the document looks more
+    * like the target distribution (here the English slice — the
+    * curated-corpus stand-in) than the raw pool; `keep` is the
+    * threshold-at-0 selection (the resampling step then samples
+    * proportional to exp(score/T) — policy, not engine, so the score
+    * column is the contract). Add-one smoothing over the shared
+    * vocabulary keeps every weight finite.
+    *
+    * Scale shape: both LMs come from ONE conditional-count aggregate
+    * over UNIQUE texts (the skew-proof [[Collapse]] seam, counts
+    * weighted by per-digest copy multiplicities — Σ-identical to
+    * counting every copy); scoring explodes unique texts only and
+    * joins the model on the token key (model-sized, AQE-splittable),
+    * then joins back per doc. Per-token weights fold in position
+    * order (deterministic double summation) and round to 6dp — the
+    * same engine-exactness recipe as D21.
+    */
+  def textDsir(s: SparkSession, dir: String): DataFrame = {
+    val proj = docs(s, dir)
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"),
+        (col("lang") === "en").as("tgt"),
+        Collapse.textKey(col("text")).as("tkey"))
+    val reps = Collapse.reps(proj, "tkey", payloads = Seq("a"),
+        extraAggs = Seq(
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("mt"),
+          sum(when(col("tgt"), 0L).otherwise(1L)).as("mr")))
+      .transform(graft.Lineage.cut)
+    val docToRep = Collapse.docToRep(proj, reps, "tkey")
+    val toks = reps.select(col("rep"), col("mt"), col("mr"),
+        posexplode(col("a")).as(Seq("pos", "t")))
+      .cache() // feeds the model counts AND the scoring rows
+    val uni = toks.groupBy("t")
+      .agg(sum(col("mt")).as("ct"), sum(col("mr")).as("cr"))
+      .cache() // feeds the totals AND the scoring join
+    val totals = broadcast(uni.agg(sum(col("ct")).as("nt"),
+      sum(col("cr")).as("nr"), count(lit(1)).as("v")))
+    // inner join: the model is trained on the scored corpus itself,
+    // so every token is in-vocabulary by construction
+    val perRep = toks
+      .join(uni, "t")
+      .crossJoin(totals)
+      .withColumn("lw",
+        log((col("ct") + 1).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+        log((col("cr") + 1).cast("double") /
+            (col("nr") + col("v")).cast("double")))
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_toks"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lw")))),
+          lit(0.0), (acc, x) => acc + x.getField("lw")).as("sw"))
+    docToRep.join(perRep, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(col("sw") / col("n_toks"), 6).as("dsir_score"))
+      .withColumn("keep", coalesce(col("dsir_score") > 0, lit(false)))
+      .orderBy("doc_id")
+  }
+
   /** Shared C4 oracle CTEs (page build -> line/page rules -> span
     * digests): one definition reused by the full and incremental
     * cleaning oracles, so the two derivations can never drift.
@@ -1066,6 +1182,77 @@ object TextOps {
         |  (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
         |    * (CAST(least(n_words, 100) AS DOUBLE) / 100.0) AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin)),
+    // Gopher-rules oracle: the same exact integer counts (filtered
+    // whitespace tokens, chr(10) lines, RE2 twins of the Java
+    // patterns) and the same cross-multiplied integer thresholds
+    Q("text_gopher", textGopher, Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•] '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$$'))) AS BIGINT) AS n_ellipsis,
+        |    CAST((CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(text, '\bbe\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(text, '\bthat\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(text, '\bhave\b') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, sum_wlen, n_alpha, n_sym, n_lines, n_bullet,
+        |  n_ellipsis, stop_hits,
+        |  CASE WHEN n_words > 0
+        |       THEN CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND sum_wlen >= n_words * 3 AND sum_wlen <= n_words * 10
+        |   AND n_sym * 10 <= n_words
+        |   AND n_bullet * 10 <= n_lines * 9
+        |   AND n_ellipsis * 10 <= n_lines * 3
+        |   AND n_alpha * 5 >= n_words * 4
+        |   AND stop_hits >= 2) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin)),
+    // DSIR oracle: the full per-doc re-derivation (no collapse — the
+    // engine's multiplicity-weighted unique-text counts are
+    // Σ-identical); ln on exact integer ratios, position-ordered
+    // fold, 6dp round — the D21 exactness recipe. DuckDB `ln` is the
+    // natural-log twin of Spark's `log`.
+    Q("text_dsir", textDsir, Some(
+      raw"""WITH d AS MATERIALIZED (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+        |  FROM documents),
+        |uni AS MATERIALIZED (
+        |  SELECT t, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+        |  FROM (SELECT tgt, unnest(a) AS t FROM d) GROUP BY t),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM uni),
+        |tk AS (
+        |  SELECT doc_id, pos, a[pos] AS t FROM (
+        |    SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS pos FROM d)),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.pos,
+        |    ln(CAST(uni.ct + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE)) -
+        |    ln(CAST(uni.cr + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE)) AS lw
+        |  FROM tk JOIN uni ON tk.t = uni.t CROSS JOIN tot),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    list_reduce(list(lw ORDER BY pos), (x, y) -> x + y) AS sw
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_toks, 0) AS n_toks,
+        |  round(p.sw / p.n_toks, 6) AS dsir_score,
+        |  coalesce(round(p.sw / p.n_toks, 6) > 0, false) AS keep
+        |FROM d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
     // hash-free, so fully oracle-able: the same profile counts and
     // (hits, lang) argmax tie-break, via unnest + row_number (Spark's
     // greatest-struct == ORDER BY hits DESC, lang DESC). Both engines
