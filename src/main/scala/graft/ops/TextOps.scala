@@ -1011,6 +1011,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D34b: HELD-OUT DSIR — the LMs train on the history (doc_id <
+    * splitId) and score the NEW batch, the actual deployment shape
+    * (score incoming crawl against a frozen target/raw pair — the
+    * D21b pattern applied to D34). Unlike [[textDsir]]'s
+    * score-the-training-corpus form, batch tokens can be OUT OF
+    * VOCABULARY: LEFT join + coalesce(0) puts them on the smoothing
+    * floor in BOTH LMs (weight ln((Nr+V)/(Nt+V)) — an unseen token
+    * carries only the corpus-size prior, it does not explode the
+    * score). No collapse seam needed here: the scoring aggregate is
+    * keyed by doc_id (unique — unskewable) and the model explode is
+    * the curated history; a dup-heavy history would put D34's
+    * multiplicity-weighted collapse in front of the same aggregate.
+    */
+  def textDsirHeldout(s: SparkSession, dir: String,
+      splitId: Long = 250L): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"))
+      .cache() // feeds the train counts AND the batch scoring rows
+    val uni = d.filter(col("doc_id") < splitId)
+      .select(col("tgt"), explode(col("a")).as("t"))
+      .groupBy("t").agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+      .cache() // feeds the totals AND the scoring join
+    val totals = broadcast(uni.agg(sum(col("ct")).as("nt"),
+      sum(col("cr")).as("nr"), count(lit(1)).as("v")))
+    val perDoc = d.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), posexplode(col("a")).as(Seq("pos", "t")))
+      .join(uni, Seq("t"), "left")
+      .crossJoin(totals)
+      .withColumn("lw",
+        log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+        log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("nr") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lw")))),
+          lit(0.0), (acc, x) => acc + x.getField("lw")).as("sw"))
+    d.filter(col("doc_id") >= splitId).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(col("sw") / col("n_toks"), 6).as("dsir_score"))
+      .withColumn("keep", coalesce(col("dsir_score") > 0, lit(false)))
+      .orderBy("doc_id")
+  }
+
   /** Shared C4 oracle CTEs (page build -> line/page rules -> span
     * digests): one definition reused by the full and incremental
     * cleaning oracles, so the two derivations can never drift.
@@ -1253,6 +1302,38 @@ object TextOps {
         |  round(p.sw / p.n_toks, 6) AS dsir_score,
         |  coalesce(round(p.sw / p.n_toks, 6) > 0, false) AS keep
         |FROM d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    // held-out form: LEFT join + coalesce(0) in both engines, so OOV
+    // batch tokens exercise the smoothing floor the self-form never
+    // reaches; same ordered-fold + 6dp-round exactness as D34
+    Q("text_dsir_heldout", (s, d) => textDsirHeldout(s, d), Some(
+      raw"""WITH d AS MATERIALIZED (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+        |  FROM documents),
+        |uni AS MATERIALIZED (
+        |  SELECT t, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+        |  FROM (SELECT tgt, unnest(a) AS t FROM d WHERE doc_id < 250)
+        |  GROUP BY t),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM uni),
+        |tk AS (
+        |  SELECT doc_id, pos, a[pos] AS t FROM (
+        |    SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS pos FROM d
+        |    WHERE doc_id >= 250)),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.pos,
+        |    ln(CAST(coalesce(uni.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE)) -
+        |    ln(CAST(coalesce(uni.cr, 0) + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE)) AS lw
+        |  FROM tk LEFT JOIN uni ON tk.t = uni.t CROSS JOIN tot),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    list_reduce(list(lw ORDER BY pos), (x, y) -> x + y) AS sw
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_toks, 0) AS n_toks,
+        |  round(p.sw / p.n_toks, 6) AS dsir_score,
+        |  coalesce(round(p.sw / p.n_toks, 6) > 0, false) AS keep
+        |FROM d LEFT JOIN p USING (doc_id)
+        |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin)),
     // hash-free, so fully oracle-able: the same profile counts and
     // (hits, lang) argmax tie-break, via unnest + row_number (Spark's
     // greatest-struct == ORDER BY hits DESC, lang DESC). Both engines

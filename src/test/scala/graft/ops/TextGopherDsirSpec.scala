@@ -90,4 +90,25 @@ class TextGopherDsirSpec extends SparkSpec {
     assert(rows(3L) === rows(1L)) // the exact copy scores identically
     assert(rows(2L) === ((2L, r6((lwAa + lwCc) / 2), false)))
   }
+
+  test("dsir heldout: frozen history LMs, OOV smoothing floor") {
+    // history: doc 1 (en) "aa bb", doc 2 (de) "aa cc" -> counts
+    // aa ct=1 cr=1, bb ct=1 cr=0, cc ct=0 cr=1; V=3, Nt=2, Nr=2.
+    // batch: doc 11 has OOV token zz (floor weight 0 since Nt+V ==
+    // Nr+V here), doc 12 is raw-flavored.
+    val dir = writeDocs(Seq(
+      (1L, "aa bb", "en"), (2L, "aa cc", "de"),
+      (11L, "aa bb zz", "de"), (12L, "cc cc", "en")))
+    val lwAa = 0.0 // ln(2/5) - ln(2/5)
+    val lwBb = math.log(2.0 / 5) - math.log(1.0 / 5)
+    val lwCc = math.log(1.0 / 5) - math.log(2.0 / 5)
+    val lwZz = 0.0 // OOV: ln(1/5) - ln(1/5)
+    val rows = TextOps.textDsirHeldout(spark, dir, splitId = 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Double]("dsir_score"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(rows.keySet === Set(11L, 12L)) // history rows are not scored
+    assert(rows(11L) === ((3L, r6((lwAa + lwBb + lwZz) / 3), true)))
+    assert(rows(12L) === ((2L, r6((lwCc + lwCc) / 2), false)))
+  }
 }
