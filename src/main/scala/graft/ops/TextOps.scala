@@ -1275,7 +1275,11 @@ object TextOps {
     // engine's multiplicity-weighted unique-text counts are
     // Σ-identical); ln on exact integer ratios, position-ordered
     // fold, 6dp round — the D21 exactness recipe. DuckDB `ln` is the
-    // natural-log twin of Spark's `log`.
+    // natural-log twin of Spark's `log`. `+ 0.0` after the round
+    // normalizes IEEE negative zero: a score in (-5e-7, 0) rounds to
+    // -0.0 in DuckDB but +0.0 in Spark (BigDecimal rounding drops the
+    // sign), and canonical '%.10g' strings render them "-0" vs "0"
+    // (100 knife-edge docs at sf10; -0.0 + 0.0 = +0.0 exactly).
     Q("text_dsir", textDsir, Some(
       raw"""WITH d AS MATERIALIZED (
         |  SELECT doc_id, lang = 'en' AS tgt,
@@ -1299,7 +1303,7 @@ object TextOps {
         |    list_reduce(list(lw ORDER BY pos), (x, y) -> x + y) AS sw
         |  FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(p.n_toks, 0) AS n_toks,
-        |  round(p.sw / p.n_toks, 6) AS dsir_score,
+        |  round(p.sw / p.n_toks, 6) + 0.0 AS dsir_score,
         |  coalesce(round(p.sw / p.n_toks, 6) > 0, false) AS keep
         |FROM d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
     // held-out form: LEFT join + coalesce(0) in both engines, so OOV
@@ -1330,7 +1334,7 @@ object TextOps {
         |    list_reduce(list(lw ORDER BY pos), (x, y) -> x + y) AS sw
         |  FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(p.n_toks, 0) AS n_toks,
-        |  round(p.sw / p.n_toks, 6) AS dsir_score,
+        |  round(p.sw / p.n_toks, 6) + 0.0 AS dsir_score,
         |  coalesce(round(p.sw / p.n_toks, 6) > 0, false) AS keep
         |FROM d LEFT JOIN p USING (doc_id)
         |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin)),

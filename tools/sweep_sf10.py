@@ -32,6 +32,7 @@ engine's hashes; (2) re-compute the EXACT all-pairs keep rule for ALL
 (driver gate + sf1 sweep).
 
 Usage: sweep_sf10.py <sf10_dir> <verify_out_dir> <out_json> [names...]
+(named subset re-runs merge into an existing <out_json>)
 """
 import json, os, re, sys, glob, time, traceback
 import duckdb
@@ -324,19 +325,39 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
     return rec
 
 
-def main(sf_dir, out_dir, out_json, only=()):
+def fresh_con(sf_dir):
+    """One connection PER KEY: a heavy oracle that dies mid-allocation
+    (the r11 text_dsir sf10 OOM under transient host memory pressure)
+    must not poison every later key's compare on a shared connection.
+    Bounded memory + a spill dir make DuckDB go out-of-core instead of
+    aborting when the host is busy."""
     con = duckdb.connect()
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir, out_dir, out_json, only=()):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # subset re-runs MERGE into an existing record (recompute summary)
+    # instead of clobbering it with a partial file
     results = {}
+    if only and os.path.exists(out_json):
+        results = {k: v for k, v in json.load(open(out_json)).items()
+                   if k != "_summary" and k in oracles}
     for name in sorted(oracles):
         if only and name not in only:
             continue
-        if name in BOUNDED_IMAGE:
-            rec = bounded_image_compare(con, name, sf_dir, out_dir)
-        else:
-            rec = compare(con, name, oracles[name], out_dir)
+        con = fresh_con(sf_dir)
+        try:
+            if name in BOUNDED_IMAGE:
+                rec = bounded_image_compare(con, name, sf_dir, out_dir)
+            else:
+                rec = compare(con, name, oracles[name], out_dir)
+        finally:
+            con.close()
         results[name] = rec
         status = "ok" if rec.get("hash_match") else "FAIL"
         print(f"{status:4s} {name} rows={rec['spark_rows']} ({rec.get('secs', 0)}s)"
@@ -348,7 +369,9 @@ def main(sf_dir, out_dir, out_json, only=()):
     summary = {"sf_dir": sf_dir, "green": ok, "skipped": sk, "failed": bad,
                "oracled_total": len(results)}
     print(json.dumps(summary), flush=True)
-    json.dump({"_summary": summary, **results}, open(out_json, "w"), indent=1)
+    json.dump({"_summary": summary,
+               **{k: results[k] for k in sorted(results)}},
+              open(out_json, "w"), indent=1)
     return bad
 
 
