@@ -219,6 +219,50 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** D38: token-budget subsample — draw documents in deterministic
+    * hash-priority order until the corpus' token budget is consumed
+    * (the "give me ~10B tokens of this source" step of training-mix
+    * assembly; a Bernoulli rate can only hit a budget in expectation,
+    * while a priority prefix hits it exactly and is stable under
+    * re-runs and additions outside the prefix). A document straddling
+    * the boundary is kept: selection is `cum_before < budget`, so the
+    * sample is the shortest priority-prefix reaching the budget.
+    *
+    * The global running token total in HASH order is computed without
+    * a single-reducer window (the [[packContextsOn]] two-phase shape,
+    * re-keyed): the first `prefix` hex chars of the priority key form
+    * the bucket — a PREFIX of the sort key, so bucket order composes
+    * with in-bucket (hk, doc_id) order to the exact global order, and
+    * md5 uniformity bounds every bucket at ~n/16^prefix rows with no
+    * skewable key (the hash IS the partition key; 2 chars = 256
+    * buckets here, 4-5 chars at petabyte scale — a knob, not a
+    * structure). Cross-bucket offsets run through the hierarchical
+    * [[exclusiveOffsets]] (one row per bucket, never a global window).
+    */
+  def sampleTokenBudget(s: SparkSession, dir: String,
+      budget: Long = 10000L, prefix: Int = 2): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.bpeTokenCount(col("text")).as("n_toks"),
+        hexKey(col("doc_id"), "bud:").as("hk"))
+      .withColumn("bkt", conv(substring(col("hk"), 1, prefix), 16, 10)
+        .cast("long"))
+      .transform(graft.Lineage.cut)
+    val localW = Window.partitionBy("bkt").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = exclusiveOffsets(
+      toks.groupBy("bkt").agg(sum(col("n_toks")).as("v"))
+        .select(col("bkt").as("k"), col("v")))
+      .select(col("k").as("bkt"), col("off"))
+    toks
+      .withColumn("loc", coalesce(sum(col("n_toks")).over(localW), lit(0L)))
+      .join(offsets, "bkt")
+      .withColumn("cum_before", col("loc") + col("off"))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("n_toks"), col("cum_before"))
+      .orderBy("doc_id")
+  }
+
   /** Exclusive prefix sums over one (k, v) row per distinct key,
     * computed HIERARCHICALLY: level j windows partition by
     * `k DIV fanout^(j+1)` and order by the level-j key, so no window
@@ -456,6 +500,21 @@ object Sampling {
         |       WHEN substr(md5('gsplit:' || source), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // the oracle's one global window is fine ORACLE-side (DuckDB,
+    // 500-500k rows); the engine side is the two-phase bucketed form.
+    // SUM casts back to BIGINT (the export_shards HUGEINT caveat)
+    Q("sample_token_budget", (s, d) => sampleTokenBudget(s, d), Some(
+      s"""WITH t AS (
+        |  SELECT doc_id, $tokensSql AS n_toks,
+        |    substr(md5('bud:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t)
+        |SELECT doc_id, n_toks, CAST(cb AS BIGINT) AS cum_before
+        |FROM c WHERE cb < 10000 ORDER BY doc_id""".stripMargin)),
     Q("sample_stratified", (s, d) => sampleStratified(s, d), Some(
       stratifiedOracle)),
     // the bounded-aggregate twin answers the same question, so it

@@ -817,6 +817,41 @@ object Similarity {
     if (sorted) out.orderBy("vec_id") else out
   }
 
+  /** D35: cluster-balanced subsample — cap every semantic cluster's
+    * contribution at `cap` vectors, chosen by deterministic hash
+    * priority within the cluster. The diversity-preservation step of
+    * embedding-space curation (DataComp-style pools and the DsDm /
+    * cluster-mixture selection literature rebalance topic mass from
+    * exactly this k-means assignment): quality filters and dedup skew
+    * a crawl toward its dominant modes, and a per-cluster cap
+    * re-flattens the distribution without a learned sampler.
+    *
+    * Composition of two already-pinned pieces: the [[embedKmeans]]
+    * assignment (bit-exact vs its unrolled-Lloyd oracle) and the D15
+    * bounded-selection shape — per-cluster take-`cap` runs through the
+    * O(cap)-state [[graft.functions.TopKAgg]] aggregator, so map-side
+    * partial aggregation does the heavy selection and a viral cluster
+    * (the dominant mode this operator exists to cap) is never one
+    * serialized window task. The priority key is the `strat:`-style
+    * 32-bit md5 prefix (lexicographic hex order == numeric order of
+    * the top hash bits, exact in a double), salt `cb:` so the pick
+    * decorrelates from every other hash-derived sample on these ids.
+    */
+  def sampleClusterBalanced(s: SparkSession, dir: String,
+      cap: Int = 25): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(cap))
+    embedKmeansOn(corpus(s, dir), sorted = false)
+      .select(col("pid"), col("vec_id"),
+        conv(substring(md5(concat(lit("cb:"), col("vec_id").cast("string"))),
+          1, 8), 16, 10).cast("long").cast("double").as("hk"))
+      .groupBy("pid")
+      .agg(topk(col("hk"), col("vec_id")).as("cand"))
+      .select(col("pid"), posexplode(col("cand")).as(Seq("pos", "c")))
+      .select(col("pid"), (col("pos") + 1).cast("long").as("rk"),
+        col("c.id").as("vec_id"))
+      .orderBy("pid", "rk")
+  }
+
   /** The trained centers themselves (init + `iters` Lloyd steps) —
     * what [[embedKmeansOn]] assigns against, exposed so downstream
     * structures can consume CENTERS rather than assignments (the IVF
@@ -1070,7 +1105,19 @@ object Similarity {
     Q("embed_kmeans", (s, d) => embedKmeans(s, d), Some(
       s"""WITH $KmeansCtes
          |SELECT vec_id, CAST(pid AS INTEGER) AS pid, round(cos, 6) AS cos
-         |FROM f ORDER BY vec_id""".stripMargin))
+         |FROM f ORDER BY vec_id""".stripMargin)),
+    // the balanced subsample rides the same bit-exact assignment CTEs;
+    // the oracle ranks by the raw hex prefix while the engine ranks by
+    // its numeric value — identical order (fixed-width lowercase hex)
+    Q("sample_cluster_balanced", (s, d) => sampleClusterBalanced(s, d),
+      Some(s"""WITH $KmeansCtes,
+         |r AS (
+         |  SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+         |           ORDER BY substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 8),
+         |                    vec_id) AS rk
+         |  FROM f)
+         |SELECT CAST(pid AS INTEGER) AS pid, rk, vec_id
+         |FROM r WHERE rk <= 25 ORDER BY pid, rk""".stripMargin))
   )
 
 }
