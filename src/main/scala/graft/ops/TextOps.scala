@@ -545,6 +545,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D36: duplicate-span REMOVAL — the rewrite step D9d only flags
+    * (ExactSubstr, Lee et al. ACL 2022 "Deduplicating Training Data
+    * Makes Language Models Better": delete every occurrence of a
+    * substring that appears more than once in the corpus, rather than
+    * dropping whole near-dup documents). Token-stream formulation: a
+    * token is removed iff some `k`-gram covering it occurs >= 2 times
+    * across the UNIQUE texts (cross-doc or a within-doc repeat — both
+    * are verbatim duplication); the cleaned text is the kept tokens
+    * joined by single spaces. Sharing is counted over unique texts,
+    * NOT copy multiplicity: exact copies are D1's concern, and
+    * counting them here would erase the surviving representative's
+    * entire content along with its duplicates.
+    *
+    * Scale shape: the [[Collapse]] front-end (viral copies collapse
+    * map-side), positional gram ids as a row-local projection (slices
+    * hashed per start offset — the dedup_jaccard 64-bit grouping-key
+    * convention), duplicated-gram detection as a partial-aggregated
+    * count, the gram join back AQE-splittable, and the per-text
+    * reassembly a groupBy(rep) whose state is bounded by CONTENT
+    * LENGTH (the legal per-doc aggregation class) — no window, no
+    * unbounded state anywhere.
+    */
+  def textRemoveDupSpans(s: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val proj = docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"),
+        Collapse.textKey(col("text")).as("tkey"))
+      .transform(graft.Lineage.cut)
+    val reps = Collapse.reps(proj, "tkey", payloads = Seq("toks"))
+      .transform(graft.Lineage.cut)
+    // gram start offsets 0..n-k (guarded: sequence(0, negative) would
+    // generate a DESCENDING range, not an empty one)
+    val startsArr = when(size(col("toks")) >= k,
+      sequence(lit(0), size(col("toks")) - k))
+      .otherwise(array().cast("array<int>"))
+    val posGrams = reps.select(col("rep"), posexplode(
+        transform(startsArr,
+          i => xxhash64(concat_ws("\u0001", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("p", "gid")))
+      .transform(graft.Lineage.cut)
+    val dupG = posGrams.groupBy("gid").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gid")
+    val covered = posGrams.join(dupG, "gid")
+      .select(col("rep"), explode(sequence(col("p"), col("p") + (k - 1))).as("q"))
+      .distinct()
+    val posToks = reps.select(col("rep"),
+      posexplode(col("toks")).as(Seq("q", "tok")))
+    val cleaned = posToks.join(covered, Seq("rep", "q"), "left_anti")
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("q"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    val sizes = reps.select(col("rep"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    Collapse.docToRep(proj, reps, "tkey")
+      .join(sizes, "rep")
+      .join(cleaned, Seq("rep"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** D10c: approximate top-k tokens via the Misra–Gries sketch
     * ([[graft.functions.MisraGriesAgg]]) — the heavy-hitters twin of
     * [[textVocab]]. The exact version shuffles one row per distinct
@@ -1429,6 +1494,35 @@ object TextOps {
     // the Spark side avoids); distinct-doc gram counts == the
     // collapsed group-size + distinct-rep decomposition, same 64-bit
     // shingle-id collision budget as the dedup/contamination oracles
+    // D36: gram GROUPING key differs (engine 64-bit xxhash of the
+    // \x01-joined slice, oracle the string itself) — the dedup_jaccard
+    // collision-budget convention; everything downstream is exact
+    Q("text_remove_dup_spans", (s, d) => textRemoveDupSpans(s, d), Some(
+      raw"""WITH u AS (SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+        |ua AS (SELECT rep, list_filter(string_split_regex(text, '\s+'),
+        |                               t -> t <> '') AS a FROM u),
+        |g AS (SELECT rep, i AS p, array_to_string(a[i:i+2], chr(1)) AS gs
+        |      FROM (SELECT rep, a, unnest(range(1, len(a) - 1)) AS i FROM ua)),
+        |dup AS (SELECT gs FROM g GROUP BY gs HAVING count(*) >= 2),
+        |st AS (SELECT g.rep, g.p FROM g JOIN dup USING (gs)),
+        |cov AS (SELECT DISTINCT rep, p + unnest([0,1,2]) AS q FROM st),
+        |pt AS (SELECT rep, i AS q, a[i] AS tok
+        |       FROM (SELECT rep, a, unnest(range(1, len(a) + 1)) AS i FROM ua)),
+        |kept AS (SELECT pt.rep, pt.q, pt.tok FROM pt
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                           WHERE cov.rep = pt.rep AND cov.q = pt.q)),
+        |res AS (SELECT rep, count(*) AS n_kept,
+        |               array_to_string(list(tok ORDER BY q), ' ') AS clean_text
+        |        FROM kept GROUP BY rep),
+        |sz AS (SELECT rep, CAST(len(a) AS BIGINT) AS n_tokens FROM ua)
+        |SELECT d.doc_id, sz.n_tokens,
+        |       sz.n_tokens - coalesce(res.n_kept, 0) AS n_removed,
+        |       coalesce(res.clean_text, '') AS clean_text
+        |FROM documents d
+        |JOIN u ON u.text IS NOT DISTINCT FROM d.text
+        |JOIN sz ON sz.rep = u.rep
+        |LEFT JOIN res ON res.rep = u.rep
+        |ORDER BY d.doc_id""".stripMargin)),
     Q("text_dup_spans", textDupSpans, Some(
       raw"""WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),

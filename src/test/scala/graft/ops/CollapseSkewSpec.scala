@@ -35,7 +35,8 @@ class CollapseSkewSpec extends SparkSpec {
   /** The §2 queries whose front-end is the exact-dup collapse. */
   private val riders = Seq("dedup_minhash", "dedup_simhash",
     "dedup_jaccard", "dedup_clusters", "text_dup_spans",
-    "text_perplexity", "curation_gate", "text_dsir")
+    "text_perplexity", "curation_gate", "text_dsir",
+    "text_remove_dup_spans")
 
   test("no Window node in any collapse-riding plan, cuts included") {
     for (name <- riders) {
