@@ -178,7 +178,12 @@ object Bpe {
     * merged` is exactly the engine's greedy left-to-right `aggregate`
     * lambda.
     */
-  private[ops] def encodeOracleSql(nMerges: Int): String = {
+  /** The shared CTE prefix of the encode-family oracles: `w`/`v0` as
+    * bpe_pairs, `nMerges` unrolled (pair-count → argmax →
+    * fold-rewrite) stages, ending at `enc(word, sym, n_sym)` — the
+    * trained vocabulary every encode consumer joins against.
+    */
+  private def encodePrefixSql(nMerges: Int): StringBuilder = {
     val sb = new StringBuilder
     sb.append(
       raw"""WITH w AS (
@@ -209,7 +214,62 @@ object Bpe {
         |  FROM v${k - 1} LEFT JOIN m$k m ON TRUE)""")
     }
     sb.append(raw""",
-        |enc AS (SELECT word, sym, CAST(len(sym) AS BIGINT) AS n_sym FROM v$nMerges),
+        |enc AS (SELECT word, sym, CAST(len(sym) AS BIGINT) AS n_sym FROM v$nMerges)""")
+    sb
+  }
+
+  /** D37: per-source tokenizer fertility — the compression diagnostic
+    * of tokenizer papers (symbols per word, chars per symbol) computed
+    * under the trained vocabulary, per corpus source. A source whose
+    * fertility is an outlier is poorly served by the tokenizer (the
+    * multilingual-tokenizer audit: under-trained scripts fragment to
+    * near-char granularity) — the curation signal this table exists
+    * for. Same scale shape as [[bpeEncode]]: the vocabulary (model,
+    * small) broadcasts; the corpus explode is map-side; one partial
+    * aggregation per source. Ratios are double divisions of exact
+    * integer totals — engine-identical, no fold-order care.
+    */
+  def bpeFertility(s: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame = {
+    val (_, vocab) = train(s, dir, nMerges)
+    val enc = vocab.select(col("word"),
+      size(col("sym")).cast("long").as("n_sym"))
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        explode(filter(TextOps.wsTokens(col("text")), _ =!= "")).as("tok"))
+    toks.join(broadcast(enc), toks("tok") === enc("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe"),
+        sum(length(col("tok")).cast("long")).as("n_chars"))
+      .withColumn("bpe_per_word",
+        col("n_bpe").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_bpe",
+        col("n_chars").cast("double") / col("n_bpe").cast("double"))
+      .orderBy("source")
+  }
+
+  private[ops] def fertilityOracleSql(nMerges: Int): String = {
+    val sb = encodePrefixSql(nMerges)
+    sb.append(raw""",
+        |toks AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    t -> t <> '')) AS tok
+        |  FROM documents)
+        |SELECT t.source, count(*) AS n_words,
+        |  CAST(sum(e.n_sym) AS BIGINT) AS n_bpe,
+        |  CAST(sum(length(t.tok)) AS BIGINT) AS n_chars,
+        |  CAST(sum(e.n_sym) AS DOUBLE) / count(*) AS bpe_per_word,
+        |  CAST(sum(length(t.tok)) AS DOUBLE) / CAST(sum(e.n_sym) AS DOUBLE)
+        |    AS chars_per_bpe
+        |FROM toks t JOIN enc e ON t.tok = e.word
+        |GROUP BY t.source ORDER BY t.source""")
+    sb.toString.stripMargin
+  }
+
+  private[ops] def encodeOracleSql(nMerges: Int): String = {
+    val sb = encodePrefixSql(nMerges)
+    sb.append(raw""",
         |toks AS (
         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, arr[CAST(i AS INT)] AS tok
         |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
@@ -227,6 +287,10 @@ object Bpe {
 
   val queries: Seq[Q] = Seq(
     Q("bpe_encode", (s, d) => bpeEncode(s, d), Some(encodeOracleSql(20))),
+    // rides the same unrolled-merge prefix; ratios are double
+    // divisions of identical exact integer totals on both engines
+    Q("bpe_fertility", (s, d) => bpeFertility(s, d),
+      Some(fertilityOracleSql(20))),
     // full re-derivation: DuckDB rebuilds the char+sentinel pair
     // multiset per distinct word via substr arithmetic; sum(wc) is
     // HUGEINT there, cast back to BIGINT. Both engines index strings

@@ -109,4 +109,23 @@ class BpeSpec extends SparkSpec {
     assert(vocab.select("sym").collect()(0).getSeq[String](0) === Seq("x</w>"))
     vocab.unpersist()
   }
+
+  test("bpe_fertility totals == bpe_encode totals; ratio arithmetic") {
+    val dir = "/root/testdata/sf0.001"
+    val fert = Bpe.bpeFertility(spark, dir).collect()
+    assert(fert.nonEmpty)
+    // (source, n_words, n_bpe, n_chars, bpe_per_word, chars_per_bpe)
+    for (r <- fert) {
+      assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(5) === r.getLong(3).toDouble / r.getLong(2).toDouble)
+      // every word is at least one symbol; merges only shrink, so the
+      // symbol count never exceeds chars + sentinel
+      assert(r.getDouble(4) >= 1.0)
+      assert(r.getLong(2) <= r.getLong(3) + r.getLong(1))
+    }
+    // corpus-level conservation against the per-doc encode
+    val enc = Bpe.bpeEncode(spark, dir).collect()
+    assert(fert.map(_.getLong(1)).sum === enc.map(_.getLong(1)).sum)
+    assert(fert.map(_.getLong(2)).sum === enc.map(_.getLong(2)).sum)
+  }
 }
