@@ -33,10 +33,20 @@ object Scale {
   private def withTaskStats(spark: SparkSession)(body: => Unit)
       : (Long, Long, String) = {
     val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val names = scala.collection.mutable.Map.empty[Int, String]
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         times.synchronized { times += ((t.stageId, t.taskInfo.duration)) }
+      // the stage NAME (its callsite line) distinguishes "max task is
+      // a broadcast-relation build job" ($anonfun$withThreadLocalCaptured,
+      // a bounded model-sized collect) from "one key serialized into
+      // one exchange task" — the two readings of a 1-task max stage
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        names.synchronized {
+          names(s.stageInfo.stageId) = s.stageInfo.name.takeWhile(_ != '\n')
+        }
     }
     spark.sparkContext.addSparkListener(l)
     try body finally {
@@ -49,7 +59,8 @@ object Scale {
       val sorted = all.map(_._2).sorted
       val (maxStage, maxT) = all.maxBy(_._2)
       val stage = all.filter(_._1 == maxStage).map(_._2).sorted
-      val detail = f"max task's stage: $maxStage (${stage.size} tasks, " +
+      val nm = names.synchronized(names.getOrElse(maxStage, "?"))
+      val detail = f"max task's stage: $maxStage [$nm] (${stage.size} tasks, " +
         f"stage median ${stage(stage.size / 2)}ms, stage max ${maxT}ms)"
       (sorted.last, sorted(sorted.size / 2), detail)
     }
@@ -128,7 +139,8 @@ object Scale {
         // window; the straggler ratio is what the rewrite is graded on
         Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_jaccard", "dedup_clusters", "text_dup_spans",
-          "text_perplexity", "curation_gate", "text_dsir")
+          "text_perplexity", "curation_gate", "text_dsir",
+          "text_remove_dup_spans")
       else
         Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_jaccard", "dedup_clusters", "contamination", "pack_contexts",

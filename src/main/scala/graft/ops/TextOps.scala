@@ -569,12 +569,23 @@ object TextOps {
     */
   def textRemoveDupSpans(s: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
-    val proj = docs(s, dir)
+    // Two narrow scans, NOT one materialized payload frame: the token
+    // arrays exist only INSIDE the reps aggregate (map-side min_by
+    // keeps one array per digest per task and discards the copies),
+    // and the doc→rep branch re-scans just (doc_id, digest). The first
+    // draft cut a (doc_id, toks, tkey) frame shared by both — which
+    // materializes a full token copy of the corpus (viral-probe
+    // measured: ~7 GB at 2e7 docs, pinning the protected storage pool
+    // and starving the 32-way sort-aggregate of execution memory until
+    // UNABLE_TO_ACQUIRE_MEMORY). Re-hashing the text on a second scan
+    // is the 100 TB shape; only the UNIQUE-text reps get materialized.
+    val withToks = docs(s, dir)
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"),
         Collapse.textKey(col("text")).as("tkey"))
-      .transform(graft.Lineage.cut)
-    val reps = Collapse.reps(proj, "tkey", payloads = Seq("toks"))
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), Collapse.textKey(col("text")).as("tkey"))
+    val reps = Collapse.reps(withToks, "tkey", payloads = Seq("toks"))
       .transform(graft.Lineage.cut)
     // gram start offsets 0..n-k (guarded: sequence(0, negative) would
     // generate a DESCENDING range, not an empty one)
@@ -601,7 +612,7 @@ object TextOps {
           x => x.getField("tok")), " ").as("clean_text"))
     val sizes = reps.select(col("rep"),
       size(col("toks")).cast("long").as("n_tokens"))
-    Collapse.docToRep(proj, reps, "tkey")
+    Collapse.docToRep(keyed, reps, "tkey")
       .join(sizes, "rep")
       .join(cleaned, Seq("rep"), "left")
       .select(col("doc_id"), col("n_tokens"),
