@@ -263,6 +263,84 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** D39: training-mix materialization — the step that turns "mix the
+    * sources with temperature-α weights under a total token budget"
+    * into an actual document list (the Pile/LLaMA-style mixture table
+    * made concrete: per-source token budgets b_s = ⌊B · √T_s / Σ √T_s⌋
+    * from the sources' own token masses, then each source contributes
+    * its shortest hash-priority prefix reaching b_s). Composes the two
+    * pinned pieces: [[sampleTemperature]]'s α=0.5 weighting recipe
+    * (sqrt is IEEE-exact where pow is not; the weight total folds over
+    * the SOURCE-SORTED weight list so both engines add in one order)
+    * re-based in token currency, and [[sampleTokenBudget]]'s exact
+    * prefix semantics (`cum_before < b_s`: the straddling doc is kept,
+    * budgets hit exactly rather than in Bernoulli expectation, stable
+    * under re-runs). A source whose weighted share exceeds its own
+    * mass is capped at T_s (everything kept; `least`, the D19 rule).
+    *
+    * Scale shape: per-source token masses are one partial aggregation
+    * (#sources rows — broadcast); the running in-source token total
+    * uses the hash's own hex prefix as the bucket key exactly as D38 —
+    * the in-bucket window partitions by (source, bucket) where the
+    * bucket is md5-uniform WITHIN the source (a viral source spreads
+    * over all 16^prefix buckets; no skewable window key), and the
+    * cross-bucket offset window holds ≤16^prefix ROWS PER SOURCE
+    * (bucket-level sums — bounded by construction at any corpus size;
+    * raise `prefix` at petabyte scale). No global window, no
+    * all-source reducer anywhere.
+    */
+  def sampleMixture(s: SparkSession, dir: String, budget: Long = 10000L,
+      prefix: Int = 2): DataFrame =
+    sampleMixtureOn(Tables.load(s, dir, "documents"), budget, prefix)
+
+  /** [[sampleMixture]] on an arbitrary (doc_id, source, text) frame —
+    * the seam the equality / straddle / cap specs drive.
+    */
+  def sampleMixtureOn(docs: DataFrame, budget: Long = 10000L,
+      prefix: Int = 2): DataFrame = {
+    // checkpointed: feeds the per-source masses, the bucket sums AND
+    // the row branch — uncut, the BPE token scan runs three times
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.bpeTokenCount(col("text")).as("n_toks"),
+        hexKey(col("doc_id"), "mix:").as("hk"))
+      .withColumn("bkt", conv(substring(col("hk"), 1, prefix), 16, 10)
+        .cast("long"))
+      .transform(graft.Lineage.cut)
+    // cached (#sources rows): consumed by the total fold AND the
+    // budget projection (the sampleTemperature lesson)
+    val perSource = toks.groupBy("source")
+      .agg(sum(col("n_toks")).as("t_s")).cache()
+    val tot = perSource
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("source"),
+          sqrt(col("t_s").cast("double")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("tot"))
+    val budgets = perSource.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(col("t_s"),
+          floor(lit(budget.toDouble) * sqrt(col("t_s").cast("double"))
+            / col("tot")).cast("long")).as("b_s"))
+    val localW = Window.partitionBy("source", "bkt")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket-level rows only: ≤16^prefix per source regardless of size
+    val offW = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("source", "bkt")
+      .agg(sum(col("n_toks")).as("v"))
+      .withColumn("off", coalesce(sum(col("v")).over(offW), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    toks
+      .withColumn("loc", coalesce(sum(col("n_toks")).over(localW), lit(0L)))
+      .join(offsets, Seq("source", "bkt"))
+      .withColumn("cum_before", col("loc") + col("off"))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_before") < col("b_s"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_before"))
+      .orderBy("doc_id")
+  }
+
   /** Exclusive prefix sums over one (k, v) row per distinct key,
     * computed HIERARCHICALLY: level j windows partition by
     * `k DIV fanout^(j+1)` and order by the level-j key, so no window
@@ -515,6 +593,33 @@ object Sampling {
         |  FROM t)
         |SELECT doc_id, n_toks, CAST(cb AS BIGINT) AS cum_before
         |FROM c WHERE cb < 10000 ORDER BY doc_id""".stripMargin)),
+    // same cross-engine contracts as its two parents: sqrt weights +
+    // source-ordered fold (sample_temperature) and the per-source
+    // single-window oracle standing in for the bucketed two-phase
+    // engine form (sample_token_budget); SUMs cast back to BIGINT
+    Q("sample_mixture", (s, d) => sampleMixture(s, d), Some(
+      s"""WITH t AS (
+        |  SELECT doc_id, source, $tokensSql AS n_toks,
+        |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS t_s
+        |  FROM t GROUP BY source),
+        |s AS (
+        |  SELECT list_reduce(list(sqrt(CAST(t_s AS DOUBLE)) ORDER BY source),
+        |                     (a, b) -> a + b) AS tot FROM c),
+        |k AS (
+        |  SELECT source, least(t_s,
+        |    CAST(floor(10000 * sqrt(CAST(t_s AS DOUBLE)) / s.tot) AS BIGINT)) AS b_s
+        |  FROM c, s),
+        |cum AS (
+        |  SELECT doc_id, source, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t)
+        |SELECT doc_id, source, n_toks, CAST(cb AS BIGINT) AS cum_before
+        |FROM cum JOIN k USING (source) WHERE cb < b_s
+        |ORDER BY doc_id""".stripMargin)),
     Q("sample_stratified", (s, d) => sampleStratified(s, d), Some(
       stratifiedOracle)),
     // the bounded-aggregate twin answers the same question, so it
