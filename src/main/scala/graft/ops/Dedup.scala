@@ -1005,6 +1005,41 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** D40: normalization-canonical exact dedup — the CCNet recipe
+    * (Wenzek et al. 2020 §3.1 deduplicate on NORMALIZED content:
+    * lowercase, digits→0, punctuation stripped) applied at document
+    * granularity: two pages differing only in case, numbers,
+    * punctuation or whitespace runs are the same page for curation
+    * purposes, and raw-exact dedup (D1) misses them while near-dup
+    * (D2-D4) pays pairwise machinery for what is really an exact
+    * match under a canonical key. Normalization here is the
+    * deterministic cross-engine subset: lowercase, `[0-9]`→`0`, ASCII
+    * punctuation removed, whitespace runs collapsed, ends trimmed.
+    * Output per canonical group: keep_id = min doc_id, copy count,
+    * and the number of DISTINCT RAW variants the key merged
+    * (n_raw_variants > 1 is exactly the population D1 misses).
+    *
+    * Scale shape: identical to [[dedupExact]] — normalization is a
+    * row-local projection, the group key is a 128-bit digest, and
+    * both aggregates (count, distinct-raw count via a two-phase
+    * partial agg on (norm, raw) digests) collapse hot keys map-side.
+    * Raw text never crosses the exchange.
+    */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("text")), "[0-9]", "0"), "[!-/:-@\\[-`{-~]", ""),
+      "\\s+", " "))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(norm.cast("binary")).as("digest"),
+        md5(col("text").cast("binary")).as("raw_digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_digest")).as("n_raw_variants"))
+      .select(col("keep_id"), col("n_copies"), col("n_raw_variants"))
+      .orderBy("keep_id")
+  }
+
   /** D1b: INCREMENTAL exact dedup — dedup a new batch against the
     * already-ingested corpus, the shape a continuously-fed pipeline
     * actually runs (daily crawl vs. full history): history
@@ -1122,6 +1157,20 @@ object Dedup {
     Q("dedup_exact", dedupExact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+    // the oracle groups by the normalized STRING itself (no digest) —
+    // independent of the md5 keying; regexp_replace needs the 'g'
+    // flag in DuckDB (Spark replaces all matches by default), and the
+    // DISTINCT-raw count casts back to BIGINT
+    Q("dedup_normalized", (s, d) => dedupNormalized(s, d), Some(
+      raw"""WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[0-9]', '0', 'g'),
+        |      '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
+        |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin)),
     // the oracle anti-joins on raw TEXT (no digest), independently of
     // the md5 keying
     Q("dedup_incremental", (s, d) => dedupIncremental(s, d), Some(

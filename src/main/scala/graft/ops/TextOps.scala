@@ -621,6 +621,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D41: span-corruption objective materialization — the T5 denoising
+    * preprocessing (Raffel et al. 2020 §3.1.4: corrupt ~15% of tokens
+    * in contiguous spans, replace each span with a numbered sentinel,
+    * emit (input, target) where the target spells each sentinel's
+    * dropped tokens) made DETERMINISTIC: position p starts a span iff
+    * the first 2 hex chars of md5("span:<doc_id>:<p>") < `thr`
+    * ("0d"/256 ≈ 5.1% starts; spans cover `spanLen` tokens, overlaps
+    * merging into one longer span — expected mask rate
+    * 1-(1-thr/256)^spanLen ≈ 14.5%, the paper's dial). Deterministic
+    * masks are what make objective prep reproducible across cluster
+    * sizes, retries and engines — the same argument as D14's split,
+    * applied to the training objective itself.
+    *
+    * Per doc: token count, masked count, span count, `input_text`
+    * (kept tokens with each masked run replaced by `<extra_id_k>` in
+    * first-occurrence order) and `target_text` (each sentinel followed
+    * by its dropped tokens — the T5 target layout).
+    *
+    * Scale shape: ENTIRELY row-local — the whole computation is
+    * higher-order array functions over the doc's own tokens (no
+    * explode, no shuffle, no state): a pure map stage at 100 TB, the
+    * D28 class. Per-row cost is O(n · spans) in the worst case,
+    * bounded by content length.
+    */
+  def textSpanCorrupt(s: SparkSession, dir: String, spanLen: Int = 3,
+      thr: String = "0d"): DataFrame = {
+    val n = size(col("toks"))
+    val posHash = (p: Column) => substring(md5(concat(lit("span:"),
+      col("doc_id").cast("string"), lit(":"), p.cast("string"))), 1, 2)
+    val isCov = (p: Column) => array_contains(col("covered"), p)
+    val sentinel = (q: Column) => concat(lit("<extra_id_"),
+      (array_position(col("runstarts"), q) - 1).cast("string"), lit(">"))
+    // the run that covers position p is the LAST runstart <= p
+    val runOf = (p: Column) =>
+      element_at(filter(col("runstarts"), q => q <= p), -1)
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
+      // sequence(0, -1) is DESCENDING, not empty — guard the n=0 doc
+      .withColumn("pos", when(n >= 1, sequence(lit(0), n - 1))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("starts", filter(col("pos"), p => posHash(p) < lit(thr)))
+      .withColumn("covered", array_sort(array_distinct(flatten(
+        transform(col("starts"),
+          q => sequence(q, least(q + (spanLen - 1), n - 1)))))))
+      .withColumn("runstarts", filter(col("covered"),
+        p => !array_contains(col("covered"), p - 1)))
+      .withColumn("input_text", array_join(filter(transform(col("pos"), p =>
+        when(!isCov(p), element_at(col("toks"), p + 1))
+          .when(array_contains(col("runstarts"), p), sentinel(p))
+          .otherwise(lit(null))), x => x.isNotNull), " "))
+      .withColumn("target_text", array_join(transform(col("runstarts"),
+        q => concat(sentinel(q), lit(" "),
+          array_join(transform(filter(col("covered"), p => runOf(p) === q),
+            p => element_at(col("toks"), p + 1)), " "))), " "))
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_masked"),
+        size(col("runstarts")).cast("long").as("n_spans"),
+        col("input_text"), col("target_text"))
+      .orderBy("doc_id")
+  }
+
   /** D10c: approximate top-k tokens via the Misra–Gries sketch
     * ([[graft.functions.MisraGriesAgg]]) — the heavy-hitters twin of
     * [[textVocab]]. The exact version shuffles one row per distinct
@@ -1534,6 +1596,47 @@ object TextOps {
         |JOIN sz ON sz.rep = u.rep
         |LEFT JOIN res ON res.rep = u.rep
         |ORDER BY d.doc_id""".stripMargin)),
+    // DuckDB range(0, n) is empty at n <= 0 (no descending-sequence
+    // guard needed oracle-side); list_position is 1-based in both;
+    // sentinel ordinals cast to VARCHAR explicitly so both engines
+    // render "0","1",... identically
+    Q("text_span_corrupt", (s, d) => textSpanCorrupt(s, d), Some(
+      raw"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |s AS (SELECT doc_id, toks, n,
+        |    list_filter(range(0, n),
+        |      p -> substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |                      CAST(p AS VARCHAR)), 1, 2) < '0d') AS starts
+        |  FROM b),
+        |c AS (SELECT doc_id, toks, n, starts,
+        |    list_sort(list_distinct(flatten(list_transform(starts,
+        |      q -> range(q, least(q + 3, n)))))) AS covered
+        |  FROM s),
+        |r AS (SELECT doc_id, toks, n, covered,
+        |    list_filter(covered,
+        |      p -> NOT list_contains(covered, p - 1)) AS runstarts
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(len(covered) AS BIGINT) AS n_masked,
+        |  CAST(len(runstarts) AS BIGINT) AS n_spans,
+        |  COALESCE(array_to_string(list_filter(list_transform(range(0, n),
+        |    p -> CASE
+        |      WHEN NOT list_contains(covered, p) THEN toks[p + 1]
+        |      WHEN list_contains(runstarts, p) THEN '<extra_id_' ||
+        |        CAST(list_position(runstarts, p) - 1 AS VARCHAR) || '>'
+        |      ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS input_text,
+        |  COALESCE(array_to_string(list_transform(runstarts,
+        |    q -> '<extra_id_' ||
+        |      CAST(list_position(runstarts, q) - 1 AS VARCHAR) || '> ' ||
+        |      array_to_string(list_transform(
+        |        list_filter(covered,
+        |          p -> list_filter(runstarts, q2 -> q2 <= p)[-1] = q),
+        |        p -> toks[p + 1]), ' ')), ' '), '') AS target_text
+        |FROM r ORDER BY doc_id""".stripMargin)),
     Q("text_dup_spans", textDupSpans, Some(
       raw"""WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
