@@ -1033,6 +1033,90 @@ object TextOps {
       .orderBy("query_id", "rk")
   }
 
+  /** D42: per-document tf-idf keyword extraction — the corpus-audit /
+    * topic-labeling signal (sklearn's smooth-idf formulation:
+    * `w = tf · (ln((1+N)/(1+df)) + 1)`, idf 6dp-rounded BEFORE the
+    * product, the D27 engine-exactness convention). Top `k` terms per
+    * document, score-desc with lexicographic tie-break.
+    *
+    * Scale shape: the [[Collapse]] exact-dup front-end puts tf/df on
+    * UNIQUE texts (df = distinct-text document frequency — a viral
+    * copy inflates neither df nor the tf work), the tf→df join is
+    * term-keyed (a crawl's stopword key is hot but AQE-splittable —
+    * unlike a window), and per-doc top-k is the bounded
+    * [[graft.functions.TopKStrAgg]] (O(k) map-side state, no
+    * `row_number` window anywhere). Only (doc_id, digest) rides the
+    * join-back exchange; keyword rows attach at rep granularity.
+    */
+  def textKeywords(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val proj = docs(s, dir).select(col("doc_id"), col("text"),
+      Collapse.textKey(col("text")).as("tkey"))
+    val reps = Collapse.reps(proj, "tkey", payloads = Seq("text"))
+    val tf = reps
+      .select(col("rep"),
+        explode(filter(wsTokens(col("text")), t => t =!= "")).as("t"))
+      .groupBy("rep", "t").agg(count(lit(1)).as("tf"))
+      .cache() // consumed twice: the df aggregate and the scoring rows
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = broadcast(reps.agg(count(lit(1)).as("n")))
+    val topk = udaf(new graft.functions.TopKStrAgg(k))
+    val perRep = tf.join(df, "t").crossJoin(n)
+      .withColumn("w", col("tf") * round(
+        log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1.0, 6))
+      .groupBy("rep")
+      .agg(topk(-col("w"), col("t")).as("cand"))
+      .select(col("rep"), posexplode(col("cand")).as(Seq("pos", "c")))
+      .select(col("rep"), (col("pos") + 1).cast("long").as("rk"),
+        col("c.key").as("token"), round(-col("c.negScore"), 6).as("weight"))
+    Collapse.docToRep(proj, reps, "tkey")
+      .join(perRep, Seq("rep"))
+      .select(col("doc_id"), col("rk"), col("token"), col("weight"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** D43: pairwise source vocabulary overlap — the corpus-composition
+    * audit (how much does src_i's vocabulary overlap src_j's?): for
+    * every unordered source pair, both vocabulary sizes, the
+    * intersection size, and the Jaccard coefficient.
+    *
+    * Scale shape: one `distinct` on (source, token) — partial-agg
+    * dedup, a hot (stopword, source) cell collapses map-side — then
+    * ONE aggregation per token whose state is the token's source SET
+    * (bounded by the number of sources, never by corpus size or copy
+    * multiplicity), exploded row-locally into C(s,2) pair rows and
+    * count-aggregated. The all-pairs frame joins two copies of the
+    * source-count table (sources² rows — catalog-sized, broadcast).
+    * No self-join of the (source, token) table on the token key — the
+    * collect_set form moves the pairing AFTER the per-token collapse,
+    * so a stopword appearing in every source costs C(s,2) rows once,
+    * not |docs|² join work.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .select(col("source"),
+        explode(filter(wsTokens(col("text")), t => t =!= "")).as("t"))
+      .distinct()
+      .cache() // consumed twice: per-source sizes and per-token sets
+    val sz = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = st.groupBy("t")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), " +
+          "y -> struct(x AS s1, y AS s2))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = broadcast(sz.select(col("source").as("s1"), col("v").as("v1")))
+      .join(broadcast(sz.select(col("source").as("s2"), col("v").as("v2"))),
+        col("s1") < col("s2"))
+    pairs.join(inter, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("v1"), col("v2"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("v1") + col("v2") - col("inter")), 6))
+      .orderBy("s1", "s2")
+  }
+
   /** The Gopher repetition-free stopword list (Rae et al. 2021,
     * A1.1): a document must contain at least 2 of these.
     */
@@ -1740,6 +1824,57 @@ object TextOps {
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+    // tf/df over UNIQUE texts (the Collapse front-end), idf
+    // 6dp-rounded before the product in both engines; ranking compares
+    // bit-identical doubles (int tf × the same rounded idf), ties
+    // break lexicographically in both (TopKStrAgg / row_number)
+    Q("text_keywords", (s, d) => textKeywords(s, d), Some(
+      raw"""WITH reps AS (
+        |  SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+        |n AS (SELECT count(*) AS n FROM reps),
+        |tf AS (
+        |  SELECT rep, t, count(*) AS tf FROM (
+        |    SELECT rep, unnest(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |    FROM reps)
+        |  GROUP BY rep, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |w AS (
+        |  SELECT tf.rep, tf.t,
+        |    tf.tf * round(ln((1.0 + n.n) / (1.0 + df.df)) + 1, 6) AS w
+        |  FROM tf JOIN df USING (t) CROSS JOIN n),
+        |rk AS (
+        |  SELECT rep, t, w, row_number() OVER (
+        |    PARTITION BY rep ORDER BY w DESC, t) AS rk
+        |  FROM w),
+        |d2r AS (
+        |  SELECT d.doc_id, r.rep FROM documents d
+        |  JOIN reps r ON d.text IS NOT DISTINCT FROM r.text)
+        |SELECT d2r.doc_id, rk.rk, rk.t AS token, round(rk.w, 6) AS weight
+        |FROM d2r JOIN rk USING (rep)
+        |WHERE rk.rk <= 5 ORDER BY doc_id, rk""".stripMargin)),
+    // integer set sizes; jaccard = the same int ratio rounded on the
+    // same double in both engines
+    Q("source_overlap", (s, d) => sourceOverlap(s, d), Some(
+      raw"""WITH st AS (
+        |  SELECT DISTINCT source, t FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |    FROM documents)),
+        |sz AS (SELECT source, count(*) AS v FROM st GROUP BY source),
+        |iv AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS s1, b.source AS s2, a.v AS v1, b.v AS v2
+        |  FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT p.s1, p.s2, p.v1, p.v2,
+        |  COALESCE(iv.inter, 0) AS inter,
+        |  round(COALESCE(iv.inter, 0)::DOUBLE /
+        |    (p.v1 + p.v2 - COALESCE(iv.inter, 0)), 6) AS jaccard
+        |FROM p LEFT JOIN iv ON p.s1 = iv.s1 AND p.s2 = iv.s2
+        |ORDER BY 1, 2""".stripMargin)),
     // the query set is interpolated from Bm25Queries (never
     // duplicated); idf is 6dp-rounded BEFORE use in both engines, the
     // per-doc sum is a term-ordered fold, ranking uses the unrounded

@@ -36,7 +36,7 @@ class CollapseSkewSpec extends SparkSpec {
   private val riders = Seq("dedup_minhash", "dedup_simhash",
     "dedup_jaccard", "dedup_clusters", "text_dup_spans",
     "text_perplexity", "curation_gate", "text_dsir",
-    "text_remove_dup_spans")
+    "text_remove_dup_spans", "text_keywords", "source_overlap")
 
   test("no Window node in any collapse-riding plan, cuts included") {
     for (name <- riders) {
