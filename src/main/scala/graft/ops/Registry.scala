@@ -17,6 +17,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Eda.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextOps.queries ++ Bpe.queries ++
-      Multimodal.queries ++ Sampling.queries ++ ChessQueries.queries
+      Similarity.queries ++ Pca.queries ++ TextOps.queries ++
+      Bpe.queries ++ Multimodal.queries ++ Sampling.queries ++
+      ChessQueries.queries
 }

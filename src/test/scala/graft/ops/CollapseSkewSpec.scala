@@ -140,6 +140,10 @@ class CollapseSkewSpec extends SparkSpec {
     Caches.sweep(spark)
 
     // curation_gate on the same corpus: dup flag correct at both ends
+    // (same warm-up convention — its native quality scans JIT on
+    // first run, which read as a 4-8 s pseudo-straggler cold)
+    TextOps.curationGate(spark, d).limit(1).count()
+    Caches.sweep(spark)
     val gate = taskTimes {
       val g = TextOps.curationGate(spark, d)
         .filter(col("doc_id").isin(1L, 2L, 999999L, 1000000L))
