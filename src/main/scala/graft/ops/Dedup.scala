@@ -1040,6 +1040,58 @@ object Dedup {
       .orderBy("keep_id")
   }
 
+  /** D48: cross-source duplicate-leakage audit — for every unordered
+    * source pair, how many DISTINCT texts appear in both (plus each
+    * source's own distinct-text count and the pair's Jaccard overlap,
+    * zero-overlap pairs preserved). The corpus-composition companion
+    * of exact dedup: a high leak count between a curated source and a
+    * crawl source means the curated set is already inside the crawl —
+    * the mixture weights (D39) double-count it, and a train/eval
+    * split along source lines (the common shortcut) silently leaks.
+    *
+    * Scale shape — the [[Dedup.dedupExact]] and D43 tricks composed,
+    * no pairwise join on content anywhere:
+    *  1. distinct (digest, source): a two-phase partial aggregation —
+    *     a viral doc collapses map-side, and only the 128-bit digest
+    *     (never the text) crosses the exchange;
+    *  2. per-digest source SET: aggregation state bounded by the
+    *     source catalog, never by copy count;
+    *  3. the C(s,2) pair rows explode ROW-LOCALLY from each digest's
+    *     set (a text in every source costs C(s,2) rows once — not a
+    *     |docs|² self-join on the digest key) and count-aggregate;
+    *  4. the all-pairs frame is catalog-sized (sources², broadcast),
+    *     so absent pairs surface with shared_groups = 0.
+    */
+  def dedupSourceLeakage(s: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.load(s, dir, "documents")
+      .select(Collapse.textKey(col("text")).as("tkey"), col("source"))
+      .distinct()
+      // feeds both the per-source counts and the per-digest sets
+      .transform(graft.Lineage.cut)
+    val perSource = ds.groupBy("source").agg(count(lit(1)).as("g"))
+    val shared = ds.groupBy("tkey")
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_groups"))
+    val allPairs = perSource.as("a")
+      .crossJoin(broadcast(perSource.as("b")))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.g").as("groups_a"), col("b.g").as("groups_b"))
+    val sh = coalesce(col("shared_groups"), lit(0L))
+    allPairs.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), sh.as("shared_groups"),
+        col("groups_a"), col("groups_b"),
+        round(sh.cast("double") / (col("groups_a") + col("groups_b") - sh), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** D1b: INCREMENTAL exact dedup — dedup a new batch against the
     * already-ingested corpus, the shape a continuously-fed pipeline
     * actually runs (daily crawl vs. full history): history
@@ -1171,6 +1223,32 @@ object Dedup {
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
         |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin)),
+    // leakage oracle groups on raw TEXT (no digest), pairing with
+    // IS NOT DISTINCT FROM so null texts collapse like the engine's
+    // null sentinel; zero-overlap pairs preserved via the gs×gs frame
+    Q("dedup_source_leakage", (s, d) => dedupSourceLeakage(s, d), Some(
+      """WITH dp AS MATERIALIZED (
+        |  SELECT DISTINCT text, source FROM documents),
+        |gs AS (SELECT source, count(*) AS g FROM dp GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS shared
+        |  FROM dp a JOIN dp b
+        |    ON a.text IS NOT DISTINCT FROM b.text AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |ap AS (
+        |  SELECT x.source AS source_a, x.g AS groups_a,
+        |         y.source AS source_b, y.g AS groups_b
+        |  FROM gs x JOIN gs y ON x.source < y.source)
+        |SELECT ap.source_a, ap.source_b,
+        |  COALESCE(pr.shared, 0) AS shared_groups,
+        |  ap.groups_a, ap.groups_b,
+        |  round(CAST(COALESCE(pr.shared, 0) AS DOUBLE)
+        |        / (ap.groups_a + ap.groups_b - COALESCE(pr.shared, 0)), 6)
+        |    AS jaccard
+        |FROM ap LEFT JOIN pr
+        |  ON pr.source_a = ap.source_a AND pr.source_b = ap.source_b
+        |ORDER BY ap.source_a, ap.source_b""".stripMargin)),
     // the oracle anti-joins on raw TEXT (no digest), independently of
     // the md5 keying
     Q("dedup_incremental", (s, d) => dedupIncremental(s, d), Some(

@@ -852,6 +852,93 @@ object Similarity {
       .orderBy("pid", "rk")
   }
 
+  /** D46: kNN graph — the top-[[K]] cosine neighbors of EVERY corpus
+    * vector (not just a query set): the substrate of graph-based
+    * curation (connected-component semantic clusters, kNN-density
+    * outlier pruning, label propagation) and the build step of
+    * graph-ANN indexes. All-pairs is n² and never acceptable; the
+    * IVF decomposition bounds candidate generation exactly like
+    * [[annIvf]], with BOTH sides of the join now corpus-sized:
+    *
+    *  1. ONE ranking pass per vector ([[pivotRanking]] against the
+    *     deterministic hash pivots) yields its `nProbe` probe lists —
+    *     prefix 1 of which is its own inverted-list assignment; the
+    *     shared frame is Lineage.cut so assignment and probes don't
+    *     recompute the nLists-cosine scan twice.
+    *  2. Candidates meet through a SHUFFLE join on the list id (the
+    *     broadcast of [[annIvfOn]] is impossible — the probe side is
+    *     the whole corpus). List-size skew (hash pivots give uneven
+    *     Voronoi cells) is a skewed shuffle join: AQE-splittable, the
+    *     [[Collapse]] argument.
+    *  3. Per-vector top-k through the bounded partial-aggregated
+    *     [[graft.functions.TopKAgg]] — O(k) state map-side, no
+    *     per-vector window.
+    *
+    * Scale dials: candidate volume ≈ n·nProbe·(n/nLists); a real
+    * deployment grows `nLists` ~ √n (keeping per-list cells ~√n rows)
+    * for n^1.5 total work, the classic IVF-graph tradeoff. Recall
+    * follows the [[annIvf]] geometry (~nProbe/nLists on unclustered
+    * vectors, near-exact on clustered corpora); `nProbe = nLists`
+    * reproduces the exact graph. Self-edges are excluded; a vector's
+    * own list is always its first probe, so rank-1 self-recall never
+    * costs an edge.
+    */
+  def knnGraph(s: SparkSession, dir: String, nLists: Int = NLists,
+      nProbe: Int = 4): DataFrame = {
+    val piv = ivfPivots(s, dir, nLists)
+    val ranked = corpus(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        slice(pivotRanking(col("embedding"), piv), 1, nProbe).as("pr"))
+      .transform(graft.Lineage.cut)
+    val assigned = ranked.select(
+      element_at(col("pr"), 1).getField("pid").as("pid"),
+      col("vec_id"), col("embedding"))
+    val probes = ranked.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), explode(col("pr")).as("p"))
+      .select(col("p.pid").as("pid"), col("q_id"), col("q_emb"))
+    val scored = assigned.join(probes, Seq("pid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .select("q_id", "vec_id", "cos")
+    topKPerQuery(scored)
+  }
+
+  /** D45: prototypicality pruning — score every vector by its cosine
+    * to its own cluster centroid (the SSL-prototypes metric of
+    * Sorscher et al. 2022, "Beyond neural scaling laws": examples
+    * very close to their cluster prototype are the easy/redundant
+    * mass a data-pruned corpus sheds first) and flag the keep set as
+    * the vectors at-or-below their cluster's MEAN prototypicality —
+    * i.e. keep the harder, more informative half of every cluster.
+    *
+    * The keep rule compares in integer micro-units (`micro =
+    * round(cos·1e6)` as a BIGINT; keep ⇔ `micro·n ≤ Σ micro` over the
+    * cluster): both engines do exact 64-bit arithmetic, so the
+    * comparison cannot drift on float summation order — the mean
+    * never exists as a float at all (the `text_dsir` −0.0 lesson,
+    * applied before the knife-edge instead of after).
+    *
+    * Scale shape: the assignment is the broadcast-centroid row-local
+    * map [[embedKmeansOn]] already is; the per-cluster statistics are
+    * ONE partial aggregation with two longs of state per cluster (a
+    * viral cluster — the dominant crawl mode — collapses map-side,
+    * the [[Collapse]] argument); the stats table is k rows, broadcast
+    * back. No cluster-keyed window anywhere.
+    */
+  def sampleProtoPrune(s: SparkSession, dir: String): DataFrame = {
+    val assign = embedKmeansOn(corpus(s, dir), sorted = false)
+      .withColumn("micro", round(col("cos") * 1e6, 0).cast("long"))
+      // feeds both the stats aggregate and the join-back — without the
+      // cut the CosBest assignment map runs twice
+      .transform(graft.Lineage.cut)
+    val stats = assign.groupBy("pid")
+      .agg(sum(col("micro")).as("msum"), count(lit(1)).as("n"))
+    assign.join(broadcast(stats), "pid")
+      .select(col("vec_id"), col("pid"), col("cos"),
+        (col("micro") * col("n") <= col("msum")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** The trained centers themselves (init + `iters` Lloyd steps) —
     * what [[embedKmeansOn]] assigns against, exposed so downstream
     * structures can consume CENTERS rather than assignments (the IVF
@@ -1117,7 +1204,55 @@ object Similarity {
          |                    vec_id) AS rk
          |  FROM f)
          |SELECT CAST(pid AS INTEGER) AS pid, rk, vec_id
-         |FROM r WHERE rk <= 25 ORDER BY pid, rk""".stripMargin))
+         |FROM r WHERE rk <= 25 ORDER BY pid, rk""".stripMargin)),
+    // prototypicality rides the same bit-exact assignment; the keep
+    // rule compares integer micro-units (round(cos·1e6) as BIGINT), so
+    // no float mean ever exists to disagree on summation order
+    Q("sample_proto_prune", (s, d) => sampleProtoPrune(s, d),
+      Some(s"""WITH $KmeansCtes,
+         |m AS (
+         |  SELECT vec_id, pid, round(cos, 6) AS cos,
+         |         CAST(round(round(cos, 6) * 1e6) AS BIGINT) AS micro
+         |  FROM f),
+         |st AS (SELECT pid, sum(micro) AS msum, count(*) AS n
+         |       FROM m GROUP BY pid)
+         |SELECT m.vec_id, CAST(m.pid AS INTEGER) AS pid, m.cos,
+         |       m.micro * st.n <= st.msum AS keep
+         |FROM m JOIN st USING (pid) ORDER BY m.vec_id""".stripMargin)),
+    // exact oracle, the ann_ivf convention with the corpus as its own
+    // query set: one ranking CTE feeds both the list assignment
+    // (rn = 1) and the probe set (rn <= nProbe); self-edges excluded
+    Q("knn_graph", (s, d) => knnGraph(s, d), Some(
+      s"""WITH piv AS (
+         |  SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $NLists),
+         |r AS (
+         |  SELECT c.vec_id, p.pid,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                           CAST(p.pvec AS DOUBLE[])) DESC,
+         |                    p.pid DESC) AS rn
+         |  FROM embeddings c CROSS JOIN piv p),
+         |lists AS (SELECT vec_id, pid FROM r WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS q_id, pid FROM r WHERE rn <= 4),
+         |scored AS (
+         |  SELECT qp.q_id, l.vec_id,
+         |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |                                CAST(q.embedding AS DOUBLE[])) AS cos
+         |  FROM qprobe qp
+         |  JOIN lists l USING (pid)
+         |  JOIN embeddings c ON c.vec_id = l.vec_id
+         |  JOIN embeddings q ON q.vec_id = qp.q_id
+         |  WHERE l.vec_id <> qp.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin))
   )
 
 }

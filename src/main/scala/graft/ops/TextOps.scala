@@ -880,6 +880,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D47: CCNet perplexity bucketing — per-language head/middle/tail
+    * terciles over the D21 bigram-LM score (Wenzek et al. 2020 §3.3:
+    * rank each language's documents by LM perplexity and cut into
+    * thirds; "head" is the in-distribution slice most pipelines keep,
+    * "tail" the noisy slice they drop or down-weight). Docs with no
+    * bigram evidence (< 2 tokens) carry no rank and are excluded —
+    * the D21 null-score convention.
+    *
+    * Exact per-group ntile WITHOUT a language-keyed window (a crawl
+    * is one dominant language — the skewed-key profile a window
+    * cannot split): the C6b-scalable shape generalized to grouped
+    * ranking. Range-partition the corpus on (lang, avg_bits, doc_id)
+    * — contiguous key ranges, so the global zipWithIndex order IS the
+    * grouped order — then each language's rank = global index minus
+    * the language's first index, where per-language offsets/counts
+    * come from ONE partial aggregation (two longs of state per lang,
+    * hot language collapses map-side) broadcast back. The tercile is
+    * pure arithmetic on (rank, n), reproducing SQL ntile's
+    * first-`n%3`-buckets-get-`ceil(n/3)` rule exactly.
+    */
+  def textPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = textPerplexity(s, dir)
+      .filter(col("n_bigrams") >= 1)
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id").cast("long"), col("lang"),
+        col("avg_bits").cast("double"))
+    val parts = s.sessionState.conf.numShufflePartitions
+    val sorted = scored
+      .repartitionByRange(parts, col("lang"), col("avg_bits"), col("doc_id"))
+      .sortWithinPartitions("lang", "avg_bits", "doc_id")
+      .transform(graft.Lineage.cut) // zipWithIndex runs 2 jobs over it
+    val idxd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), i)
+    }.toDF("doc_id", "lang", "avg_bits", "idx")
+      .transform(graft.Lineage.cut) // feeds the lang stats AND the join
+    val stats = idxd.groupBy("lang")
+      .agg(min(col("idx")).as("off"), count(lit(1)).as("n"))
+    // ntile(3): the first n%3 buckets get ceil(n/3) rows; when n < 3
+    // every row sits in the first-rem region, so the `otherwise`
+    // branch (whose divisor would be 0) is never evaluated for it —
+    // CaseWhen evaluates lazily per row
+    // Column `/` is double division — values here are < 2^53 so
+    // floor(double div) == exact integer division
+    val rank = col("idx") - col("off")
+    val small = floor(col("n") / lit(3L)).cast("long")
+    val rem = col("n") % lit(3L)
+    val tercile =
+      when(rank < (small + 1) * rem,
+        floor(rank / (small + 1)).cast("long") + 1)
+        .otherwise(floor((rank - rem) / small).cast("long") + 1)
+    idxd.join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_bits"),
+        tercile.cast("int").as("tercile"))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
   /** D25: the composed curation GATE — the keep/drop decision an
     * actual pipeline applies, joining the library's signals in one
     * query: exact-dup keep-first (D1), token-diversity and length
@@ -1322,6 +1382,37 @@ object TextOps {
       |    md5(sents[CAST(i AS INT)] || chr(10) || sents[CAST(i+1 AS INT)] || chr(10) || sents[CAST(i+2 AS INT)]) AS h
       |  FROM surv2, unnest(range(1, n_kept - 1)) AS r(i))""".stripMargin
 
+  /** The D21 bigram-LM oracle CTE chain (ends at `p(doc_id,
+    * n_bigrams, bits)` over docs with ≥1 bigram, with `d` the
+    * tokenized corpus) — shared by the `text_perplexity` and
+    * `text_ppl_buckets` oracles so the two cannot drift.
+    */
+  private[ops] val PerplexityCtes: String =
+    raw"""d AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+      |  FROM documents),
+      |uni AS MATERIALIZED (
+      |  SELECT t1, count(*) AS c1
+      |  FROM (SELECT unnest(a) AS t1 FROM d) GROUP BY t1),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |bg AS MATERIALIZED (
+      |  SELECT doc_id, pos, a[pos] AS t1, a[pos + 1] AS t2 FROM (
+      |    SELECT doc_id, a, unnest(range(1, len(a))) AS pos
+      |    FROM d WHERE len(a) >= 2)),
+      |bi AS MATERIALIZED (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
+      |sc AS (
+      |  SELECT bg.doc_id, bg.pos,
+      |    -log2(CAST(bi.c12 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) AS lp
+      |  FROM bg
+      |  JOIN uni ON bg.t1 = uni.t1
+      |  JOIN bi ON bg.t1 = bi.t1 AND bg.t2 = bi.t2
+      |  CROSS JOIN v),
+      |p AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS bits
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // the oracle rebuilds the 3-gram multiset as STRINGS (injective:
     // tokens contain no whitespace) — distinct-string count ==
@@ -1746,33 +1837,28 @@ object TextOps {
     // missing init is immaterial); 6dp rounding absorbs any last-ulp
     // log2 divergence between engines
     Q("text_perplexity", textPerplexity, Some(
-      raw"""WITH d AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
-        |  FROM documents),
-        |uni AS MATERIALIZED (
-        |  SELECT t1, count(*) AS c1
-        |  FROM (SELECT unnest(a) AS t1 FROM d) GROUP BY t1),
-        |v AS (SELECT count(*) AS v FROM uni),
-        |bg AS MATERIALIZED (
-        |  SELECT doc_id, pos, a[pos] AS t1, a[pos + 1] AS t2 FROM (
-        |    SELECT doc_id, a, unnest(range(1, len(a))) AS pos
-        |    FROM d WHERE len(a) >= 2)),
-        |bi AS MATERIALIZED (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
-        |sc AS (
-        |  SELECT bg.doc_id, bg.pos,
-        |    -log2(CAST(bi.c12 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) AS lp
-        |  FROM bg
-        |  JOIN uni ON bg.t1 = uni.t1
-        |  JOIN bi ON bg.t1 = bi.t1 AND bg.t2 = bi.t2
-        |  CROSS JOIN v),
-        |p AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS bits
-        |  FROM sc GROUP BY doc_id)
+      s"""WITH $PerplexityCtes
         |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
         |  round(p.bits / p.n_bigrams, 6) AS avg_bits
         |FROM d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    // per-lang terciles over the SAME ordered-fold avg_bits chain; the
+    // engine's rank arithmetic reproduces SQL ntile's
+    // first-rem-buckets-get-ceil rule exactly
+    Q("text_ppl_buckets", (s, d) => textPplBuckets(s, d), Some(
+      s"""WITH $PerplexityCtes,
+        |pl AS (
+        |  SELECT p.doc_id, doc.lang, round(p.bits / p.n_bigrams, 6) AS avg_bits
+        |  FROM p JOIN documents doc USING (doc_id)
+        |  WHERE p.n_bigrams >= 1),
+        |b AS (
+        |  SELECT doc_id, lang, avg_bits,
+        |         CAST(ntile(3) OVER (PARTITION BY lang
+        |           ORDER BY avg_bits, doc_id) AS INTEGER) AS tercile
+        |  FROM pl)
+        |SELECT doc_id, lang, avg_bits, tercile,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin)),
     // held-out form: LEFT joins in both engines, so unseen pairs /
     // unseen first words exercise the (0+1)/(c1+V) and 1/V smoothing
     // fallbacks; same ordered-fold + 6dp-round exactness as D21
