@@ -137,10 +137,16 @@ object Scale {
         // the collapse-riding family (SURVEY §4 / Collapse scaladoc):
         // every one of these previously carried the digest-keyed
         // window; the straggler ratio is what the rewrite is graded on
+        // round-11 late riders: dedup_source_leakage's distinct
+        // (digest, source) must collapse the hot digest map-side;
+        // text_ppl_buckets runs its grouped ntile on a ONE-language
+        // corpus — the exact profile where a lang-keyed window would
+        // serialize every doc into one task
         Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_jaccard", "dedup_clusters", "text_dup_spans",
           "text_perplexity", "curation_gate", "text_dsir",
-          "text_remove_dup_spans")
+          "text_remove_dup_spans", "text_ppl_buckets",
+          "dedup_source_leakage")
       else
         Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
           "dedup_jaccard", "dedup_clusters", "contamination", "pack_contexts",

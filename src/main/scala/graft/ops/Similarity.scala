@@ -874,18 +874,26 @@ object Similarity {
     *     [[graft.functions.TopKAgg]] — O(k) state map-side, no
     *     per-vector window.
     *
-    * Scale dials: candidate volume ≈ n·nProbe·(n/nLists); a real
-    * deployment grows `nLists` ~ √n (keeping per-list cells ~√n rows)
-    * for n^1.5 total work, the classic IVF-graph tradeoff. Recall
-    * follows the [[annIvf]] geometry (~nProbe/nLists on unclustered
-    * vectors, near-exact on clustered corpora); `nProbe = nLists`
-    * reproduces the exact graph. Self-edges are excluded; a vector's
-    * own list is always its first probe, so rank-1 self-recall never
-    * costs an edge.
+    * Scale dials: candidate volume ≈ n·nProbe·(n/nLists); the default
+    * (`nLists = 0` → auto) grows the list count as max(16, ⌈√n⌉) —
+    * per-list cells stay ~√n rows and total work is n^1.5, the
+    * classic IVF-graph tradeoff (at fixed nLists the candidate join
+    * degenerates to n²/nLists: quadratic again). One cheap count job
+    * sizes the index; the oracle re-derives the same ⌈√n⌉ with a
+    * scalar subquery, so the adaptive dial stays exactly checkable at
+    * every SF. Recall follows the [[annIvf]] geometry (~nProbe/nLists
+    * on unclustered vectors, near-exact on clustered corpora);
+    * `nProbe = nLists` reproduces the exact graph. Self-edges are
+    * excluded; a vector's own list is always its first probe, so
+    * rank-1 self-recall never costs an edge.
     */
-  def knnGraph(s: SparkSession, dir: String, nLists: Int = NLists,
+  def knnGraph(s: SparkSession, dir: String, nLists: Int = 0,
       nProbe: Int = 4): DataFrame = {
-    val piv = ivfPivots(s, dir, nLists)
+    val nl =
+      if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(
+        corpus(s, dir).count().toDouble)).toInt)
+    val piv = ivfPivots(s, dir, nl)
     val ranked = corpus(s, dir)
       .select(col("vec_id"), col("embedding"),
         slice(pivotRanking(col("embedding"), piv), 1, nProbe).as("pr"))
@@ -901,6 +909,42 @@ object Similarity {
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .select("q_id", "vec_id", "cos")
     topKPerQuery(scored)
+  }
+
+  /** D49: kNN-density outlier scoring — each vector's density is the
+    * mean cosine to its [[knnGraph]] neighbors; vectors whose density
+    * falls below the corpus mean are flagged as outliers (sparse
+    * regions of embedding space: OCR garbage, wrong-language
+    * fragments, adversarial spam — the "isolated point" failure mode
+    * embedding-based curation prunes, complementary to D45 which
+    * prunes the over-DENSE prototype mass).
+    *
+    * Determinism composes from two pinned pieces: the edge set is
+    * [[knnGraph]]'s (exactly oracled), and all arithmetic after it is
+    * integer micro-units — per-vector density = Σ round(cos·1e6) over
+    * its k edges (an integer), and the outlier rule compares
+    * `density·n < Σ density` in exact 64-bit math (the D45
+    * convention: no float mean ever exists). The reported `density`
+    * column is the micro-sum / (k·1e6) — a double derived from the
+    * integer, identical in both engines.
+    *
+    * Scale shape: one partial aggregation over the edge rows (k rows
+    * per vector, integer state), a two-long global aggregate
+    * broadcast back as a one-row frame. Nothing here exceeds the
+    * graph build's own cost.
+    */
+  def knnDensity(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(s, dir)
+      .select(col("q_id"), round(col("cos") * 1e6, 0).cast("long").as("m"))
+    val dens = edges.groupBy(col("q_id").as("vec_id"))
+      .agg(sum(col("m")).as("dm"))
+      .transform(graft.Lineage.cut) // feeds the global stats AND the output
+    val tot = dens.agg(sum(col("dm")).as("tot"), count(lit(1)).as("n"))
+    dens.crossJoin(broadcast(tot))
+      .select(col("vec_id"),
+        round(col("dm").cast("double") / (K * 1e6), 6).as("density"),
+        (col("dm") * col("n") < col("tot")).as("outlier"))
+      .orderBy("vec_id")
   }
 
   /** D45: prototypicality pruning — score every vector by its cosine
@@ -1070,6 +1114,46 @@ object Similarity {
         |                      pid DESC) AS rk
         |    FROM s2) WHERE rk = 1)""".stripMargin
 
+  /** The [[knnGraph]] oracle CTE chain (ends at `knn(q_id, rank,
+    * vec_id, cos)` — the exact edge set at default dials), shared
+    * with the `knn_density` oracle so the two cannot drift. The
+    * bounded sf10 sweep (tools/sweep_sf10.py) textually narrows the
+    * `qprobe` CTE to a strided query sample — keep its shape in sync.
+    */
+  private[ops] val KnnCtes: String =
+    s"""piv AS (
+       |  SELECT vec_id AS pid, embedding AS pvec
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (
+       |      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id)
+       |    <= GREATEST(16, CAST(ceil(sqrt(
+       |         (SELECT count(*) FROM embeddings))) AS BIGINT))),
+       |r AS (
+       |  SELECT c.vec_id, p.pid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                           CAST(p.pvec AS DOUBLE[])) DESC,
+       |                    p.pid DESC) AS rn
+       |  FROM embeddings c CROSS JOIN piv p),
+       |lists AS (SELECT vec_id, pid FROM r WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS q_id, pid FROM r WHERE rn <= 4),
+       |scored AS (
+       |  SELECT qp.q_id, l.vec_id,
+       |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                CAST(q.embedding AS DOUBLE[])) AS cos
+       |  FROM qprobe qp
+       |  JOIN lists l USING (pid)
+       |  JOIN embeddings c ON c.vec_id = l.vec_id
+       |  JOIN embeddings q ON q.vec_id = qp.q_id
+       |  WHERE l.vec_id <> qp.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored),
+       |knn AS (SELECT q_id, rank, vec_id, cos
+       |        FROM ranked WHERE rank <= $K)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", annBruteforce, Some(
       s"""WITH scored AS (
@@ -1221,38 +1305,27 @@ object Similarity {
          |FROM m JOIN st USING (pid) ORDER BY m.vec_id""".stripMargin)),
     // exact oracle, the ann_ivf convention with the corpus as its own
     // query set: one ranking CTE feeds both the list assignment
-    // (rn = 1) and the probe set (rn <= nProbe); self-edges excluded
+    // (rn = 1) and the probe set (rn <= nProbe); self-edges excluded;
+    // the pivot count re-derives the engine's adaptive max(16, ceil
+    // sqrt(n)) — IEEE sqrt is correctly rounded in both engines
     Q("knn_graph", (s, d) => knnGraph(s, d), Some(
-      s"""WITH piv AS (
-         |  SELECT vec_id AS pid, embedding AS pvec
-         |  FROM embeddings
-         |  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
-         |  LIMIT $NLists),
-         |r AS (
-         |  SELECT c.vec_id, p.pid,
-         |         row_number() OVER (PARTITION BY c.vec_id
-         |           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-         |                                           CAST(p.pvec AS DOUBLE[])) DESC,
-         |                    p.pid DESC) AS rn
-         |  FROM embeddings c CROSS JOIN piv p),
-         |lists AS (SELECT vec_id, pid FROM r WHERE rn = 1),
-         |qprobe AS (SELECT vec_id AS q_id, pid FROM r WHERE rn <= 4),
-         |scored AS (
-         |  SELECT qp.q_id, l.vec_id,
-         |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-         |                                CAST(q.embedding AS DOUBLE[])) AS cos
-         |  FROM qprobe qp
-         |  JOIN lists l USING (pid)
-         |  JOIN embeddings c ON c.vec_id = l.vec_id
-         |  JOIN embeddings q ON q.vec_id = qp.q_id
-         |  WHERE l.vec_id <> qp.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cos,
-         |         row_number() OVER (PARTITION BY q_id
-         |                            ORDER BY cos DESC, vec_id) AS rank
-         |  FROM scored)
+      s"""WITH $KnnCtes
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
-         |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin))
+         |FROM knn ORDER BY q_id, rank""".stripMargin)),
+    // density rides the same edge CTEs; everything after the edges is
+    // integer micro-unit arithmetic (the sample_proto_prune rule), so
+    // neither engine ever materializes a float mean
+    Q("knn_density", (s, d) => knnDensity(s, d), Some(
+      s"""WITH $KnnCtes,
+         |dm AS (
+         |  SELECT q_id AS vec_id,
+         |         sum(CAST(round(round(cos, 6) * 1e6) AS BIGINT)) AS dm
+         |  FROM knn GROUP BY q_id),
+         |tot AS (SELECT sum(dm) AS tot, count(*) AS n FROM dm)
+         |SELECT vec_id, round(CAST(dm AS DOUBLE) / ${K * 1e6}, 6) AS density,
+         |       dm * tot.n < tot.tot AS outlier
+         |FROM dm CROSS JOIN tot ORDER BY vec_id""".stripMargin))
   )
+
 
 }

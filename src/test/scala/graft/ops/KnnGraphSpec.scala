@@ -37,7 +37,8 @@ class KnnGraphSpec extends SparkSpec {
   test("nProbe = nLists reproduces the exact graph") {
     val exact = bruteGraph(5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    val full = Similarity.knnGraph(spark, dir, nProbe = 16).collect()
+    val full = Similarity.knnGraph(spark, dir, nLists = 16, nProbe = 16)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(full.toSet === exact.toSet)
   }

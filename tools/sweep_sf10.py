@@ -325,6 +325,200 @@ def bounded_image_compare(con, name, sf_dir, out_dir):
     return rec
 
 
+def bounded_knn_compare(con, name, sql, sf_dir, out_dir):
+    """Bounded knn_graph oracle: the full oracle's scored CTE is
+    n²·nProbe/nLists ≈ 3.6e8 rows carrying 64-float lists at sf10 —
+    an oracle-side memory wall (the engine side is fine: it shuffles
+    compact rows and TopKAgg-bounds the reduce). Bounded form:
+    (1) the EXACT oracle restricted to a deterministic strided query
+    sample (every `stride`th vec_id, ≥2000 queries) — candidate
+    generation, ranking and tie-breaks identical, compared row-for-row
+    against the engine's output for those queries; (2) structural
+    checks on the FULL engine output: k rows per vector for every
+    corpus vector, no self-edges. The full oracle stays pinned at
+    sf0.01/sf0.1 (driver gate)."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            rec["err"] = "no spark output"
+            return rec
+        con.execute("CREATE OR REPLACE TEMP TABLE knn_s_raw AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM knn_s_raw").fetchone()[0]
+        n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+        # (2) structural: exactly 5 edges per corpus vector, no self
+        full_bad = con.execute(
+            """SELECT
+              (SELECT count(*) FROM (
+                 SELECT q_id FROM knn_s_raw GROUP BY q_id
+                 HAVING count(*) != 5 OR min(rank) != 1 OR max(rank) != 5)),
+              (SELECT count(*) FROM knn_s_raw WHERE q_id = vec_id),
+              (SELECT count(DISTINCT q_id) FROM knn_s_raw)""").fetchone()
+        if full_bad[0] or full_bad[1] or full_bad[2] != n:
+            rec["err"] = (f"structure: {full_bad[0]} malformed query groups, "
+                          f"{full_bad[1]} self-edges, "
+                          f"{full_bad[2]}/{n} vectors covered")
+            rec["hash_match"] = False
+            return rec
+        # (1) exact oracle on the strided sample. NOT the driver
+        # oracle's text: its full-corpus row_number window over the
+        # n·nLists ranking rows spilled DuckDB past the disk at sf10.
+        # The list ASSIGNMENT here is the same (cos desc, pid desc)
+        # argmax via max_by aggregation (hash agg, no window sort);
+        # the probe window runs over the strided sample only.
+        stride = max(1, n // 2000)
+        if "md5('ivf:'" not in sql or "rn <= 4" not in sql:
+            rec["err"] = "oracle SQL shape changed; update bounded_knn_compare"
+            rec["hash_match"] = False
+            return rec
+        ssql = f"""
+          WITH piv AS (
+            SELECT vec_id AS pid, embedding AS pvec
+            FROM embeddings
+            QUALIFY row_number() OVER (
+                ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id)
+              <= GREATEST(16, CAST(ceil(sqrt(
+                   (SELECT count(*) FROM embeddings))) AS BIGINT))),
+          lists AS (
+            -- (cos desc, pid desc) argmax as a lexicographic list max
+            -- (max_by takes only scalar keys in this DuckDB); pid is
+            -- exactly representable in the double slot
+            SELECT c.vec_id,
+                   CAST(max(
+                     [list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                             CAST(p.pvec AS DOUBLE[])),
+                      CAST(p.pid AS DOUBLE)])[2] AS BIGINT) AS pid
+            FROM embeddings c CROSS JOIN piv p GROUP BY c.vec_id),
+          qr AS (
+            SELECT c.vec_id, p.pid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                     CAST(p.pvec AS DOUBLE[])) DESC,
+                              p.pid DESC) AS rn
+            FROM embeddings c CROSS JOIN piv p
+            WHERE c.vec_id % {stride} = 0),
+          qprobe AS (SELECT vec_id AS q_id, pid FROM qr WHERE rn <= 4),
+          scored AS (
+            SELECT qp.q_id, l.vec_id,
+                   list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])) AS cos
+            FROM qprobe qp
+            JOIN lists l USING (pid)
+            JOIN embeddings c ON c.vec_id = l.vec_id
+            JOIN embeddings q ON q.vec_id = qp.q_id
+            WHERE l.vec_id <> qp.q_id),
+          ranked AS (
+            SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+          FROM ranked WHERE rank <= 5"""
+        con.execute(f"CREATE OR REPLACE TEMP TABLE knn_o AS ({ssql})")
+        rec["oracle_rows"] = con.execute(
+            "SELECT count(*) FROM knn_o").fetchone()[0]
+        rec["notes"].append(
+            f"sample: every {stride}th vec_id "
+            f"({rec['oracle_rows']} of {rec['spark_rows']} edges exact)")
+        a, b = con.execute(f"""SELECT
+          (SELECT count(*) FROM (
+             SELECT q_id, rank, vec_id, printf('%.10g', cos) FROM knn_s_raw
+             WHERE q_id % {stride} = 0
+             EXCEPT ALL
+             SELECT q_id, rank, vec_id, printf('%.10g', cos) FROM knn_o)),
+          (SELECT count(*) FROM (
+             SELECT q_id, rank, vec_id, printf('%.10g', cos) FROM knn_o
+             EXCEPT ALL
+             SELECT q_id, rank, vec_id, printf('%.10g', cos) FROM knn_s_raw
+             WHERE q_id % {stride} = 0))""").fetchone()
+        rec["rows_match"] = True
+        rec["schema_match"] = True
+        if a or b:
+            rec["err"] = f"sample diff: {a} spark-only, {b} oracle-only rows"
+            rec["hash_match"] = False
+            return rec
+        rec["hash_match"] = True
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("knn_s_raw", "knn_o"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
+
+
+def bounded_knn_density_compare(con, name, out_dir):
+    """Bounded knn_density oracle: the full oracle rides the full knn
+    CTE chain (infeasible at sf10 — see bounded_knn_compare). Density
+    and the outlier flag are EXACT integer arithmetic over the edge
+    set, so re-deriving them in DuckDB from the engine's knn_graph
+    dump (itself spot-verified by bounded_knn_compare) checks every
+    row of knn_density with full coverage — the dedup_image pattern:
+    exact rule over a spot-verified engine intermediate."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        graph = glob.glob(f"{out_dir}/knn_graph/*.parquet")
+        if not files or not graph:
+            rec["err"] = "no spark output (needs knn_graph dump for edges)"
+            return rec
+        con.execute("CREATE OR REPLACE TEMP TABLE knd_s AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM knd_s").fetchone()[0]
+        con.execute(f"""CREATE OR REPLACE TEMP TABLE knd_o AS
+          WITH dm AS (
+            SELECT q_id AS vec_id,
+                   sum(CAST(round(cos * 1e6) AS BIGINT)) AS dm
+            FROM read_parquet('{graph[0]}') GROUP BY q_id),
+          tot AS (SELECT sum(dm) AS tot, count(*) AS n FROM dm)
+          SELECT vec_id, round(CAST(dm AS DOUBLE) / 5000000.0, 6) AS density,
+                 dm * tot.n < tot.tot AS outlier
+          FROM dm CROSS JOIN tot""")
+        rec["oracle_rows"] = con.execute(
+            "SELECT count(*) FROM knd_o").fetchone()[0]
+        rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+        rec["schema_match"] = True
+        a, b = con.execute("""SELECT
+          (SELECT count(*) FROM (
+             SELECT vec_id, printf('%.10g', density), outlier FROM knd_s
+             EXCEPT ALL
+             SELECT vec_id, printf('%.10g', density), outlier FROM knd_o)),
+          (SELECT count(*) FROM (
+             SELECT vec_id, printf('%.10g', density), outlier FROM knd_o
+             EXCEPT ALL
+             SELECT vec_id, printf('%.10g', density), outlier FROM knd_s))
+          """).fetchone()
+        if a or b:
+            rec["err"] = f"value diff: {a} spark-only, {b} oracle-only rows"
+            rec["hash_match"] = False
+            return rec
+        rec["hash_match"] = bool(rec["rows_match"])
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("knd_s", "knd_o"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
+
+
 def fresh_con(sf_dir):
     """One connection PER KEY: a heavy oracle that dies mid-allocation
     (the r11 text_dsir sf10 OOM under transient host memory pressure)
@@ -354,6 +548,11 @@ def main(sf_dir, out_dir, out_json, only=()):
         try:
             if name in BOUNDED_IMAGE:
                 rec = bounded_image_compare(con, name, sf_dir, out_dir)
+            elif name == "knn_graph":
+                rec = bounded_knn_compare(con, name, oracles[name],
+                                          sf_dir, out_dir)
+            elif name == "knn_density":
+                rec = bounded_knn_density_compare(con, name, out_dir)
             else:
                 rec = compare(con, name, oracles[name], out_dir)
         finally:
