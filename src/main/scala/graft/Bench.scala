@@ -51,7 +51,11 @@ object Bench {
     "bpe_encode",
     // round 10: incremental image admission — decode+dHash of the
     // whole corpus, history band-index probe, within-batch collapse
-    "dedup_image_incremental")
+    "dedup_image_incremental",
+    // round 11: the corpus-wide kNN graph build (IVF-decomposed
+    // self-join, √n lists, bounded top-k) — the substrate of the
+    // density/label-propagation/cluster family
+    "knn_graph")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the

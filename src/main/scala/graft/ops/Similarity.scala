@@ -947,6 +947,74 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** D51: kNN label propagation — each vector's predicted label is
+    * the majority vote of its [[knnGraph]] neighbors' labels
+    * (one-hop semi-supervised classification: spread sparse human
+    * curation labels — quality tiers, topics, safety flags — to the
+    * unlabeled bulk through embedding space; k-fixed, so also the
+    * standard leave-one-out kNN-accuracy audit of how label-coherent
+    * an embedding model is). Tie-break: the SMALLEST label among
+    * tied counts (deterministic; no vote ordering exists to disagree
+    * on).
+    *
+    * Scale shape: the edge→label join keys on vec_id (unique —
+    * unskewable); the vote count and the argmax are BOTH partial
+    * aggregations (`max_by(label, (cnt, −label))` — one row of state
+    * per (vector, label), then per vector), so a dominant label is
+    * map-side work, never a vector-keyed window.
+    */
+  def knnClassify(s: SparkSession, dir: String,
+      nLists: Int = 0, nProbe: Int = 4): DataFrame = {
+    val labels = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val votes = knnGraph(s, dir, nLists, nProbe)
+      .select(col("q_id"), col("vec_id"))
+      .join(labels, "vec_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy(col("q_id").as("vec_id"))
+      .agg(max_by(col("label"),
+        struct(col("cnt"), -col("label"))).as("pred_label"))
+    pred.join(labels, "vec_id")
+      .select(col("vec_id"), col("label"),
+        col("pred_label"), (col("label") === col("pred_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** D52: semantic clusters — connected components of the MUTUAL-kNN
+    * graph at a cosine floor (edge u–v iff v ∈ kNN(u) AND u ∈ kNN(v)
+    * AND cos ≥ `threshold`): the topic/near-duplicate-neighborhood
+    * clustering step of embedding curation (SemDeDup's cluster
+    * granularity without a fixed k; mutual-kNN is the standard
+    * density trick — a hub vector cannot glue unrelated regions
+    * through one-directional edges). Cluster id = the component's
+    * smallest vec_id; `cluster_size` rides along.
+    *
+    * Scale shape: edges are bounded by the graph build (≤ k·n, and
+    * the mutual intersect only shrinks them); components via the
+    * O(log n)-round alternating-star loop shared with [[Dedup]]'s
+    * D4b (per-round frames are Lineage.cut and freed); the size
+    * attach is a groupBy + join-back — a mega-cluster collapses
+    * map-side and splits under AQE, never a cluster-keyed window.
+    */
+  def semanticClusters(s: SparkSession, dir: String,
+      threshold: Double = 0.3, nLists: Int = 0, nProbe: Int = 4): DataFrame = {
+    val e = knnGraph(s, dir, nLists, nProbe)
+      .filter(col("cos") >= threshold)
+      .select(col("q_id").as("x"), col("vec_id").as("y"))
+      .transform(graft.Lineage.cut) // feeds both sides of the intersect
+    val mutual = e.intersect(e.select(col("y").as("x"), col("x").as("y")))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"))
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    val (labels, _) = Dedup.ccAlternatingStar(nodes, mutual)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   /** D45: prototypicality pruning — score every vector by its cosine
     * to its own cluster centroid (the SSL-prototypes metric of
     * Sorscher et al. 2022, "Beyond neural scaling laws": examples
@@ -1324,7 +1392,45 @@ object Similarity {
          |tot AS (SELECT sum(dm) AS tot, count(*) AS n FROM dm)
          |SELECT vec_id, round(CAST(dm AS DOUBLE) / ${K * 1e6}, 6) AS density,
          |       dm * tot.n < tot.tot AS outlier
-         |FROM dm CROSS JOIN tot ORDER BY vec_id""".stripMargin))
+         |FROM dm CROSS JOIN tot ORDER BY vec_id""".stripMargin)),
+    // majority vote over the shared edge CTEs; the row_number twin of
+    // the engine's max_by(label, (cnt, -label)) argmax
+    Q("knn_classify", (s, d) => knnClassify(s, d), Some(
+      s"""WITH $KnnCtes,
+         |v AS (
+         |  SELECT k.q_id, e.label, count(*) AS cnt
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+         |  GROUP BY k.q_id, e.label),
+         |p AS (
+         |  SELECT q_id AS vec_id, label AS pred_label,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cnt DESC, label) AS rk
+         |  FROM v)
+         |SELECT p.vec_id, e.label, p.pred_label,
+         |       e.label = p.pred_label AS correct
+         |FROM p JOIN embeddings e ON e.vec_id = p.vec_id
+         |WHERE p.rk = 1 ORDER BY p.vec_id""".stripMargin)),
+    // mutual-kNN edges at the rounded-cosine floor (the engine
+    // filters the same 6dp value), reachability closure -> component
+    // min — the dedup_clusters oracle pattern on the knn edge set
+    Q("semantic_clusters", (s, d) => semanticClusters(s, d), Some(
+      s"""WITH RECURSIVE $KnnCtes,
+         |ed AS MATERIALIZED (
+         |  SELECT q_id AS x, vec_id AS y FROM knn
+         |  WHERE round(cos, 6) >= 0.3),
+         |mut AS MATERIALIZED (
+         |  SELECT a.x AS a, a.y AS b
+         |  FROM ed a JOIN ed b ON a.x = b.y AND a.y = b.x
+         |  WHERE a.x < a.y),
+         |sym AS (SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT sym.b AS id, reach.r FROM reach JOIN sym ON sym.a = reach.id),
+         |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
+         |SELECT cc.id AS vec_id, cc.cluster, sz.cluster_size
+         |FROM cc JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin))
   )
 
 

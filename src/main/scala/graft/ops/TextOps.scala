@@ -1342,6 +1342,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The curated-source allowlist the quality classifier trains
+    * against (caller-overridable; the default marks 4 of the 20
+    * synthetic sources so both classes are populated at every SF).
+    * In a real deployment this is the high-quality reference corpora
+    * list (the WebText/Books/Wikipedia side of the GPT-3 filter).
+    */
+  val CuratedSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** D50: Naive-Bayes quality classifier — the GPT-3-style quality
+    * filter (Brown et al. 2020 §A.2: train a classifier with curated
+    * corpora as positives and the raw crawl as negatives, keep crawl
+    * documents the classifier scores positive). Multinomial NB makes
+    * the filter ONE-PASS trainable on an engine: the whole model is a
+    * per-token conditional count table plus two class priors, so
+    * "training" is a single aggregation, not SGD. Per document,
+    * `nb_score` = ln((dc+1)/(dr+1)) (add-one-smoothed log prior odds)
+    * + Σ_tok [ln((ct+1)/(nt+v)) − ln((cr+1)/(nr+v))] (add-one-smoothed
+    * log likelihood odds), 6dp-rounded; `keep` = score > 0. Unlike
+    * [[textDsir]] (importance weight = per-token MEAN, no prior),
+    * NB SUMS evidence and carries the prior — long documents
+    * accumulate confidence, the generative-classifier semantics.
+    *
+    * Scale shape: the model counts come from ONE conditional-count
+    * aggregate over UNIQUE texts (the skew-proof [[Collapse]] seam,
+    * weighted by per-digest per-class copy multiplicities —
+    * Σ-identical to counting every copy); scoring explodes unique
+    * texts only, joins the model on the token key (AQE-splittable),
+    * and joins back per doc. Priors are a one-row broadcast.
+    * Determinism: per-token weights fold in position order and the
+    * prior adds once, outside the fold — the D21/D34 exactness recipe.
+    */
+  def textNbQuality(s: SparkSession, dir: String,
+      curated: Seq[String] = CuratedSources): DataFrame = {
+    val proj = docs(s, dir)
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"),
+        col("source").isin(curated: _*).as("cur"),
+        Collapse.textKey(col("text")).as("tkey"))
+    val reps = Collapse.reps(proj, "tkey", payloads = Seq("a"),
+        extraAggs = Seq(
+          sum(when(col("cur"), 1L).otherwise(0L)).as("mt"),
+          sum(when(col("cur"), 0L).otherwise(1L)).as("mr")))
+      .transform(graft.Lineage.cut)
+    val docToRep = Collapse.docToRep(proj, reps, "tkey")
+    val toks = reps.select(col("rep"), col("mt"), col("mr"),
+        posexplode(col("a")).as(Seq("pos", "t")))
+      .cache() // feeds the model counts AND the scoring rows
+    val uni = toks.groupBy("t")
+      .agg(sum(col("mt")).as("ct"), sum(col("mr")).as("cr"))
+      .cache() // feeds the totals AND the scoring join
+    // token totals + vocab size + class priors: two tiny aggregates,
+    // one broadcast row
+    val totals = broadcast(
+      uni.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+          count(lit(1)).as("v"))
+        .crossJoin(reps.agg(sum(col("mt")).as("dc"),
+          sum(col("mr")).as("dr"))))
+    // inner join: the model trains on the scored corpus itself, so
+    // every token is in-vocabulary by construction
+    val perRep = toks
+      .join(uni, "t")
+      .crossJoin(totals)
+      .withColumn("lw",
+        log((col("ct") + 1).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+        log((col("cr") + 1).cast("double") /
+            (col("nr") + col("v")).cast("double")))
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_toks"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lw")))),
+          lit(0.0), (acc, x) => acc + x.getField("lw")).as("sw"))
+    val pri = log((col("dc") + 1).cast("double")) -
+      log((col("dr") + 1).cast("double"))
+    docToRep.join(perRep, Seq("rep"), "left")
+      .crossJoin(totals.select(col("dc"), col("dr")))
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(pri + coalesce(col("sw"), lit(0.0)), 6).as("nb_score"))
+      .withColumn("keep", col("nb_score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Shared C4 oracle CTEs (page build -> line/page rules -> span
     * digests): one definition reused by the full and incremental
     * cleaning oracles, so the two derivations can never drift.
@@ -1651,6 +1733,42 @@ object TextOps {
         |  coalesce(round(p.sw / p.n_toks, 6) > 0, false) AS keep
         |FROM d LEFT JOIN p USING (doc_id)
         |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin)),
+    // the oracle counts every copy directly — Σ-identical to the
+    // engine's multiplicity-weighted unique-text counts (the text_dsir
+    // convention); prior adds OUTSIDE the position-ordered fold, and
+    // `+ 0.0` kills the DuckDB −0.0 knife edge after the round
+    Q("text_quality_classifier", (s, d) => textNbQuality(s, d), Some(
+      raw"""WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS cur,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+        |  FROM documents),
+        |pri AS (
+        |  SELECT sum(CASE WHEN cur THEN 1 ELSE 0 END) AS dc,
+        |         sum(CASE WHEN cur THEN 0 ELSE 1 END) AS dr FROM d),
+        |uni AS MATERIALIZED (
+        |  SELECT t, sum(CASE WHEN cur THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN cur THEN 0 ELSE 1 END) AS cr
+        |  FROM (SELECT cur, unnest(a) AS t FROM d) GROUP BY t),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM uni),
+        |tk AS (
+        |  SELECT doc_id, pos, a[pos] AS t FROM (
+        |    SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS pos FROM d)),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.pos,
+        |    ln(CAST(uni.ct + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE)) -
+        |    ln(CAST(uni.cr + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE)) AS lw
+        |  FROM tk JOIN uni ON tk.t = uni.t CROSS JOIN tot),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    list_reduce(list(lw ORDER BY pos), (x, y) -> x + y) AS sw
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_toks, 0) AS n_toks,
+        |  round((ln(CAST(pri.dc + 1 AS DOUBLE)) - ln(CAST(pri.dr + 1 AS DOUBLE)))
+        |        + coalesce(p.sw, 0.0), 6) + 0.0 AS nb_score,
+        |  round((ln(CAST(pri.dc + 1 AS DOUBLE)) - ln(CAST(pri.dr + 1 AS DOUBLE)))
+        |        + coalesce(p.sw, 0.0), 6) > 0 AS keep
+        |FROM d LEFT JOIN p USING (doc_id) CROSS JOIN pri
+        |ORDER BY doc_id""".stripMargin)),
     // hash-free, so fully oracle-able: the same profile counts and
     // (hits, lang) argmax tie-break, via unnest + row_number (Spark's
     // greatest-struct == ORDER BY hits DESC, lang DESC). Both engines

@@ -519,6 +519,149 @@ def bounded_knn_density_compare(con, name, out_dir):
     return rec
 
 
+def bounded_knn_classify_compare(con, name, out_dir):
+    """Bounded knn_classify oracle: the vote and its (cnt desc, label
+    asc) argmax are exact integer logic over the edge set, so
+    re-deriving them from the engine's knn_graph dump (spot-verified
+    by bounded_knn_compare) + the embeddings labels checks every row
+    with full coverage — the knn_density pattern."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        graph = glob.glob(f"{out_dir}/knn_graph/*.parquet")
+        if not files or not graph:
+            rec["err"] = "no spark output (needs knn_graph dump for edges)"
+            return rec
+        con.execute("CREATE OR REPLACE TEMP TABLE knc_s AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM knc_s").fetchone()[0]
+        con.execute(f"""CREATE OR REPLACE TEMP TABLE knc_o AS
+          WITH v AS (
+            SELECT k.q_id, e.label, count(*) AS cnt
+            FROM read_parquet('{graph[0]}') k
+            JOIN embeddings e ON e.vec_id = k.vec_id
+            GROUP BY k.q_id, e.label),
+          p AS (
+            SELECT q_id AS vec_id, label AS pred_label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cnt DESC, label) AS rk
+            FROM v)
+          SELECT p.vec_id, e.label, p.pred_label,
+                 e.label = p.pred_label AS correct
+          FROM p JOIN embeddings e ON e.vec_id = p.vec_id
+          WHERE p.rk = 1""")
+        rec["oracle_rows"] = con.execute(
+            "SELECT count(*) FROM knc_o").fetchone()[0]
+        rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+        rec["schema_match"] = True
+        a, b = con.execute("""SELECT
+          (SELECT count(*) FROM (SELECT * FROM knc_s EXCEPT ALL SELECT * FROM knc_o)),
+          (SELECT count(*) FROM (SELECT * FROM knc_o EXCEPT ALL SELECT * FROM knc_s))
+          """).fetchone()
+        if a or b:
+            rec["err"] = f"value diff: {a} spark-only, {b} oracle-only rows"
+            rec["hash_match"] = False
+            return rec
+        rec["hash_match"] = bool(rec["rows_match"])
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("knc_s", "knc_o"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
+
+
+def bounded_semantic_clusters_compare(con, name, out_dir):
+    """Bounded semantic_clusters oracle: the full oracle's recursive
+    reachability closure is O(Σ component²) rows — a memory wall if
+    sf10 grows a large component. Bounded form: derive the EXACT
+    mutual edge set from the engine's knn_graph dump (spot-verified by
+    bounded_knn_compare), then run min-label propagation to FIXPOINT
+    in DuckDB (O(diameter) passes over the edge list, never a closure
+    enumeration) and compare the full labeling + sizes row-for-row —
+    full coverage, both over- and under-merge detected."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        graph = glob.glob(f"{out_dir}/knn_graph/*.parquet")
+        if not files or not graph:
+            rec["err"] = "no spark output (needs knn_graph dump for edges)"
+            return rec
+        con.execute("CREATE OR REPLACE TEMP TABLE smc_s AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM smc_s").fetchone()[0]
+        con.execute(f"""CREATE OR REPLACE TEMP TABLE smc_ed AS
+          WITH ed AS (
+            SELECT q_id AS x, vec_id AS y
+            FROM read_parquet('{graph[0]}') WHERE cos >= 0.3)
+          SELECT a.x AS a, a.y AS b
+          FROM ed a JOIN ed b ON a.x = b.y AND a.y = b.x
+          WHERE a.x < a.y""")
+        con.execute("""CREATE OR REPLACE TEMP TABLE smc_sym AS
+          SELECT a, b FROM smc_ed UNION SELECT b, a FROM smc_ed""")
+        con.execute("""CREATE OR REPLACE TEMP TABLE smc_l AS
+          SELECT vec_id AS id, vec_id AS lbl FROM embeddings""")
+        for i in range(200):
+            con.execute("""CREATE OR REPLACE TEMP TABLE smc_n AS
+              SELECT l.id, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+              FROM smc_l l
+              LEFT JOIN smc_sym s ON s.b = l.id
+              LEFT JOIN smc_l nl ON nl.id = s.a
+              GROUP BY l.id, l.lbl""")
+            changed = con.execute("""SELECT count(*) FROM smc_n n
+              JOIN smc_l l USING (id) WHERE n.lbl <> l.lbl""").fetchone()[0]
+            con.execute("CREATE OR REPLACE TEMP TABLE smc_l AS "
+                        "SELECT * FROM smc_n")
+            if changed == 0:
+                break
+        else:
+            rec["err"] = "label propagation did not converge in 200 rounds"
+            rec["hash_match"] = False
+            return rec
+        con.execute("""CREATE OR REPLACE TEMP TABLE smc_o AS
+          WITH sz AS (SELECT lbl, count(*) AS cluster_size
+                      FROM smc_l GROUP BY lbl)
+          SELECT l.id AS vec_id, l.lbl AS cluster, sz.cluster_size
+          FROM smc_l l JOIN sz USING (lbl)""")
+        rec["oracle_rows"] = con.execute(
+            "SELECT count(*) FROM smc_o").fetchone()[0]
+        rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+        rec["schema_match"] = True
+        a, b = con.execute("""SELECT
+          (SELECT count(*) FROM (SELECT * FROM smc_s EXCEPT ALL SELECT * FROM smc_o)),
+          (SELECT count(*) FROM (SELECT * FROM smc_o EXCEPT ALL SELECT * FROM smc_s))
+          """).fetchone()
+        if a or b:
+            rec["err"] = f"value diff: {a} spark-only, {b} oracle-only rows"
+            rec["hash_match"] = False
+            return rec
+        rec["hash_match"] = bool(rec["rows_match"])
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("smc_s", "smc_ed", "smc_sym", "smc_l", "smc_n", "smc_o"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
+
+
 def fresh_con(sf_dir):
     """One connection PER KEY: a heavy oracle that dies mid-allocation
     (the r11 text_dsir sf10 OOM under transient host memory pressure)
@@ -553,6 +696,10 @@ def main(sf_dir, out_dir, out_json, only=()):
                                           sf_dir, out_dir)
             elif name == "knn_density":
                 rec = bounded_knn_density_compare(con, name, out_dir)
+            elif name == "knn_classify":
+                rec = bounded_knn_classify_compare(con, name, out_dir)
+            elif name == "semantic_clusters":
+                rec = bounded_semantic_clusters_compare(con, name, out_dir)
             else:
                 rec = compare(con, name, oracles[name], out_dir)
         finally:
