@@ -1424,6 +1424,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D50b: HELD-OUT NB quality classifier — the model (token counts
+    * AND priors) freezes on the history (doc_id < `splitId`) and
+    * scores the incoming batch, the actual deployment shape (train
+    * the filter once on labeled curated-vs-crawl data, score every
+    * new crawl snapshot with it; the D21b/D34b pattern applied to
+    * D50). Batch tokens can be OUT OF VOCABULARY: LEFT join +
+    * coalesce(0) puts them on the add-one smoothing floor in both
+    * class LMs — an unseen token carries only the class-size prior,
+    * it does not explode the score. No collapse seam needed: the
+    * scoring aggregate keys on doc_id (unique — unskewable) and the
+    * model explode is the bounded history.
+    */
+  def textNbQualityHeldout(s: SparkSession, dir: String,
+      splitId: Long = 250L,
+      curated: Seq[String] = CuratedSources): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source").isin(curated: _*).as("cur"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"))
+      .cache() // feeds the train counts AND the batch scoring rows
+    val hist = d.filter(col("doc_id") < splitId)
+    val uni = hist
+      .select(col("cur"), explode(col("a")).as("t"))
+      .groupBy("t").agg(
+        sum(when(col("cur"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("cur"), 0L).otherwise(1L)).as("cr"))
+      .cache() // feeds the totals AND the scoring join
+    val totals = broadcast(
+      uni.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+          count(lit(1)).as("v"))
+        .crossJoin(hist.agg(
+          sum(when(col("cur"), 1L).otherwise(0L)).as("dc"),
+          sum(when(col("cur"), 0L).otherwise(1L)).as("dr"))))
+    val perDoc = d.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), posexplode(col("a")).as(Seq("pos", "t")))
+      .join(uni, Seq("t"), "left")
+      .crossJoin(totals)
+      .withColumn("lw",
+        log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+        log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("nr") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lw")))),
+          lit(0.0), (acc, x) => acc + x.getField("lw")).as("sw"))
+    val pri = log((col("dc") + 1).cast("double")) -
+      log((col("dr") + 1).cast("double"))
+    d.filter(col("doc_id") >= splitId).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(totals.select(col("dc"), col("dr")))
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        round(pri + coalesce(col("sw"), lit(0.0)), 6).as("nb_score"))
+      .withColumn("keep", col("nb_score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Shared C4 oracle CTEs (page build -> line/page rules -> span
     * digests): one definition reused by the full and incremental
     * cleaning oracles, so the two derivations can never drift.
@@ -1769,6 +1826,44 @@ object TextOps {
         |        + coalesce(p.sw, 0.0), 6) > 0 AS keep
         |FROM d LEFT JOIN p USING (doc_id) CROSS JOIN pri
         |ORDER BY doc_id""".stripMargin)),
+    // frozen-history model + priors, OOV tokens on the smoothing
+    // floor via LEFT join (the dsir_heldout conventions)
+    Q("text_quality_classifier_heldout",
+      (s, d) => textNbQualityHeldout(s, d), Some(
+      raw"""WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS cur,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS a
+        |  FROM documents),
+        |pri AS (
+        |  SELECT sum(CASE WHEN cur THEN 1 ELSE 0 END) AS dc,
+        |         sum(CASE WHEN cur THEN 0 ELSE 1 END) AS dr
+        |  FROM d WHERE doc_id < 250),
+        |uni AS MATERIALIZED (
+        |  SELECT t, sum(CASE WHEN cur THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN cur THEN 0 ELSE 1 END) AS cr
+        |  FROM (SELECT cur, unnest(a) AS t FROM d WHERE doc_id < 250)
+        |  GROUP BY t),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM uni),
+        |tk AS (
+        |  SELECT doc_id, pos, a[pos] AS t FROM (
+        |    SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS pos FROM d
+        |    WHERE doc_id >= 250)),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.pos,
+        |    ln(CAST(coalesce(uni.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE)) -
+        |    ln(CAST(coalesce(uni.cr, 0) + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE)) AS lw
+        |  FROM tk LEFT JOIN uni ON tk.t = uni.t CROSS JOIN tot),
+        |p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    list_reduce(list(lw ORDER BY pos), (x, y) -> x + y) AS sw
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_toks, 0) AS n_toks,
+        |  round((ln(CAST(pri.dc + 1 AS DOUBLE)) - ln(CAST(pri.dr + 1 AS DOUBLE)))
+        |        + coalesce(p.sw, 0.0), 6) + 0.0 AS nb_score,
+        |  round((ln(CAST(pri.dc + 1 AS DOUBLE)) - ln(CAST(pri.dr + 1 AS DOUBLE)))
+        |        + coalesce(p.sw, 0.0), 6) > 0 AS keep
+        |FROM d LEFT JOIN p USING (doc_id) CROSS JOIN pri
+        |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin)),
     // hash-free, so fully oracle-able: the same profile counts and
     // (hits, lang) argmax tie-break, via unnest + row_number (Spark's
     // greatest-struct == ORDER BY hits DESC, lang DESC). Both engines

@@ -72,6 +72,29 @@ class NbQualitySpec extends SparkSpec {
     assert(!row.getAs[Boolean]("keep"))
   }
 
+  test("heldout: frozen history model + priors, OOV smoothing floor") {
+    // history: doc 1 "aa bb" (good), doc 2 "aa cc" (crawl) ->
+    //   aa ct=1 cr=1, bb ct=1 cr=0, cc ct=0 cr=1; V=3, Nt=2, Nr=2;
+    //   dc=1, dr=1 -> prior = ln(2) - ln(2) = 0.
+    // batch: doc 11 carries OOV token zz (floor weight 0 here since
+    // Nt+V == Nr+V), doc 12 is crawl-flavored.
+    val dir = writeDocs(Seq(
+      (1L, "aa bb", "good"), (2L, "aa cc", "crawl"),
+      (11L, "aa bb zz", "crawl"), (12L, "cc cc", "good")))
+    val lwAa = 0.0 // ln(2/5) - ln(2/5)
+    val lwBb = math.log(2.0 / 5) - math.log(1.0 / 5)
+    val lwCc = math.log(1.0 / 5) - math.log(2.0 / 5)
+    val lwZz = 0.0 // OOV: ln(1/5) - ln(1/5)
+    val rows = TextOps.textNbQualityHeldout(spark, dir,
+        splitId = 10L, curated = Seq("good")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Double]("nb_score"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(rows.keySet === Set(11L, 12L)) // history rows are not scored
+    assert(rows(11L) === ((3L, r6(0.0 + lwAa + lwBb + lwZz), true)))
+    assert(rows(12L) === ((2L, r6(0.0 + lwCc + lwCc), false)))
+  }
+
   test("plan has no window") {
     val plan = TextOps.textNbQuality(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
