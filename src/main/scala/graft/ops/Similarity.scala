@@ -1015,6 +1015,102 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** PageRank fixed point scale: ranks live in integer units of
+    * 1e-12 of the total probability mass, so every engine computes
+    * the identical 64-bit arithmetic (the D45/D49 convention — no
+    * float sum ever exists to disagree on order). 85/100 is the
+    * standard 0.85 damping as an exact rational.
+    */
+  private val PrScale = 1000000000000L
+  private val PrIters = 10
+
+  /** D53: PageRank over the mutual-kNN semantic graph — graph
+    * centrality as a curation signal (central vectors are the
+    * corpus's representative mass, antihubs its isolated noise; the
+    * graph-ranking complement of [[knnDensity]]'s local density).
+    * Standard power iteration with 0.85 damping on the [[semanticClusters]]
+    * edge set (symmetric, so out-degree = degree), run a fixed
+    * `PrIters` rounds — INTEGER-EXACT: rank r(v) is a 64-bit count of
+    * 1e-12 mass units, each round computes r'(v) = ⌊0.15·SCALE/n⌋ +
+    * Σ_{u~v} ⌊85·r(u) / (100·deg(u))⌋, and integer sums are
+    * order-independent, so both engines land on the identical fixed
+    * point row for row. Dangling vectors (no mutual edge) keep the
+    * teleport term only (their damped mass is dropped, the "leaky"
+    * formulation — documented, deterministic, and the standard choice
+    * when ranking within components). Overflow-safe: r ≤ SCALE=1e12,
+    * so 85·r ≤ 8.5e13 ≪ 2⁶³.
+    *
+    * Scale shape: per round, one join of the rank table to the edge
+    * list on the source key (unique per (edge, u) — the hot DESTINATION
+    * of a hub vector is a groupBy that collapses map-side) and one
+    * partial-aggregated sum per destination; rounds are Lineage.cut
+    * and freed like the CC/k-means loops. 10 rounds × O(k·n) edge rows.
+    */
+  def pageRank(s: SparkSession, dir: String,
+      threshold: Double = 0.3, nLists: Int = 0, nProbe: Int = 4): DataFrame = {
+    val e = knnGraph(s, dir, nLists, nProbe)
+      .filter(col("cos") >= threshold)
+      .select(col("q_id").as("x"), col("vec_id").as("y"))
+      .transform(graft.Lineage.cut)
+    val mutual = e.intersect(e.select(col("y").as("x"), col("x").as("y")))
+      .filter(col("x") < col("y"))
+    val sym = mutual.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(mutual.select(col("y").as("a"), col("x").as("b")))
+      .transform(graft.Lineage.cut)
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .transform(graft.Lineage.cut)
+    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+      .transform(graft.Lineage.cut)
+    val n = nodes.count()
+    val tele = 15L * PrScale / (100L * n)
+    var r = nodes.select(col("id"), lit(PrScale / n).as("r"))
+      .transform(graft.Lineage.cut)
+    for (_ <- 1 to PrIters) {
+      val contrib = sym
+        .join(r.withColumnRenamed("id", "a"), "a")
+        .join(deg.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"),
+          expr("(85 * r) div (100 * deg)").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      val next = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(tele) + coalesce(col("c"), lit(0L))).as("r"))
+        .transform(graft.Lineage.cut)
+      graft.Lineage.free(r)
+      r = next
+    }
+    r.select(col("id").as("vec_id"), col("r").as("pr_micro"),
+        round(col("r").cast("double") / PrScale, 6).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
+  /** D54: hubness audit of the embedding space — per vector, the
+    * IN-degree of the directed kNN graph (how many vectors chose it
+    * as a neighbor). High-dimensional spaces concentrate neighbor
+    * choices onto hub points (Radovanović et al. JMLR 2010), which
+    * distorts every kNN-derived curation signal; the audit flags
+    * `hub` (in-degree > 2k) and `antihub` (in-degree 0 — chosen by
+    * nobody, invisible to the graph family). Out-degree is k by
+    * construction, so in-degree is the whole story.
+    *
+    * Scale shape: one partial-aggregated count over the edge rows
+    * keyed by the NEIGHBOR id (a hub key collapses map-side), left
+    * join back to the corpus for the zero rows.
+    */
+  def knnHubness(s: SparkSession, dir: String,
+      nLists: Int = 0, nProbe: Int = 4): DataFrame = {
+    val indeg = knnGraph(s, dir, nLists, nProbe)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("in_degree"))
+    corpus(s, dir).select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("hub", col("in_degree") > 2 * K)
+      .withColumn("antihub", col("in_degree") === 0)
+      .orderBy("vec_id")
+  }
+
   /** D45: prototypicality pruning — score every vector by its cosine
     * to its own cluster centroid (the SSL-prototypes metric of
     * Sorscher et al. 2022, "Beyond neural scaling laws": examples
@@ -1222,6 +1318,51 @@ object Similarity {
        |knn AS (SELECT q_id, rank, vec_id, cos
        |        FROM ranked WHERE rank <= $K)""".stripMargin
 
+  /** The mutual-kNN edge CTE chain on top of [[KnnCtes]] (ends at
+    * `sym(a, b)`, the symmetric edge list at the default 0.3 floor) —
+    * shared by the `semantic_clusters` and `pagerank` oracles so the
+    * edge definition has one source of truth.
+    */
+  private[ops] val MutualCtes: String =
+    s"""$KnnCtes,
+       |ed AS MATERIALIZED (
+       |  SELECT q_id AS x, vec_id AS y FROM knn
+       |  WHERE round(cos, 6) >= 0.3),
+       |mut AS MATERIALIZED (
+       |  SELECT a.x AS a, a.y AS b
+       |  FROM ed a JOIN ed b ON a.x = b.y AND a.y = b.x
+       |  WHERE a.x < a.y),
+       |sym AS (SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut)""".stripMargin
+
+  /** The unrolled-power-iteration PageRank oracle (the KmeansCtes
+    * unrolled-Lloyd pattern): integer mass units, BIGINT-cast sums
+    * (DuckDB sum() is HUGEINT — the dtype-sensitive driver lesson).
+    */
+  private def pageRankOracle: String = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT e2.vec_id AS id,
+         |         CAST(t.t + coalesce(c.c, 0) AS BIGINT) AS r
+         |  FROM embeddings e2 CROSS JOIN tele t
+         |  LEFT JOIN (
+         |    SELECT s.b AS id,
+         |           CAST(sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS c
+         |    FROM sym s JOIN r${k - 1} r ON r.id = s.a
+         |    JOIN deg d ON d.id = s.a
+         |    GROUP BY s.b) c ON c.id = e2.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $MutualCtes,
+       |deg AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM sym GROUP BY a),
+       |tele AS (SELECT (15 * $PrScale) // (100 * count(*)) AS t FROM embeddings),
+       |r0 AS (SELECT vec_id AS id,
+       |  (SELECT $PrScale // count(*) FROM embeddings) AS r FROM embeddings),
+       |$rounds
+       |SELECT id AS vec_id, r AS pr_micro,
+       |       round(CAST(r AS DOUBLE) / $PrScale, 6) AS pagerank
+       |FROM r$PrIters ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", annBruteforce, Some(
       s"""WITH scored AS (
@@ -1414,15 +1555,7 @@ object Similarity {
     // filters the same 6dp value), reachability closure -> component
     // min — the dedup_clusters oracle pattern on the knn edge set
     Q("semantic_clusters", (s, d) => semanticClusters(s, d), Some(
-      s"""WITH RECURSIVE $KnnCtes,
-         |ed AS MATERIALIZED (
-         |  SELECT q_id AS x, vec_id AS y FROM knn
-         |  WHERE round(cos, 6) >= 0.3),
-         |mut AS MATERIALIZED (
-         |  SELECT a.x AS a, a.y AS b
-         |  FROM ed a JOIN ed b ON a.x = b.y AND a.y = b.x
-         |  WHERE a.x < a.y),
-         |sym AS (SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut),
+      s"""WITH RECURSIVE $MutualCtes,
          |reach AS (
          |  SELECT vec_id AS id, vec_id AS r FROM embeddings
          |  UNION
@@ -1430,7 +1563,20 @@ object Similarity {
          |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
          |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
          |SELECT cc.id AS vec_id, cc.cluster, sz.cluster_size
-         |FROM cc JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin))
+         |FROM cc JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin)),
+    // integer-exact unrolled power iteration over the shared mutual
+    // edge CTEs — order-independent 64-bit sums, identical fixed point
+    Q("pagerank", (s, d) => pageRank(s, d), Some(pageRankOracle)),
+    // in-degree of the directed knn edges, zero rows preserved
+    Q("knn_hubness", (s, d) => knnHubness(s, d), Some(
+      s"""WITH $KnnCtes,
+         |ind AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS in_degree
+         |        FROM knn GROUP BY vec_id)
+         |SELECT e.vec_id, coalesce(i.in_degree, 0) AS in_degree,
+         |       coalesce(i.in_degree, 0) > ${2 * K} AS hub,
+         |       coalesce(i.in_degree, 0) = 0 AS antihub
+         |FROM embeddings e LEFT JOIN ind i USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin))
   )
 
 

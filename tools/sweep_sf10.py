@@ -662,6 +662,143 @@ def bounded_semantic_clusters_compare(con, name, out_dir):
     return rec
 
 
+def bounded_knn_hubness_compare(con, name, out_dir):
+    """Bounded knn_hubness oracle: in-degree is an exact count over
+    the edge set — re-derived in full from the engine's knn_graph dump
+    (spot-verified by bounded_knn_compare), zero rows via LEFT join."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        graph = glob.glob(f"{out_dir}/knn_graph/*.parquet")
+        if not files or not graph:
+            rec["err"] = "no spark output (needs knn_graph dump for edges)"
+            return rec
+        con.execute("CREATE OR REPLACE TEMP TABLE hub_s AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM hub_s").fetchone()[0]
+        con.execute(f"""CREATE OR REPLACE TEMP TABLE hub_o AS
+          WITH ind AS (
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS in_degree
+            FROM read_parquet('{graph[0]}') GROUP BY vec_id)
+          SELECT e.vec_id, coalesce(i.in_degree, 0) AS in_degree,
+                 coalesce(i.in_degree, 0) > 10 AS hub,
+                 coalesce(i.in_degree, 0) = 0 AS antihub
+          FROM embeddings e LEFT JOIN ind i USING (vec_id)""")
+        rec["oracle_rows"] = con.execute(
+            "SELECT count(*) FROM hub_o").fetchone()[0]
+        rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+        rec["schema_match"] = True
+        a, b = con.execute("""SELECT
+          (SELECT count(*) FROM (SELECT * FROM hub_s EXCEPT ALL SELECT * FROM hub_o)),
+          (SELECT count(*) FROM (SELECT * FROM hub_o EXCEPT ALL SELECT * FROM hub_s))
+          """).fetchone()
+        if a or b:
+            rec["err"] = f"value diff: {a} spark-only, {b} oracle-only rows"
+            rec["hash_match"] = False
+            return rec
+        rec["hash_match"] = bool(rec["rows_match"])
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("hub_s", "hub_o"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
+
+
+def bounded_pagerank_compare(con, name, out_dir):
+    """Bounded pagerank oracle: the full oracle rides the full knn CTE
+    chain (infeasible at sf10 — see bounded_knn_compare). PageRank on
+    the mutual edge set is EXACT integer arithmetic, so re-running the
+    10 unrolled power-iteration rounds in DuckDB from the engine's
+    knn_graph dump (spot-verified by bounded_knn_compare) checks every
+    row with full coverage."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        graph = glob.glob(f"{out_dir}/knn_graph/*.parquet")
+        if not files or not graph:
+            rec["err"] = "no spark output (needs knn_graph dump for edges)"
+            return rec
+        con.execute("CREATE OR REPLACE TEMP TABLE pr_s AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM pr_s").fetchone()[0]
+        scale = 1000000000000
+        rounds = ",\n".join(f"""r{k} AS (
+            SELECT e2.vec_id AS id,
+                   CAST(t.t + coalesce(c.c, 0) AS BIGINT) AS r
+            FROM embeddings e2 CROSS JOIN tele t
+            LEFT JOIN (
+              SELECT s.b AS id,
+                     CAST(sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS c
+              FROM sym s JOIN r{k - 1} r ON r.id = s.a
+              JOIN deg d ON d.id = s.a
+              GROUP BY s.b) c ON c.id = e2.vec_id)""" for k in range(1, 11))
+        con.execute(f"""CREATE OR REPLACE TEMP TABLE pr_o AS
+          WITH ed AS MATERIALIZED (
+            SELECT q_id AS x, vec_id AS y
+            FROM read_parquet('{graph[0]}') WHERE cos >= 0.3),
+          mut AS MATERIALIZED (
+            SELECT a.x AS a, a.y AS b
+            FROM ed a JOIN ed b ON a.x = b.y AND a.y = b.x
+            WHERE a.x < a.y),
+          sym AS (SELECT a, b FROM mut UNION SELECT b AS a, a AS b FROM mut),
+          deg AS MATERIALIZED (
+            SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY a),
+          tele AS (SELECT (15 * {scale}) // (100 * count(*)) AS t
+                   FROM embeddings),
+          r0 AS (SELECT vec_id AS id,
+                 (SELECT {scale} // count(*) FROM embeddings) AS r
+                 FROM embeddings),
+          {rounds}
+          SELECT id AS vec_id, r AS pr_micro,
+                 round(CAST(r AS DOUBLE) / {scale}, 6) AS pagerank
+          FROM r10""")
+        rec["oracle_rows"] = con.execute(
+            "SELECT count(*) FROM pr_o").fetchone()[0]
+        rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+        rec["schema_match"] = True
+        a, b = con.execute("""SELECT
+          (SELECT count(*) FROM (
+             SELECT vec_id, pr_micro, printf('%.10g', pagerank) FROM pr_s
+             EXCEPT ALL
+             SELECT vec_id, pr_micro, printf('%.10g', pagerank) FROM pr_o)),
+          (SELECT count(*) FROM (
+             SELECT vec_id, pr_micro, printf('%.10g', pagerank) FROM pr_o
+             EXCEPT ALL
+             SELECT vec_id, pr_micro, printf('%.10g', pagerank) FROM pr_s))
+          """).fetchone()
+        if a or b:
+            rec["err"] = f"value diff: {a} spark-only, {b} oracle-only rows"
+            rec["hash_match"] = False
+            return rec
+        rec["hash_match"] = bool(rec["rows_match"])
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("pr_s", "pr_o"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
+
+
 def fresh_con(sf_dir):
     """One connection PER KEY: a heavy oracle that dies mid-allocation
     (the r11 text_dsir sf10 OOM under transient host memory pressure)
@@ -700,6 +837,10 @@ def main(sf_dir, out_dir, out_json, only=()):
                 rec = bounded_knn_classify_compare(con, name, out_dir)
             elif name == "semantic_clusters":
                 rec = bounded_semantic_clusters_compare(con, name, out_dir)
+            elif name == "knn_hubness":
+                rec = bounded_knn_hubness_compare(con, name, out_dir)
+            elif name == "pagerank":
+                rec = bounded_pagerank_compare(con, name, out_dir)
             else:
                 rec = compare(con, name, oracles[name], out_dir)
         finally:
