@@ -886,6 +886,19 @@ object Similarity {
     * `nProbe = nLists` reproduces the exact graph. Self-edges are
     * excluded; a vector's own list is always its first probe, so
     * rank-1 self-recall never costs an edge.
+    *
+    * ORDER-OF-PIPELINE contract: the graph build assumes a
+    * DEDUPLICATED corpus. m exact copies of one embedding land in
+    * one Voronoi cell and meet in the list self-join — m² candidate
+    * pairs that no join-splitting can erase (the volume itself is
+    * quadratic, unlike the AQE-splittable skew of a merely-popular
+    * cell). That is not a defect to engineer around here: every real
+    * curation DAG runs exact/embedding dedup (D1, D5 — whose
+    * collapse front-ends exist precisely for viral payloads) BEFORE
+    * graph analytics, and this engine ships both stages. The same
+    * contract covers every rider of these edges ([[knnDensity]],
+    * [[knnClassify]], [[semanticClusters]], [[pageRank]],
+    * [[knnHubness]]).
     */
   def knnGraph(s: SparkSession, dir: String, nLists: Int = 0,
       nProbe: Int = 4): DataFrame = {
