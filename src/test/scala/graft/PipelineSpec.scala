@@ -4,30 +4,49 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-/** The chained curation pipeline: stage counts are consistent, kept
-  * docs all pass the gate, and the written corpus is split-partitioned
-  * with no source spanning two splits.
+/** The chained curation pipeline (gate → CCNet perplexity-tercile
+  * filter → token-budget mixture → leakage-safe grouped split →
+  * partitioned write): stage counts are monotone and consistent, the
+  * written set equals the independent recomposition of the four
+  * oracled stages, and no source spans two splits.
   */
 class PipelineSpec extends SparkSpec {
 
-  test("pipeline chains gate + grouped split into a partitioned corpus") {
+  test("pipeline chains gate + ppl filter + mixture + split") {
     val sf = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("pipe_out").toString
     val counts = Pipeline.run(spark, sf, out)
     assert(counts("n_input") === 500L)
+    // monotone funnel
     assert(counts("n_kept") > 0L && counts("n_kept") <= counts("n_input"))
-    // split partitions sum back to the kept count
-    val splitKeys = counts.keySet.filter(_.startsWith("n_") )
-      .diff(Set("n_input", "n_kept"))
+    assert(counts("n_ppl_kept") > 0L && counts("n_ppl_kept") <= counts("n_kept"))
+    assert(counts("n_mixture") > 0L && counts("n_mixture") <= counts("n_ppl_kept"))
+    // split partitions sum back to the mixture count
+    val splitKeys = counts.keySet.filter(_.startsWith("n_"))
+      .diff(Set("n_input", "n_kept", "n_ppl_kept", "n_mixture"))
     assert(splitKeys.nonEmpty)
-    assert(splitKeys.toSeq.map(counts).sum === counts("n_kept"))
+    assert(splitKeys.toSeq.map(counts).sum === counts("n_mixture"))
+
+    // the written set == independent recomposition of the stages
     val corpus = spark.read.parquet(s"$out/corpus")
-    // every written doc passes the gate (keep == true for its id)
+    val written = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
     val keepIds = graft.ops.TextOps.curationGate(spark, sf)
       .filter(col("keep")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
-    val written = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(written === keepIds)
+    val tailIds = graft.ops.TextOps.textPplBuckets(spark, sf)
+      .filter(col("bucket") === "tail").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val survivors = keepIds -- tailIds
+    assert(counts("n_ppl_kept") === survivors.size.toLong)
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isInCollection(survivors))
+      .select(col("doc_id"), col("source"), col("text"))
+    val picked = graft.ops.Sampling.sampleMixtureOn(docs, 10000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(written === picked)
+    // every written doc passed every upstream stage
+    assert(written.subsetOf(survivors))
+
     // leakage safety survives the chain: no source in two splits
     val spans = corpus.groupBy("source")
       .agg(countDistinct(col("split")).as("n"))
