@@ -301,6 +301,52 @@ object Multimodal {
     def dhashNormalized(m: MediaIn, box: Int): (Long, Long) =
       dhashImage(scaleToBox(readImage(m), box))
 
+    /** Envelope dHash for 16-bit mono PCM — the audio member of the
+      * perceptual-hash family: 65 sample windows with the
+      * integer-floor boundaries of [[dhashImage]]'s cell rule in one
+      * dimension (window w covers [⌊w·n/65⌋, ⌊(w+1)·n/65⌋), min-1
+      * guard for degenerate n), bit i = mean |amplitude| of window
+      * i+1 > window i, cross-multiplied in Long so no division ever
+      * happens (sums ≤ 12255·10⁴ ≈ 1.2e8, × counts ≤ 12255 → 1.5e12,
+      * overflow-safe). Packed 32/32 into (hi, lo) exactly like the
+      * image hash, so the band/probe/verify machinery is shared
+      * unchanged. Duration-invariant-ish by construction (windows
+      * scale with n), amplitude-scale-sensitive by design (gain is a
+      * real difference for training audio).
+      */
+    def envHash(m: MediaIn): (Long, Long) = {
+      val h = parseWav(m.media)
+      require(h.channels == 1 && h.bitsPerSample == 16,
+        s"envelope hash expects 16-bit mono PCM, got ${h.bitsPerSample}-bit x${h.channels}")
+      val n = h.nSamples
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val lo = (w.toLong * n / 65).toInt
+        val hi0 = math.min(n, math.max(lo + 1, ((w + 1).toLong * n / 65).toInt))
+        var s = 0L
+        var k = lo
+        while (k < hi0) {
+          s += math.abs(le16(m.media, h.dataOffset + k * 2).toShort.toInt)
+          k += 1
+        }
+        sums(w) = s
+        cnts(w) = (hi0 - lo).toLong
+        w += 1
+      }
+      var hiBits = 0L
+      var loBits = 0L
+      var i = 0
+      while (i < 64) {
+        val bit =
+          if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) 1L else 0L
+        if (i >= 32) hiBits |= bit << (i - 32) else loBits |= bit << i
+        i += 1
+      }
+      (hiBits, loBits)
+    }
+
     def dhashImage(img: BufferedImage): (Long, Long) = {
       val w = img.getWidth
       val h = img.getHeight
@@ -523,6 +569,48 @@ object Multimodal {
       mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
       maxHamming, includeLossy = true)
 
+  /** D12f: AUDIO near-dup — the third modality of the perceptual-hash
+    * dedup family (D1 text digests, D12d image dHash): every WAV's
+    * PCM is decoded in the shared batched `mapPartitions` seam and
+    * reduced to a 64-bit envelope dHash ([[JdkCodec.envHash]] — mean
+    * |amplitude| trend across 65 duration-proportional windows, the
+    * audio-fingerprint shape of Chromaprint/Shazam-class systems
+    * boiled down to its deterministic core), then the IDENTICAL
+    * collapse + 8-band + Hamming-1 multi-probe + exact-verify pairing
+    * as the image family ([[pairHashFrame]] — one pairing
+    * implementation, two hash front-ends). keep_id = smallest
+    * media_id among envelope-neighbors, the family keep rule.
+    *
+    * Scale shape: PCM never leaves its decode task (16 bytes of hash
+    * per clip move); candidates bounded by distinct-hash volume via
+    * the exact collapse; decode cost one |x| add per sample — linear
+    * in audio bytes, the floor for any fingerprint.
+    */
+  def dedupAudio(s: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
+    dedupAudioOn(
+      mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
+      maxHamming)
+
+  /** [[dedupAudio]] on an arbitrary (media_id, media, format) frame —
+    * the seam the planted perturbed-copy spec drives.
+    */
+  private[ops] def dedupAudioOn(media: DataFrame,
+      maxHamming: Int = 10): DataFrame = {
+    require(maxHamming <= 15,
+      s"maxHamming=$maxHamming exceeds the banding's recall guarantee (<= 15)")
+    val s = media.sparkSession
+    import s.implicits._
+    val hashed = media.filter(col("format") === "wav")
+      .select(col("media_id"), col("media"), col("format")).as[MediaIn]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val (hi, lo) = JdkCodec.envHash(m)
+        (m.media_id, hi, lo)
+      }))
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+      .transform(graft.Lineage.cut) // feeds the collapse AND the map-back
+    pairHashFrame(hashed, maxHamming)
+  }
+
   /** The shared hashing front-end: decode + dHash per image as a
     * narrow batched `mapPartitions` → (media_id, dhash_hi, dhash_lo).
     * `includeLossy` switches between the direct-hash lossless form
@@ -590,6 +678,18 @@ object Multimodal {
       s"maxHamming=$maxHamming exceeds the banding's recall guarantee (<= 15)")
     // cut: feeds the hash-group collapse AND the final map-back join
     val hashed = hashFrameOf(media, includeLossy).transform(graft.Lineage.cut)
+    pairHashFrame(hashed, maxHamming)
+  }
+
+  /** The shared collapse + band + Hamming-1-probe + verify pairing on
+    * an arbitrary (media_id, dhash_hi, dhash_lo) frame — the engine
+    * core [[dedupImageOn]] and [[dedupAudioOn]] both run (one pairing
+    * implementation, two perceptual hash front-ends). Caller has
+    * already checked the maxHamming <= 15 pigeonhole bound and cut
+    * the hash frame's lineage.
+    */
+  private[ops] def pairHashFrame(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
     // exact-collapse: the pair scan below runs on UNIQUE hashes only
     val groups = hashed.groupBy("dhash_hi", "dhash_lo")
       .agg(min(col("media_id")).as("gmin"))
@@ -762,11 +862,62 @@ object Multimodal {
       |    CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
       |  FROM bits GROUP BY 1)""".stripMargin
 
+  /** Envelope-hash re-derivation CTEs (wavs → windows → sums → bits →
+    * ahash): DuckDB recomputes EVERY envelope bit of every WAV from
+    * the generator's sample arithmetic — the DhashCtes trick in one
+    * dimension. The engine decodes real RIFF bytes; the oracle
+    * recomputes what a correct decode must sum, so a stub cannot fake
+    * it.
+    */
+  private val AudioEnvCtes: String =
+    """wavs AS (
+      |  SELECT doc_id AS media_id, 256 + (doc_id * 37) % 12000 AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |wb AS (
+      |  SELECT media_id, w, (w * n) // 65 AS klo,
+      |         least(n, greatest((w * n) // 65 + 1, ((w + 1) * n) // 65)) AS khi
+      |  FROM (SELECT media_id, n, unnest(range(0, 65)) AS w FROM wavs)),
+      |ws AS (
+      |  SELECT media_id, w,
+      |         sum(abs(((media_id * 31 + k * 7) % 20001) - 10000)) AS s,
+      |         count(*) AS c
+      |  FROM (SELECT media_id, w, unnest(range(klo, khi)) AS k FROM wb)
+      |  GROUP BY 1, 2),
+      |abits AS (
+      |  SELECT l.media_id, l.w AS i,
+      |         CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS bit
+      |  FROM ws l JOIN ws r ON l.media_id = r.media_id AND r.w = l.w + 1),
+      |ahash AS MATERIALIZED (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM abits GROUP BY 1)""".stripMargin
+
   /** The fixture contract, restated for the oracles: every dimension
     * below is the SQL twin of a [[MediaGen]] pure function, so DuckDB
     * recomputes what a correct decode must report without decoding.
     */
   val queries: Seq[Q] = Seq(
+    // envelope-hash near-dup: every hash bit re-derived from the
+    // generator's sample arithmetic, then the exact all-pairs Hamming
+    // scan — equal to the collapsed+banded engine answer by the same
+    // pigeonhole argument as dedup_image
+    Q("dedup_audio", (s, d) => dedupAudio(s, d), Some(
+      s"""WITH $AudioEnvCtes,
+        |pairs AS (
+        |  SELECT a.media_id AS a, b.media_id AS b
+        |  FROM ahash a JOIN ahash b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+        |        bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10),
+        |nbr AS (
+        |  SELECT media_id, min(nb) AS mn
+        |  FROM (SELECT a AS media_id, b AS nb FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs)
+        |  GROUP BY 1)
+        |SELECT h.media_id, h.dhash_hi, h.dhash_lo,
+        |       least(coalesce(n.mn, h.media_id), h.media_id) AS keep_id
+        |FROM ahash h LEFT JOIN nbr n USING (media_id)
+        |ORDER BY media_id""".stripMargin)),
     // dHash near-dup: the oracle re-derives every hash bit from the
     // generator's pixel arithmetic (lossless decode reproduces it
     // exactly), then runs the EXACT all-pairs Hamming scan — equal to
