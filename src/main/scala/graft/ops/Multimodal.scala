@@ -591,6 +591,22 @@ object Multimodal {
       mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))),
       maxHamming)
 
+  /** The audio hash front-end: RIFF decode + envelope dHash per WAV
+    * as a narrow batched `mapPartitions` → (media_id, dhash_hi,
+    * dhash_lo) — the audio twin of [[hashFrameOf]].
+    */
+  private[graft] def audioHashFrameOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("format") === "wav")
+      .select(col("media_id"), col("media"), col("format")).as[MediaIn]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val (hi, lo) = JdkCodec.envHash(m)
+        (m.media_id, hi, lo)
+      }))
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+  }
+
   /** [[dedupAudio]] on an arbitrary (media_id, media, format) frame —
     * the seam the planted perturbed-copy spec drives.
     */
@@ -598,17 +614,36 @@ object Multimodal {
       maxHamming: Int = 10): DataFrame = {
     require(maxHamming <= 15,
       s"maxHamming=$maxHamming exceeds the banding's recall guarantee (<= 15)")
-    val s = media.sparkSession
-    import s.implicits._
-    val hashed = media.filter(col("format") === "wav")
-      .select(col("media_id"), col("media"), col("format")).as[MediaIn]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val (hi, lo) = JdkCodec.envHash(m)
-        (m.media_id, hi, lo)
-      }))
-      .toDF("media_id", "dhash_hi", "dhash_lo")
-      .transform(graft.Lineage.cut) // feeds the collapse AND the map-back
+    // cut: feeds the collapse AND the final map-back join
+    val hashed = audioHashFrameOf(media).transform(graft.Lineage.cut)
     pairHashFrame(hashed, maxHamming)
+  }
+
+  /** D12f-incremental: admit a new batch of audio clips against the
+    * already-admitted corpus — the audio member of the
+    * incremental-admission family (D1b digests, D5c embeddings, D12e
+    * images), running the SAME [[newImagesAgainstHistory]] survivor
+    * rule (it is hash-representation-generic: batch reps probe the
+    * history's persistent 8-(band, bhash) index, hits drop, the clean
+    * remainder collapses within-batch by the min-id rule). History
+    * PCM is never re-decoded in a deployment — the index stores band
+    * rows per admitted envelope hash.
+    */
+  def dedupAudioIncremental(s: SparkSession, dir: String,
+      splitId: Long = 250L, maxHamming: Int = 10): DataFrame = {
+    val hashed = audioHashFrameOf(
+        mediaTable(s, dir).withColumn("format", sniffFormat(col("media"))))
+      .transform(graft.Lineage.cut)
+    dedupAudioIncrementalOn(hashed, splitId, maxHamming)
+  }
+
+  /** [[dedupAudioIncremental]] on a pre-hashed frame — the spec seam. */
+  private[ops] def dedupAudioIncrementalOn(hashed: DataFrame,
+      splitId: Long, maxHamming: Int = 10): DataFrame = {
+    val hist = hashed.filter(col("media_id") < splitId)
+    val batch = hashed.filter(col("media_id") >= splitId)
+    newImagesAgainstHistory(batch, bandRowsOf(hist), maxHamming)
+      .orderBy("media_id")
   }
 
   /** The shared hashing front-end: decode + dHash per image as a
@@ -917,6 +952,27 @@ object Multimodal {
         |SELECT h.media_id, h.dhash_hi, h.dhash_lo,
         |       least(coalesce(n.mn, h.media_id), h.media_id) AS keep_id
         |FROM ahash h LEFT JOIN nbr n USING (media_id)
+        |ORDER BY media_id""".stripMargin)),
+    // incremental audio admission: the dedup_image_incremental rule
+    // over the shared AudioEnvCtes hash re-derivation
+    Q("dedup_audio_incremental", (s, d) => dedupAudioIncremental(s, d), Some(
+      s"""WITH $AudioEnvCtes,
+        |hist AS (SELECT * FROM ahash WHERE media_id < 250),
+        |bat AS (SELECT * FROM ahash WHERE media_id >= 250),
+        |histhit AS (
+        |  SELECT DISTINCT b.media_id FROM bat b JOIN hist h
+        |    ON bit_count(xor(b.dhash_hi, h.dhash_hi)) +
+        |       bit_count(xor(b.dhash_lo, h.dhash_lo)) <= 10),
+        |clean AS (
+        |  SELECT * FROM bat
+        |  WHERE media_id NOT IN (SELECT media_id FROM histhit)),
+        |dominated AS (
+        |  SELECT DISTINCT b.media_id FROM clean b JOIN clean a
+        |    ON a.media_id < b.media_id
+        |   AND bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+        |       bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10)
+        |SELECT media_id, dhash_hi, dhash_lo FROM clean
+        |WHERE media_id NOT IN (SELECT media_id FROM dominated)
         |ORDER BY media_id""".stripMargin)),
     // dHash near-dup: the oracle re-derives every hash bit from the
     // generator's pixel arithmetic (lossless decode reproduces it

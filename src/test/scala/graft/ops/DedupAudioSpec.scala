@@ -71,6 +71,25 @@ class DedupAudioSpec extends SparkSpec {
     assert(twice.toSeq === again.toSeq)
   }
 
+  test("incremental admission: history hit drops, clean batch collapses") {
+    import org.apache.spark.sql.functions.col
+    // history: the rising clip (id 100). batch: its perturbation (300,
+    // history-hit -> dropped), the falling clip (301, clean rep), a
+    // falling perturbation (302, dominated by 301), an exact copy of
+    // falling (303, dominated).
+    val media = Seq(
+      (100L, wav(rising), "wav"),
+      (300L, wav(perturbed), "wav"),
+      (301L, wav(falling), "wav"),
+      (302L, { val a = falling.clone(); a(11) += 2; wav(a) }, "wav"),
+      (303L, wav(falling), "wav"))
+      .toDF("media_id", "media", "format")
+    val hashed = Multimodal.audioHashFrameOf(media)
+    val admitted = Multimodal.dedupAudioIncrementalOn(hashed, splitId = 200L)
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(301L))
+  }
+
   test("pigeonhole guard: maxHamming > 15 is refused") {
     val e = intercept[IllegalArgumentException] {
       Multimodal.dedupAudioOn(mediaDf, maxHamming = 16)
