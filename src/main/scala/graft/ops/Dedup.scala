@@ -1116,21 +1116,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Within-batch keep-first on the [[Collapse]] seam: one row per
+    * distinct `tkey` — the smallest-`doc_id` row, passthrough columns
+    * riding via `min_by` from the same row. This is the de-windowed
+    * replacement for `row_number() OVER (PARTITION BY tkey)`: a batch
+    * is NOT small at 100 TB (an incremental run admits a whole crawl
+    * snapshot, carrying millions of copies of a boilerplate page, all
+    * landing in ONE unsplittable WindowExec task), while the groupBy
+    * form collapses a viral key to one row per map task before the
+    * exchange. Column order of the input is preserved.
+    */
+  private def keepFirstPerKey(rows: DataFrame): DataFrame = {
+    val payloads = rows.columns.filterNot(c => c == "doc_id" || c == "tkey").toSeq
+    Collapse.reps(rows, "tkey", payloads = payloads)
+      .withColumnRenamed("rep", "doc_id")
+      .select(rows.columns.map(col).toSeq: _*)
+  }
+
   /** The batch-vs-history survivor rule, shared by [[dedupIncremental]]
     * and the streaming twin ([[graft.streaming.TextStreams.dedupStream]])
     * so the two cannot drift: drop batch rows whose `tkey` is in
-    * history, then keep the smallest-`doc_id` row per surviving key.
-    * `batch` needs (doc_id, tkey, …passthrough); `hist` needs (tkey).
+    * history, then keep the smallest-`doc_id` row per surviving key
+    * ([[keepFirstPerKey]] — the skew-proof Collapse form, never a
+    * digest-keyed window). `batch` needs (doc_id, tkey, …passthrough);
+    * `hist` needs (tkey).
     */
-  private[graft] def newAgainstHistory(batch: DataFrame, hist: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("tkey").orderBy("doc_id")
-    batch
-      .join(hist.select("tkey"), Seq("tkey"), "left_anti")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("rk")
-  }
+  private[graft] def newAgainstHistory(batch: DataFrame, hist: DataFrame): DataFrame =
+    keepFirstPerKey(
+      batch.join(hist.select("tkey"), Seq("tkey"), "left_anti"))
 
   /** D1c: Bloom-prefiltered incremental exact dedup — the SAME answer
     * as [[dedupIncremental]] by construction, through the membership
@@ -1195,14 +1208,9 @@ object Dedup {
     val fresh = probed.filter(!col("maybe")).drop("maybe")
     val verified = probed.filter(col("maybe")).drop("maybe")
       .join(hist.select("tkey"), Seq("tkey"), "left_anti")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("tkey").orderBy("doc_id")
     // BY NAME: the USING anti-join reorders verified to (tkey, …) — a
     // positional union would silently pair doc_id with tkey
-    fresh.unionByName(verified)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("rk")
+    keepFirstPerKey(fresh.unionByName(verified))
   }
 
   val queries: Seq[Q] = Seq(

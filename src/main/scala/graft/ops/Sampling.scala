@@ -71,23 +71,61 @@ object Sampling {
     * padding waste (max·n − Σ), all exact integers.
     *
     * Scale shape: one narrow token-count scan, one shuffle on the
-    * bucket key; the per-bucket window is bounded by bucket
-    * population — for the power-of-two geometry that's the corpus'
-    * length distribution, and a hot bucket would swap in the D16
-    * hierarchical-offset mechanics unchanged.
+    * bucket key — and NO bucket-keyed ranking window (real corpora
+    * concentrate in 2–4 length buckets, so `row_number() OVER
+    * (PARTITION BY bucket)` would number a constant fraction of the
+    * corpus in one unsplittable task). The within-bucket batch number
+    * is instead the D16 hierarchical-offset shape re-keyed to the
+    * doc_id ORDER the batches are defined by: sub-bucket `sb` =
+    * doc_id DIV subWidth is MONOTONE in the sort key, so sub-bucket
+    * order composes with in-sub-bucket doc_id order to the exact
+    * per-bucket order, and every (bucket, sb) window partition holds
+    * at most `subWidth` rows BY CONSTRUCTION — a one-bucket corpus
+    * (all docs the same length) still spreads over its whole doc_id
+    * range. Cross-sub-bucket rank offsets run through
+    * [[exclusiveOffsets]] on the composite key bucket·SBMAX + sb
+    * (bucket-major, sb-minor: the global cumulative count restricted
+    * to one bucket differs from the within-bucket rank only by the
+    * bucket's own start offset, recovered as min(off) per bucket —
+    * a partial-aggregable groupBy over sub-bucket-level rows), so no
+    * window task anywhere exceeds max(subWidth, exclusiveOffsets'
+    * fanout) rows at ANY corpus size. The one driver-side value is
+    * the max-sub-bucket scalar that sizes the composite key.
     */
   def batchByLength(s: SparkSession, dir: String,
-      batchSize: Int = 32): DataFrame = {
-    val byId = Window.partitionBy("bucket").orderBy("doc_id")
-    Tables.load(s, dir, "documents")
+      batchSize: Int = 32, subWidth: Long = 1024L): DataFrame = {
+    require(subWidth >= 1, s"subWidth must be >= 1, got $subWidth")
+    // checkpointed: feeds the key-range scalar, the sub-bucket counts
+    // AND the row branch — uncut, the token scan would run three times
+    val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         graft.functions.wsTokenCount(col("text")).as("n_tokens"))
       .withColumn("bucket",
         length(bin(greatest(col("n_tokens"), lit(1L)))).cast("int"))
+      .withColumn("sb", expr(s"doc_id DIV ${subWidth}L"))
+      .transform(graft.Lineage.cut)
+    // one scalar (the composite-key stride); bucket <= 64, so the
+    // composite stays in Long range for any doc_id
+    val sbMax = toks.agg(coalesce(max(col("sb")), lit(0L)))
+      .first().getLong(0) + 1L
+    val offs = exclusiveOffsets(
+      toks.groupBy("bucket", "sb").agg(count(lit(1)).as("v"))
+        .select((col("bucket").cast("long") * sbMax + col("sb")).as("k"),
+          col("v")))
+      .select(expr(s"k DIV ${sbMax}L").cast("int").as("bucket"),
+        expr(s"k % ${sbMax}L").as("sb"), col("off"))
+      .transform(graft.Lineage.cut)
+    val bucketStart = offs.groupBy("bucket").agg(min(col("off")).as("b0"))
+    val offsets = offs.join(bucketStart, "bucket")
+      .select(col("bucket"), col("sb"), (col("off") - col("b0")).as("off"))
+    val localW = Window.partitionBy("bucket", "sb").orderBy("doc_id")
+    toks
+      .withColumn("loc", row_number().over(localW).cast("long"))
+      .join(offsets, Seq("bucket", "sb"))
       // floor(), not a double→int cast: Spark's cast truncates but
       // DuckDB's ROUNDS — floor is the one spelling both agree on
       .withColumn("batch_id",
-        floor((row_number().over(byId) - 1) / lit(batchSize.toDouble)))
+        floor((col("off") + col("loc") - 1) / lit(batchSize.toDouble)))
       .groupBy("bucket", "batch_id")
       .agg(count(lit(1)).as("n_docs"),
         max(col("n_tokens")).as("max_tokens"),
@@ -438,10 +476,25 @@ object Sampling {
     * same order — float addition is not associative, and a grouped
     * SUM() leaves the order to the engine. Scale shape: counts and
     * budgets are #languages rows (driver-free, broadcast); the
-    * selection is the one stratified-sample shuffle.
+    * selection is the one stratified-sample shuffle — and the
+    * per-language rank is NOT a lang-partitioned window (a real crawl
+    * is ~half one language: at 100× that window serializes half the
+    * corpus into one unsplittable task). Instead, the D38 hash-prefix
+    * bucket shape: `bkt` = the first `prefix` hex chars of the rank
+    * key — a PREFIX of the sort key, so bucket order composes with
+    * in-bucket (hk, doc_id) order to the exact per-language order,
+    * and md5 uniformity spreads a viral language over all 16^prefix
+    * buckets (the window partitions by (lang, bkt): partition size
+    * ~n_l/16^prefix with no skewable key; raise `prefix` at petabyte
+    * scale). Cross-bucket rank offsets need no window at all: the
+    * per-(lang, bkt) counts are ≤16^prefix rows per language BY
+    * CONSTRUCTION, so an in-group sorted fold (`aggregate` over the
+    * bucket-sorted count list) emits each bucket's exclusive prefix
+    * count with bounded state — rank = bucket offset + in-bucket
+    * row_number, bit-identical to the old lang window's rank.
     */
   def sampleTemperature(s: SparkSession, dir: String, budget: Long = 250L,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5, prefix: Int = 2): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     // cached (#languages rows): it feeds BOTH the total fold and the
     // per-language budgets — uncached, each side would re-run the full
@@ -458,10 +511,35 @@ object Sampling {
       .select(col("lang"),
         least(col("n_l"),
           floor(lit(budget.toDouble) * col("w") / col("tot")).cast("long")).as("k_l"))
-    val byHash = Window.partitionBy("lang")
+    // checkpointed: feeds both the bucket counts and the row branch
+    val keyed = docs
+      .select(col("doc_id"), col("lang"), hexKey(col("doc_id"), "temp:").as("hk"))
+      .withColumn("bkt", conv(substring(col("hk"), 1, prefix), 16, 10)
+        .cast("long"))
+      .transform(graft.Lineage.cut)
+    // exclusive per-language bucket offsets via a bounded sorted fold
+    // (≤16^prefix structs per language — bounded at ANY corpus size);
+    // array_sort on (bkt, cnt) structs orders by bkt, which is unique
+    // within the group
+    val offsets = keyed.groupBy("lang", "bkt").agg(count(lit(1)).as("cnt"))
+      .groupBy("lang")
+      .agg(array_sort(collect_list(struct(col("bkt"), col("cnt")))).as("a"))
+      .select(col("lang"), explode(expr(
+        """aggregate(a,
+          |  named_struct(
+          |    'r', cast(array() as array<struct<bkt:bigint,off:bigint>>),
+          |    't', 0L),
+          |  (acc, x) -> named_struct(
+          |    'r', acc.r || array(named_struct('bkt', x.bkt, 'off', acc.t)),
+          |    't', acc.t + x.cnt),
+          |  acc -> acc.r)""".stripMargin)).as("o"))
+      .select(col("lang"), col("o.bkt").as("bkt"), col("o.off").as("off"))
+    val localW = Window.partitionBy("lang", "bkt")
       .orderBy(col("hk"), col("doc_id"))
-    docs.select(col("doc_id"), col("lang"), hexKey(col("doc_id"), "temp:").as("hk"))
-      .withColumn("rk", row_number().over(byHash).cast("long"))
+    keyed
+      .withColumn("loc", row_number().over(localW).cast("long"))
+      .join(offsets, Seq("lang", "bkt"))
+      .withColumn("rk", col("off") + col("loc"))
       .join(broadcast(budgets), "lang")
       .filter(col("rk") <= col("k_l"))
       .select(col("doc_id"), col("lang"))

@@ -2,10 +2,8 @@ package graft.ops
 
 import java.nio.file.Files
 
-import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import graft.{Caches, Lineage, SparkEntry, SparkSpec}
 
@@ -28,15 +26,25 @@ import graft.{Caches, Lineage, SparkEntry, SparkSpec}
   *    task, and the collapse must still be semantically exact: every
   *    copy maps to the smallest doc_id.
   */
-class CollapseSkewSpec extends SparkSpec {
+class CollapseSkewSpec extends SparkSpec with graft.StragglerProbe {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** The §2 queries whose front-end is the exact-dup collapse. */
+  /** The §2 queries whose front-end is the exact-dup collapse —
+    * including (round 12) the incremental admission pair, whose
+    * within-batch keep-first previously ranked survivors with a
+    * tkey-partitioned window (a batch is a whole crawl snapshot at
+    * 100 TB; its viral digest serialized into one task) and now runs
+    * on the same Collapse seam as the rest of the family. The E9
+    * stream routes every micro-batch through the identical shared
+    * code (TextStreams.survivors → newAgainstHistory[Bloom]), so
+    * these two riders pin the streaming plan too.
+    */
   private val riders = Seq("dedup_minhash", "dedup_simhash",
     "dedup_jaccard", "dedup_clusters", "text_dup_spans",
     "text_perplexity", "curation_gate", "text_dsir",
-    "text_remove_dup_spans", "text_keywords", "source_overlap")
+    "text_remove_dup_spans", "text_keywords", "source_overlap",
+    "dedup_incremental", "dedup_incremental_bloom")
 
   test("no Window node in any collapse-riding plan, cuts included") {
     for (name <- riders) {
@@ -68,41 +76,6 @@ class CollapseSkewSpec extends SparkSpec {
         Caches.sweep(spark)
       }
     }
-  }
-
-  private class TaskTimes extends SparkListener {
-    val times: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer[Long]()
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-      synchronized { times += t.taskInfo.duration }
-  }
-
-  private def taskTimes(body: => Unit): Seq[Long] = {
-    val l = new TaskTimes
-    spark.sparkContext.addSparkListener(l)
-    try body finally {
-      var waited = 0
-      var last = -1
-      while (waited < 10000 && l.synchronized(l.times.size) != last) {
-        last = l.synchronized(l.times.size)
-        Thread.sleep(500); waited += 500
-      }
-      spark.sparkContext.removeSparkListener(l)
-    }
-    l.times.toSeq
-  }
-
-  private def assertNoStraggler(times: Seq[Long], what: String): Unit = {
-    assert(times.nonEmpty)
-    val sorted = times.sorted
-    val median = sorted(sorted.size / 2)
-    // same bound as SkewSpec: local-mode floor absorbs JIT/coalesce
-    // artifacts; the counterfactual single-task sort of 1e6 viral
-    // copies is what the bound exists to catch
-    val bound = math.max(10L * median, 5000L)
-    assert(sorted.last <= bound,
-      s"$what straggler: max task ${sorted.last}ms > bound ${bound}ms " +
-        s"(median ${median}ms, ${times.size} tasks)")
-    info(f"$what: ${times.size} tasks, median ${median}ms, max ${sorted.last}ms")
   }
 
   test("viral corpus (1e6 copies of one doc): no straggler, exact collapse") {
@@ -153,5 +126,52 @@ class CollapseSkewSpec extends SparkSpec {
     }
     assertNoStraggler(gate, "curation_gate on viral corpus")
     Caches.sweep(spark)
+  }
+
+  test("viral BATCH (1e6 in-batch copies vs clean history): incremental admission has no straggler") {
+    // the incremental profile: the HISTORY (doc_id < 250, the
+    // registered splitId) is clean, and the arriving batch carries
+    // 1e6 copies of one boilerplate page whose digest history has
+    // never seen — so every copy survives the anti-join and the
+    // within-batch keep-first alone must absorb the skew (the old
+    // tkey window sorted all 1e6 in one task; the Collapse form
+    // collapses them map-side)
+    val d = Files.createTempDirectory("collapse_viralbatch").toString
+    val viral = "subscribe to our newsletter for the latest updates and offers"
+    val hist = spark.range(1L, 250L)
+      .select(col("id").as("doc_id"), format_string(
+        "h%1$da h%1$db h%1$dc h%1$dd h%1$de h%1$df", col("id")).as("text"))
+    val copies = spark.range(250L, 1000250L)
+      .select(col("id").as("doc_id"), lit(viral).as("text"))
+    val tail = spark.range(1000250L, 1002250L)
+      .select(col("id").as("doc_id"), format_string(
+        "u%1$da u%1$db u%1$dc u%1$dd u%1$de u%1$df u%1$dg u%1$dh",
+        col("id")).as("text"))
+    hist.unionByName(copies).unionByName(tail)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    for ((name, fn) <- Seq(
+        ("dedup_incremental",
+          () => Dedup.dedupIncremental(spark, d)),
+        ("dedup_incremental_bloom",
+          () => Dedup.dedupIncrementalBloom(spark, d)))) {
+      fn().limit(1).count() // warm-up pays one-off codegen
+      Caches.sweep(spark)
+      var kept: Array[Long] = Array.empty
+      val times = taskTimes {
+        kept = fn().filter(col("doc_id") <= 256 || col("doc_id") >= 1000248L)
+          .collect().map(_.getLong(0))
+      }
+      assertNoStraggler(times, s"$name on viral batch")
+      // exactness: of the 1e6 viral copies exactly doc 250 survives;
+      // history rows never appear; unique tail rows all survive
+      assert(kept.count(id => id >= 250 && id < 1000250) === 1)
+      assert(kept.contains(250L))
+      assert(!kept.exists(_ < 250))
+      assert(Seq(1002248L, 1002249L).forall(kept.contains))
+      Caches.sweep(spark)
+    }
   }
 }

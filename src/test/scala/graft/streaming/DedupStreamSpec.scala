@@ -129,5 +129,14 @@ class DedupStreamSpec extends SparkSpec {
     val planOff = TextStreams.survivors(keyed, hist, None, 4)
       .queryExecution.executedPlan.toString.toLowerCase
     assert(!planOff.contains("bloom_might_contain"))
+
+    // streaming-plan skew guard (round 12): the per-batch survivor
+    // rule must carry NO window anywhere — a micro-batch is a whole
+    // crawl snapshot at 100 TB, and a tkey-partitioned rank would
+    // serialize its viral digest into one task; the Collapse form
+    // (groupBy + min_by) is what both paths must plan
+    for ((p, which) <- Seq((plan, "bloom"), (planOff, "exact")))
+      assert(!p.contains("window"),
+        s"$which survivors plan contains a Window node:\n$p")
   }
 }
