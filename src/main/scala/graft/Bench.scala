@@ -55,7 +55,12 @@ object Bench {
     // round 11: the corpus-wide kNN graph build (IVF-decomposed
     // self-join, √n lists, bounded top-k) — the substrate of the
     // density/label-propagation/cluster family
-    "knn_graph")
+    "knn_graph",
+    // round 12: the composed graph-family session — ONE cut kNN
+    // build feeding density/classify/clusters/pagerank/hubness
+    // through the *On seams (Pipeline.graphAudit); tracks the
+    // shared-build scaling the riders actually pay in a pipeline
+    "graph_audit")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the
@@ -137,7 +142,13 @@ object Bench {
         val g0 = gcMillis()
         val wall =
           if (name == "pgn_ingest") ingestOnce(spark)
-          else {
+          else if (name == "graph_audit") {
+            // the audit's counts ARE its materialization (each rider
+            // runs through an action inside graphAudit)
+            val t0 = System.nanoTime()
+            Pipeline.graphAudit(spark, sfDir)
+            (System.nanoTime() - t0) / 1e9
+          } else {
             val t0 = System.nanoTime()
             SparkEntry.queries(name)(spark, sfDir)
               .write.format("noop").mode("overwrite").save()

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   * proportions describe what actually ships.)
   *
   *   runMain graft.Pipeline <sfDir> <outDir> [tokenBudget]
+  *   runMain graft.Pipeline <sfDir> <outDir> --graph   (graphAudit)
   *
   * Writes `outDir/corpus` parquet partitioned by `split` and prints
   * one JSON line of per-stage row counts. Scale shape: the gate is a
@@ -43,7 +44,12 @@ object Pipeline {
     // stage 2: CCNet §3.3 — drop each language's highest-perplexity
     // tercile (D47). Docs the LM cannot score (no bigram) pass
     // through: the filter only demotes confidently-tail documents.
-    val tail = graft.ops.TextOps.textPplBuckets(spark, sfDir)
+    // Trained/bucketed over the GATED frame (textPplBucketsOn, round
+    // 12): the tercile boundaries describe the survivors this stage
+    // actually filters — bucketing the whole corpus would shift the
+    // cuts by already-dropped docs and remove more or less than a
+    // third of the gated set.
+    val tail = graft.ops.TextOps.textPplBucketsOn(gated)
       .filter(col("bucket") === "tail").select("doc_id")
     val headMid = gated.join(tail, Seq("doc_id"), "left_anti")
     val nPpl = headMid.count()
@@ -71,6 +77,36 @@ object Pipeline {
       "n_ppl_kept" -> nPpl, "n_mixture" -> nMixed) ++ bySplit
   }
 
+  /** The graph-analytics session: build the n^1.5 [[graft.ops.Similarity.knnGraph]]
+    * ONCE (Lineage.cut — the expensive IVF self-join materializes a
+    * single time) and feed all five graph riders through their
+    * `*On(edges)` seams, instead of paying the build per rider as the
+    * self-contained registered keys do (5 riders × the build). Returns
+    * the per-rider headline counts; the seam-equality spec pins each
+    * On output equal to its registered key.
+    */
+  def graphAudit(spark: SparkSession, sfDir: String): Map[String, Long] = {
+    val nodes = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val edges = graft.ops.Similarity.knnGraph(spark, sfDir)
+      .transform(Lineage.cut) // ONE build feeds all five riders
+    try {
+      Map(
+        "n_edges" -> edges.count(),
+        "n_outliers" -> graft.ops.Similarity.knnDensityOn(nodes, edges)
+          .filter(col("outlier")).count(),
+        "n_misclassified" -> graft.ops.Similarity.knnClassifyOn(edges, labels)
+          .filter(!col("correct")).count(),
+        "n_clusters" -> graft.ops.Similarity.semanticClustersOn(nodes, edges)
+          .select(col("cluster")).distinct().count(),
+        "n_hubs" -> graft.ops.Similarity.knnHubnessOn(nodes, edges)
+          .filter(col("hub")).count(),
+        "n_ranked" -> graft.ops.Similarity.pageRankOn(nodes, edges).count())
+    } finally Lineage.free(edges)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -82,8 +118,13 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val budget = args.drop(2).headOption.map(_.toLong).getOrElse(10000L)
-      val counts = run(spark, sfDir, outDir, budget)
+      // `--graph`: run the shared-edges graph-analytics session
+      // instead of the document chain
+      val rest = args.drop(2).filterNot(_ == "--graph")
+      val counts =
+        if (args.contains("--graph")) graphAudit(spark, sfDir)
+        else run(spark, sfDir, outDir,
+          rest.headOption.map(_.toLong).getOrElse(10000L))
       println(counts.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}"))

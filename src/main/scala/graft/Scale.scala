@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.Scale [baseSf] [copies]
   *   runMain graft.Scale viral [copies]
+  *   runMain graft.Scale viralbatch [copies]
   *
   * `viral` mode is the adversarial-skew tier (round-11): ONE document
   * with `copies` exact copies (default 1e6) plus a 10k-doc unique
@@ -18,6 +19,14 @@ import org.apache.spark.sql.functions._
   * window-based collapse. Per query it also records the STRAGGLER
   * RATIO (max/median task wall) from a task listener, the number the
   * [[graft.ops.Collapse]] seam is graded on.
+  *
+  * `viralbatch` mode (round-12) is the same profile moved into the
+  * INCREMENTAL-ADMISSION seam: a clean 249-doc history (below the
+  * registered splitId) and an arriving batch whose viral digest
+  * history has never seen — every copy survives the anti-join, so
+  * the within-batch keep-first alone must absorb the skew (the seam
+  * that carried a tkey-keyed window before round 12). Probes
+  * dedup_incremental and dedup_incremental_bloom.
   */
 object Scale {
 
@@ -87,8 +96,35 @@ object Scale {
     dir
   }
 
+  /** History (ids 1..249, unique) + viral batch (ids 250..copies+249,
+    * ONE text) + unique tail: the incremental-admission skew corpus —
+    * splitId 250 puts the viral mass entirely in the BATCH with a
+    * digest absent from history.
+    */
+  private def viralBatchCorpus(spark: SparkSession, copies: Int): String = {
+    val viral = "subscribe to our newsletter for the latest updates and offers"
+    val hist = spark.range(1L, 250L)
+      .select(col("id").as("doc_id"), format_string(
+        "h%1$da h%1$db h%1$dc h%1$dd h%1$de h%1$df", col("id")).as("text"))
+    val hot = spark.range(250L, copies.toLong + 250)
+      .select(col("id").as("doc_id"), lit(viral).as("text"))
+    val tail = spark.range(copies.toLong + 250, copies.toLong + 10250)
+      .select(col("id").as("doc_id"), format_string(
+        "u%1$da u%1$db u%1$dc u%1$dd u%1$de u%1$df u%1$dg u%1$dh",
+        col("id")).as("text"))
+    val dir = s"/tmp/graft_scale_viralbatch_$copies"
+    hist.unionByName(hot).unionByName(tail)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    System.err.println(s"[scale] viral-batch corpus: 249 history + " +
+      s"$copies-copy batch + 10k tail at $dir")
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
-    val viralMode = args.headOption.contains("viral")
+    val viralBatchMode = args.headOption.contains("viralbatch")
+    val viralMode = args.headOption.contains("viral") || viralBatchMode
     val baseSf =
       if (viralMode) "" else args.headOption.getOrElse("/root/testdata/sf0.01")
     val copies = args.lift(1).map(_.toInt).getOrElse(if (viralMode) 1000000 else 10)
@@ -101,7 +137,17 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = if (viralMode) viralCorpus(spark, copies) else {
+    // the viral-batch corpus dictionary-compresses to a few MB, so the
+    // default 128 MB split packing would coalesce the whole 2e7-row
+    // scan into ONE task and the probe would measure input packing,
+    // not operator skew; a 100 TB corpus has thousands of splits — 4 MB
+    // packing reproduces that shape at probe size
+    if (viralBatchMode)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    val dir =
+      if (viralBatchMode) viralBatchCorpus(spark, copies)
+      else if (viralMode) viralCorpus(spark, copies)
+      else {
       val base = Tables.load(spark, baseSf, "documents")
       val n = base.count()
       // stride by max id, not row count: a sparse-id corpus (previously
@@ -133,7 +179,13 @@ object Scale {
     // from unique texts weighted by multiplicity, so the dup-heavy
     // corpus must grow its cost sublinearly like the dedup family
     val names =
-      if (viralMode)
+      if (viralBatchMode)
+        // the incremental-admission pair: the whole viral mass sits in
+        // the BATCH (history is clean), so these exercise the
+        // within-batch keep-first — de-windowed in round 12 onto the
+        // Collapse seam — plus exact dedup as the whole-corpus control
+        Seq("dedup_exact", "dedup_incremental", "dedup_incremental_bloom")
+      else if (viralMode)
         // the collapse-riding family (SURVEY §4 / Collapse scaladoc):
         // every one of these previously carried the digest-keyed
         // window; the straggler ratio is what the rewrite is graded on

@@ -38,12 +38,20 @@ private[chess] object IngestCore {
     * (the streaming driver passes its batch id so dynamic overwrite
     * replays idempotently without a later same-month batch clobbering
     * an earlier one's rows). `ndjson` = (dir, name) adds the debug
-    * JSON-lines dump of the parsed games.
+    * JSON-lines dump of the parsed games; `ndjsonSize` = Some(N)
+    * rolls that dump into `_roll=K` subdirectories of N games each in
+    * parse order — the reference's `--ndjson-size` spill-roll knob
+    * (ingest_lichess.py:38, ingester.py:237-252: a new ndjson file
+    * every N games), content identical to the unrolled dump (the
+    * roll only CUTS the same game sequence). The game ordinal comes
+    * from zipWithIndex over the cached parse — the input-split order,
+    * the columnar analog of the reference's sequential file order.
     */
   def applyGames(spark: SparkSession, games: DataFrame, outDir: String,
       stateDir: Option[String], appliedId: Option[Long] = None,
       extraPartition: Seq[(String, Column)] = Nil,
       ndjson: Option[(String, String)] = None,
+      ndjsonSize: Option[Long] = None,
       compression: String = "snappy"): Boolean = {
     val curState = stateDir.flatMap { d =>
       // StateSwap.resolve recovers the committed copy after a crash at
@@ -61,7 +69,18 @@ private[chess] object IngestCore {
     val g = games.cache()
     try {
       ndjson.foreach { case (dir, name) =>
-        g.write.mode("overwrite").json(s"$dir/$name")
+        ndjsonSize match {
+          case Some(n) =>
+            require(n >= 1, s"ndjson-size must be >= 1, got $n")
+            val rolled = spark.createDataFrame(
+              g.rdd.zipWithIndex().map { case (r, i) =>
+                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / n) },
+              g.schema.add("_roll", org.apache.spark.sql.types.LongType))
+            rolled.write.mode("overwrite")
+              .partitionBy("_roll").json(s"$dir/$name")
+          case None =>
+            g.write.mode("overwrite").json(s"$dir/$name")
+        }
       }
       val doubled = extraPartition.foldLeft(
         ChessPipeline.toPlayerGameRole(ChessPipeline.withStats(g, prior))) {

@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   * (ingest_lichess.py:37): additionally dump the parsed games as
   * JSON lines (one subdir per input). Debug output only — the
   * reference uses ndjson as its parser's internal spill format, which
-  * a columnar pipeline has no equivalent of.
+  * a columnar pipeline has no equivalent of. `--ndjson-size=N`
+  * (ingest_lichess.py:38, default unset here = one dump) rolls the
+  * dump every N games in parse order, the reference's spill-roll
+  * knob (`_roll=K` subdirectories; content identical to unrolled).
   *
   * `--start`/`--end`: the reference's RANGE entry point
   * (ingest_lichess.py:18-27 loops `range(start, end)` years × a month
@@ -91,12 +94,13 @@ object IngestMain {
   private val MovesFlag = "--include-moves"
   private val DebugFlag = "--debug"
   private val NdjsonArg = """--dir-ndjson=(.+)""".r
+  private val NdjsonSizeArg = """--ndjson-size=(\d+)""".r
   private val MonthsArg = """--months=(\d{1,2}(?:,\d{1,2})*)""".r
   private val CompressionArg = """--compression=([a-z0-9]+)""".r
 
   private val Usage =
-    "usage: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--compression=CODEC] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
-      "   or: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--compression=CODEC] [--months=M1,M2,...] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
+    "usage: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--ndjson-size=N] [--compression=CODEC] <pgnPath|--month=YYYY-MM> <outDir> [stateDir]\n" +
+      "   or: IngestMain [--include-moves] [--debug] [--dir-ndjson=DIR] [--ndjson-size=N] [--compression=CODEC] [--months=M1,M2,...] --start=YYYY-MM --end=YYYY-MM <outDir> [stateDir]"
 
   /** The reference CLI's month-subset flag (ingest_lichess.py:31-33
     * loops `range(start, end)` years × an explicit month LIST): with
@@ -158,8 +162,8 @@ object IngestMain {
     */
   private def stripFlags(args: Array[String]): Array[String] =
     args.filterNot(a => a == MovesFlag || a == DebugFlag ||
-      NdjsonArg.matches(a) || MonthsArg.matches(a) ||
-      CompressionArg.matches(a))
+      NdjsonArg.matches(a) || NdjsonSizeArg.matches(a) ||
+      MonthsArg.matches(a) || CompressionArg.matches(a))
 
   def main(args: Array[String]): Unit = {
     validateArgs(stripFlags(args)) // fail usage errors before Spark startup
@@ -200,9 +204,13 @@ object IngestMain {
     // as JSON lines — Spark's json sink IS ndjson — one subdir per
     // input. In the reference ndjson is the parser's internal spill
     // format; here the pipeline is columnar end-to-end, so this is
-    // debug output only, not a processing stage (no --ndjson-size:
-    // file sizing is the writer's partitioning).
+    // debug output only, not a processing stage. `--ndjson-size=N`
+    // (ingest_lichess.py:38, default 1e6) is the reference's roll
+    // knob — its spill starts a new ndjson file every N games; here
+    // it rolls the dump into `_roll=K` subdirectories of N games each
+    // in parse order (content identical to the unrolled dump).
     val ndjsonDir = rawArgs.collectFirst { case NdjsonArg(d) => d }
+    val ndjsonSize = rawArgs.collectFirst { case NdjsonSizeArg(n) => n.toLong }
     // parquet codec for the sink (reference parity knob: ingester.py
     // 418-421 writes gzip for Apache Drill compatibility; Spark's
     // default snappy is ~5x faster to write). Validity is checked by
@@ -235,7 +243,7 @@ object IngestMain {
           if (!alreadyApplied(spark, Some(stateDir), monthId(y, m))) {
             val staged = Acquire.fetchMonth(y, m, stagingDir, baseUrl)
             ingestOne(spark, staged.toString, outDir, Some(stateDir), movesMode,
-              ndjsonDir, appliedId = Some(monthId(y, m)),
+              ndjsonDir, ndjsonSize, appliedId = Some(monthId(y, m)),
               compression = compression)
           } else
             System.err.println(f"[ingest] $y%04d-$m%02d already applied. Skipping...")
@@ -245,13 +253,14 @@ object IngestMain {
         if (!alreadyApplied(spark, args.lift(2), id)) {
           val staged = Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl)
           ingestOne(spark, staged.toString, args(1), args.lift(2), movesMode,
-            ndjsonDir, appliedId = Some(id), compression = compression)
+            ndjsonDir, ndjsonSize, appliedId = Some(id),
+            compression = compression)
         } else
           System.err.println(s"[ingest] ${args(0).stripPrefix("--month=")} already applied. Skipping...")
       case pgnPath =>
         // arbitrary-path inputs have no natural work-unit id: no skip
         ingestOne(spark, pgnPath, args(1), args.lift(2), movesMode, ndjsonDir,
-          compression = compression)
+          ndjsonSize, compression = compression)
     }
   }
 
@@ -268,6 +277,7 @@ object IngestMain {
       stateDir: Option[String],
       movesMode: ChessPipeline.MovesMode = ChessPipeline.MovesMode.Omitted,
       ndjsonDir: Option[String] = None,
+      ndjsonSize: Option[Long] = None,
       appliedId: Option[Long] = None,
       compression: String = "snappy"): Unit = {
     val raw = spark.read.format("pgn").load(pgnPath)
@@ -275,6 +285,7 @@ object IngestMain {
       ChessPipeline.parseGames(raw, movesMode), outDir, stateDir, appliedId,
       ndjson = ndjsonDir.map(d =>
         (d, new org.apache.hadoop.fs.Path(pgnPath).getName)),
+      ndjsonSize = ndjsonSize,
       compression = compression)
   }
 }

@@ -29,11 +29,27 @@ case class CovEntry(i: Int, j: Int, cov: Double)
   * ÷n normalization shrinks sum-order error to ~1e-14, far inside
   * the 6dp output rounding).
   *
+  * MEMORY ENVELOPE: per-task state is 8·(d(d+1)/2 + d + 1) bytes —
+  * ~17 KB at d=64, ~4 MB at d=1024, ~64 MB at d=4096 — and the merge
+  * tree holds a small constant number of buffers per task. That is
+  * the documented operating range: up to d≈4096 one buffer fits
+  * comfortably in a task's execution memory; beyond it (d=16384 → 1 GB
+  * per buffer) the single-buffer formulation is the wrong shape and a
+  * BLOCKED covariance (tile (i-block, j-block) cells keyed by block
+  * pair — one bounded buffer per tile, same partial-agg algebra per
+  * tile) replaces it, per SURVEY §4. The constructor enforces the
+  * envelope rather than letting an executor OOM mid-stage.
+  *
   * Null or wrong-dimension embeddings are skipped (excluded from n).
   */
 class GramAgg(d: Int) extends Aggregator[Seq[Float], GramBuf, Seq[CovEntry]] {
 
   require(d > 0, s"gram_agg: d=$d")
+  require(d <= 4096,
+    s"gram_agg: d=$d exceeds the single-buffer envelope (state = " +
+      s"8*(d*(d+1)/2 + d + 1) = ${8L * (d.toLong * (d + 1) / 2 + d + 1)} " +
+      "bytes/task; > d=4096 needs the blocked-covariance formulation, " +
+      "see SURVEY §4)")
   private val pd = d * (d + 1) / 2
 
   override def zero: GramBuf =

@@ -1135,15 +1135,26 @@ object Dedup {
 
   /** The batch-vs-history survivor rule, shared by [[dedupIncremental]]
     * and the streaming twin ([[graft.streaming.TextStreams.dedupStream]])
-    * so the two cannot drift: drop batch rows whose `tkey` is in
-    * history, then keep the smallest-`doc_id` row per surviving key
+    * so the two cannot drift: keep the smallest-`doc_id` row per key
     * ([[keepFirstPerKey]] — the skew-proof Collapse form, never a
-    * digest-keyed window). `batch` needs (doc_id, tkey, …passthrough);
-    * `hist` needs (tkey).
+    * digest-keyed window), then drop keys present in history.
+    *
+    * ORDER MATTERS FOR SKEW, not for the answer: the two steps
+    * commute (keep-first picks min-doc_id per key; the anti-join
+    * drops whole keys), but collapsing FIRST means the viral key is
+    * reduced to ONE row by map-side partial aggregation BEFORE any
+    * exchange — the anti-join then joins two sets that are both
+    * UNIQUE on tkey, so no join partition can ever exceed the
+    * distinct-key volume. Anti-joining first (the round-12a draft)
+    * shuffled every raw batch row on tkey into the join: 2e7 copies
+    * of one boilerplate page = one 2e7-row sort task that AQE's skew
+    * split did not break up (measured in the viral-batch probe).
+    * `batch` needs (doc_id, tkey, …passthrough); `hist` needs (tkey).
     */
   private[graft] def newAgainstHistory(batch: DataFrame, hist: DataFrame): DataFrame =
-    keepFirstPerKey(
-      batch.join(hist.select("tkey"), Seq("tkey"), "left_anti"))
+    keepFirstPerKey(batch)
+      .join(hist.select("tkey"), Seq("tkey"), "left_anti")
+      .select(batch.columns.map(col).toSeq: _*)
 
   /** D1c: Bloom-prefiltered incremental exact dedup — the SAME answer
     * as [[dedupIncremental]] by construction, through the membership
@@ -1200,7 +1211,11 @@ object Dedup {
       numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
     val bloomAgg = udaf(new graft.functions.BloomBuildAgg(numBits, numHashes))
     val bf = broadcast(hist.agg(bloomAgg(xxhash64(col("tkey"))).as("bf")))
-    val probed = batch
+    // collapse FIRST (the newAgainstHistory ordering argument): the
+    // Bloom probe and the exact verify then run on one row per
+    // distinct key — a viral key reduces map-side before the probe,
+    // and the verify anti-join joins two key-unique sets
+    val probed = keepFirstPerKey(batch)
       .crossJoin(bf)
       .withColumn("maybe", graft.functions.bloomMightContain(
         col("bf"), xxhash64(col("tkey")), numHashes))
@@ -1210,7 +1225,8 @@ object Dedup {
       .join(hist.select("tkey"), Seq("tkey"), "left_anti")
     // BY NAME: the USING anti-join reorders verified to (tkey, …) — a
     // positional union would silently pair doc_id with tkey
-    keepFirstPerKey(fresh.unionByName(verified))
+    fresh.unionByName(verified)
+      .select(batch.columns.map(col).toSeq: _*)
   }
 
   val queries: Seq[Q] = Seq(

@@ -306,9 +306,12 @@ object Multimodal {
       * integer-floor boundaries of [[dhashImage]]'s cell rule in one
       * dimension (window w covers [⌊w·n/65⌋, ⌊(w+1)·n/65⌋), min-1
       * guard for degenerate n), bit i = mean |amplitude| of window
-      * i+1 > window i, cross-multiplied in Long so no division ever
-      * happens (sums ≤ 12255·10⁴ ≈ 1.2e8, × counts ≤ 12255 → 1.5e12,
-      * overflow-safe). Packed 32/32 into (hi, lo) exactly like the
+      * i+1 > window i, cross-multiplied so no division ever happens —
+      * and compared in FULL 128-bit precision ([[productGt]],
+      * Math.multiplyHigh): sum·count reaches 32767·(n/65)² and would
+      * silently wrap a Long past n ≈ 1.1e9 samples (~7 h at
+      * 44.1 kHz), flipping hash bits on exactly the long-form audio
+      * a real corpus contains. Packed 32/32 into (hi, lo) exactly like the
       * image hash, so the band/probe/verify machinery is shared
       * unchanged. Duration-invariant-ish by construction (windows
       * scale with n), amplitude-scale-sensitive by design (gain is a
@@ -340,12 +343,36 @@ object Multimodal {
       var i = 0
       while (i < 64) {
         val bit =
-          if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) 1L else 0L
+          if (productGt(sums(i + 1), cnts(i), sums(i), cnts(i + 1))) 1L
+          else 0L
         if (i >= 32) hiBits |= bit << (i - 32) else loBits |= bit << i
         i += 1
       }
       (hiBits, loBits)
     }
+
+    /** a·b > c·d for NON-NEGATIVE operands in full 128-bit precision
+      * (high word via Math.multiplyHigh, low word unsigned): the
+      * envelope comparison must not change answer when the raw Long
+      * product overflows on hours-long clips.
+      */
+    private[ops] def productGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val h1 = Math.multiplyHigh(a, b); val l1 = a * b
+      val h2 = Math.multiplyHigh(c, d); val l2 = c * d
+      if (h1 != h2) h1 > h2 else java.lang.Long.compareUnsigned(l1, l2) > 0
+    }
+
+    /** True iff the payload parses as RIFF/WAVE PCM with the 16-bit
+      * mono shape [[envHash]] hashes — the non-throwing admission
+      * check: one stereo/8-bit/corrupt clip in a real corpus must be
+      * SKIPPED by the dedup front-end, not abort the whole job
+      * (envHash's own require stays as an internal invariant).
+      */
+    private[ops] def conformingWav(b: Array[Byte]): Boolean =
+      try {
+        val h = parseWav(b)
+        h.channels == 1 && h.bitsPerSample == 16
+      } catch { case _: IllegalArgumentException => false }
 
     def dhashImage(img: BufferedImage): (Long, Long) = {
       val w = img.getWidth
@@ -593,16 +620,24 @@ object Multimodal {
 
   /** The audio hash front-end: RIFF decode + envelope dHash per WAV
     * as a narrow batched `mapPartitions` → (media_id, dhash_hi,
-    * dhash_lo) — the audio twin of [[hashFrameOf]].
+    * dhash_lo) — the audio twin of [[hashFrameOf]]. Clips the sniffer
+    * calls "wav" but that are not 16-bit mono PCM (stereo, 8/24-bit,
+    * truncated RIFF) are row-locally SKIPPED ([[JdkCodec.conformingWav]]):
+    * a dedup pass over a real corpus must not abort on one
+    * non-conforming file, and an unhashable clip simply cannot be a
+    * near-dup under this fingerprint (it stays in the corpus,
+    * ungrouped — the same posture as a non-image byte blob in the
+    * image family's format filter).
     */
   private[graft] def audioHashFrameOf(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.filter(col("format") === "wav")
       .select(col("media_id"), col("media"), col("format")).as[MediaIn]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val (hi, lo) = JdkCodec.envHash(m)
-        (m.media_id, hi, lo)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.collect {
+        case m if JdkCodec.conformingWav(m.media) =>
+          val (hi, lo) = JdkCodec.envHash(m)
+          (m.media_id, hi, lo)
       }))
       .toDF("media_id", "dhash_hi", "dhash_lo")
   }

@@ -945,12 +945,34 @@ object Similarity {
     * per vector, integer state), a two-long global aggregate
     * broadcast back as a one-row frame. Nothing here exceeds the
     * graph build's own cost.
+    *
+    * Edgeless vectors (alone in every list they probe — possible on
+    * a degenerate or heavily-pruned corpus) are PRESERVED via the
+    * left join back to the corpus (the [[knnHubness]] zero-row
+    * convention, round 12): micro-sum 0, density 0.0, outlier true —
+    * the most isolated vectors are exactly the op's target and must
+    * not vanish from the output or the corpus-mean baseline. The
+    * divisor stays the constant K by design: an under-full
+    * neighborhood contributes fewer cosine terms, and the smaller
+    * sum-over-K correctly reads as lower density (dividing by the
+    * actual neighbor count would HIDE isolation behind a high mean
+    * over two accidental neighbors).
     */
-  def knnDensity(s: SparkSession, dir: String): DataFrame = {
-    val edges = knnGraph(s, dir)
+  def knnDensity(s: SparkSession, dir: String): DataFrame =
+    knnDensityOn(corpus(s, dir), knnGraph(s, dir))
+
+  /** [[knnDensity]] on a prebuilt edge frame (q_id, vec_id, cos) —
+    * the shared-edges seam: a pipeline running several graph riders
+    * builds the n^1.5 [[knnGraph]] ONCE (Lineage.cut it) and feeds
+    * each rider, instead of paying the build per rider.
+    */
+  def knnDensityOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val m = edges
       .select(col("q_id"), round(col("cos") * 1e6, 0).cast("long").as("m"))
-    val dens = edges.groupBy(col("q_id").as("vec_id"))
-      .agg(sum(col("m")).as("dm"))
+      .groupBy(col("q_id").as("vec_id")).agg(sum(col("m")).as("dm"))
+    val dens = nodes.select(col("vec_id"))
+      .join(m, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("dm"), lit(0L)).as("dm"))
       .transform(graft.Lineage.cut) // feeds the global stats AND the output
     val tot = dens.agg(sum(col("dm")).as("tot"), count(lit(1)).as("n"))
     dens.crossJoin(broadcast(tot))
@@ -977,10 +999,15 @@ object Similarity {
     * map-side work, never a vector-keyed window.
     */
   def knnClassify(s: SparkSession, dir: String,
-      nLists: Int = 0, nProbe: Int = 4): DataFrame = {
-    val labels = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"))
-    val votes = knnGraph(s, dir, nLists, nProbe)
+      nLists: Int = 0, nProbe: Int = 4): DataFrame =
+    knnClassifyOn(knnGraph(s, dir, nLists, nProbe),
+      Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label")))
+
+  /** [[knnClassify]] on a prebuilt edge frame + (vec_id, label)
+    * table — the shared-edges seam ([[knnDensityOn]]).
+    */
+  def knnClassifyOn(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = edges
       .select(col("q_id"), col("vec_id"))
       .join(labels, "vec_id")
       .groupBy(col("q_id"), col("label"))
@@ -1011,16 +1038,31 @@ object Similarity {
     * map-side and splits under AQE, never a cluster-keyed window.
     */
   def semanticClusters(s: SparkSession, dir: String,
-      threshold: Double = 0.3, nLists: Int = 0, nProbe: Int = 4): DataFrame = {
-    val e = knnGraph(s, dir, nLists, nProbe)
+      threshold: Double = 0.3, nLists: Int = 0, nProbe: Int = 4): DataFrame =
+    semanticClustersOn(corpus(s, dir), knnGraph(s, dir, nLists, nProbe),
+      threshold)
+
+  /** Undirected mutual-kNN edges (a < b) at the cosine floor — the
+    * shared front half of [[semanticClustersOn]] and [[pageRankOn]].
+    */
+  private def mutualEdges(edges: DataFrame, threshold: Double): DataFrame = {
+    val e = edges
       .filter(col("cos") >= threshold)
       .select(col("q_id").as("x"), col("vec_id").as("y"))
       .transform(graft.Lineage.cut) // feeds both sides of the intersect
-    val mutual = e.intersect(e.select(col("y").as("x"), col("x").as("y")))
+    e.intersect(e.select(col("y").as("x"), col("x").as("y")))
       .filter(col("x") < col("y"))
       .select(col("x").as("a"), col("y").as("b"))
-    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
-    val (labels, _) = Dedup.ccAlternatingStar(nodes, mutual)
+  }
+
+  /** [[semanticClusters]] on a prebuilt edge frame — the shared-edges
+    * seam ([[knnDensityOn]]).
+    */
+  def semanticClustersOn(nodes: DataFrame, edges: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val mutual = mutualEdges(edges, threshold)
+    val (labels, _) = Dedup.ccAlternatingStar(
+      nodes.select(col("vec_id").as("id")), mutual)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("vec_id"), col("label").as("cluster"),
@@ -1060,19 +1102,21 @@ object Similarity {
     * and freed like the CC/k-means loops. 10 rounds × O(k·n) edge rows.
     */
   def pageRank(s: SparkSession, dir: String,
-      threshold: Double = 0.3, nLists: Int = 0, nProbe: Int = 4): DataFrame = {
-    val e = knnGraph(s, dir, nLists, nProbe)
-      .filter(col("cos") >= threshold)
-      .select(col("q_id").as("x"), col("vec_id").as("y"))
-      .transform(graft.Lineage.cut)
-    val mutual = e.intersect(e.select(col("y").as("x"), col("x").as("y")))
-      .filter(col("x") < col("y"))
-    val sym = mutual.select(col("x").as("a"), col("y").as("b"))
-      .unionByName(mutual.select(col("y").as("a"), col("x").as("b")))
+      threshold: Double = 0.3, nLists: Int = 0, nProbe: Int = 4): DataFrame =
+    pageRankOn(corpus(s, dir), knnGraph(s, dir, nLists, nProbe), threshold)
+
+  /** [[pageRank]] on a prebuilt edge frame — the shared-edges seam
+    * ([[knnDensityOn]]).
+    */
+  def pageRankOn(nodeFrame: DataFrame, edges: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val mutual = mutualEdges(edges, threshold)
+    val sym = mutual.select(col("a"), col("b"))
+      .unionByName(mutual.select(col("b").as("a"), col("a").as("b")))
       .transform(graft.Lineage.cut)
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
       .transform(graft.Lineage.cut)
-    val nodes = corpus(s, dir).select(col("vec_id").as("id"))
+    val nodes = nodeFrame.select(col("vec_id").as("id"))
       .transform(graft.Lineage.cut)
     val n = nodes.count()
     val tele = 15L * PrScale / (100L * n)
@@ -1112,10 +1156,16 @@ object Similarity {
     * join back to the corpus for the zero rows.
     */
   def knnHubness(s: SparkSession, dir: String,
-      nLists: Int = 0, nProbe: Int = 4): DataFrame = {
-    val indeg = knnGraph(s, dir, nLists, nProbe)
+      nLists: Int = 0, nProbe: Int = 4): DataFrame =
+    knnHubnessOn(corpus(s, dir), knnGraph(s, dir, nLists, nProbe))
+
+  /** [[knnHubness]] on a prebuilt edge frame — the shared-edges seam
+    * ([[knnDensityOn]]).
+    */
+  def knnHubnessOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val indeg = edges
       .groupBy(col("vec_id")).agg(count(lit(1)).as("in_degree"))
-    corpus(s, dir).select(col("vec_id"))
+    nodes.select(col("vec_id"))
       .join(indeg, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
@@ -1536,13 +1586,18 @@ object Similarity {
          |FROM knn ORDER BY q_id, rank""".stripMargin)),
     // density rides the same edge CTEs; everything after the edges is
     // integer micro-unit arithmetic (the sample_proto_prune rule), so
-    // neither engine ever materializes a float mean
+    // neither engine ever materializes a float mean. The left join to
+    // embeddings preserves edgeless vectors as micro-sum 0 (the
+    // engine's zero-row convention, round 12)
     Q("knn_density", (s, d) => knnDensity(s, d), Some(
       s"""WITH $KnnCtes,
-         |dm AS (
+         |ds AS (
          |  SELECT q_id AS vec_id,
          |         sum(CAST(round(round(cos, 6) * 1e6) AS BIGINT)) AS dm
          |  FROM knn GROUP BY q_id),
+         |dm AS (
+         |  SELECT e.vec_id, COALESCE(ds.dm, 0) AS dm
+         |  FROM embeddings e LEFT JOIN ds ON ds.vec_id = e.vec_id),
          |tot AS (SELECT sum(dm) AS tot, count(*) AS n FROM dm)
          |SELECT vec_id, round(CAST(dm AS DOUBLE) / ${K * 1e6}, 6) AS density,
          |       dm * tot.n < tot.tot AS outlier

@@ -766,7 +766,17 @@ object TextOps {
     * oracle can recompute exactly; pruning only changes WHICH c12
     * fall back to 0).
     */
-  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    textPerplexityOn(docs(s, dir))
+
+  /** [[textPerplexity]] on an arbitrary (doc_id, text, …) frame — the
+    * seam a pipeline stage uses to train/score the LM over exactly
+    * the documents that survived its upstream filters (round 12:
+    * [[graft.Pipeline]] buckets the GATED frame, not the whole
+    * corpus), and the shape the On-seam convention gives every
+    * trainable scorer.
+    */
+  def textPerplexityOn(input: DataFrame): DataFrame = {
     // exact-dup collapse first (the dedup-family invariant), via the
     // skew-proof [[Collapse]] shape (groupBy + join-back, never a
     // digest window — see Collapse): model counts come from UNIQUE
@@ -779,7 +789,7 @@ object TextOps {
     // that exchange, so no cut is needed on the projection (the second
     // scan recomputes one cheap md5, not the tokenization). Positions
     // index non-empty tokens — the same filtered view both engines see.
-    val proj = docs(s, dir)
+    val proj = input
       .select(col("doc_id"),
         filter(wsTokens(col("text")), t => t =!= "").as("a"),
         Collapse.textKey(col("text")).as("tkey"))
@@ -900,11 +910,22 @@ object TextOps {
     * pure arithmetic on (rank, n), reproducing SQL ntile's
     * first-`n%3`-buckets-get-`ceil(n/3)` rule exactly.
     */
-  def textPplBuckets(s: SparkSession, dir: String): DataFrame = {
+  def textPplBuckets(s: SparkSession, dir: String): DataFrame =
+    textPplBucketsOn(docs(s, dir))
+
+  /** [[textPplBuckets]] on an arbitrary (doc_id, text, lang, …)
+    * frame: trains the LM, scores, and cuts terciles over EXACTLY
+    * the given documents — so a pipeline's bucket boundaries describe
+    * the frame it is filtering, not a corpus containing
+    * already-dropped docs (round 12, the [[graft.Pipeline]] stage-2
+    * seam).
+    */
+  def textPplBucketsOn(input: DataFrame): DataFrame = {
+    val s = input.sparkSession
     import s.implicits._
-    val scored = textPerplexity(s, dir)
+    val scored = textPerplexityOn(input)
       .filter(col("n_bigrams") >= 1)
-      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .join(input.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id").cast("long"), col("lang"),
         col("avg_bits").cast("double"))
     val parts = s.sessionState.conf.numShufflePartitions

@@ -33,7 +33,11 @@ class PipelineSpec extends SparkSpec {
     val keepIds = graft.ops.TextOps.curationGate(spark, sf)
       .filter(col("keep")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
-    val tailIds = graft.ops.TextOps.textPplBuckets(spark, sf)
+    // stage 2 buckets the GATED frame (textPplBucketsOn), so the
+    // recomposition must too — whole-corpus terciles would differ
+    val gatedDocs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isInCollection(keepIds))
+    val tailIds = graft.ops.TextOps.textPplBucketsOn(gatedDocs)
       .filter(col("bucket") === "tail").select("doc_id").collect()
       .map(_.getLong(0)).toSet
     val survivors = keepIds -- tailIds

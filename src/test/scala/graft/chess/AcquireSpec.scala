@@ -254,6 +254,39 @@ class AcquireSpec extends graft.SparkSpec {
     assert(back.columns.contains("Moves"))
   }
 
+  test("--ndjson-size rolls the debug dump every N games, content unchanged") {
+    val src = SamplePgn.ensureWritten()
+    val staging = Files.createTempDirectory("roll_staging").toString
+    // unrolled reference dump
+    val outA = Files.createTempDirectory("roll_outA").toString
+    val ndA = Files.createTempDirectory("roll_ndA").toString
+    IngestMain.run(spark,
+      Array(s"--dir-ndjson=$ndA", src, outA), staging, None)
+    val flat = spark.read.json(s"$ndA/*")
+    val nGames = flat.count()
+    assert(nGames >= 2, "sample must have >= 2 games to roll")
+    // rolled at N=1: one _roll subdir per game (the reference's
+    // every-N-games spill roll, ingest_lichess.py:38)
+    val outB = Files.createTempDirectory("roll_outB").toString
+    val ndB = Files.createTempDirectory("roll_ndB").toString
+    IngestMain.run(spark,
+      Array(s"--dir-ndjson=$ndB", "--ndjson-size=1", src, outB), staging, None)
+    val rolled = spark.read.json(s"$ndB/*")
+    assert(rolled.columns.contains("_roll"))
+    // the partition dir value reads back as an inferred INT — normalize
+    val rolls = rolled.select(col("_roll").cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rolls === (0L until nGames)) // N=1 -> one roll per game
+    // the roll only CUTS the sequence: same games, same fields
+    val key = flat.columns.sorted.toSeq
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(key.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(rowsOf(rolled.drop("_roll")) === rowsOf(flat))
+    // and each roll holds exactly one game
+    assert(rolled.groupBy("_roll").count()
+      .agg(max(col("count"))).head().getLong(0) === 1L)
+  }
+
   test("a failed fetch leaves no trusted file behind") {
     val staging = Files.createTempDirectory("graft_staging2").toString
     val missing = Files.createTempDirectory("empty_mirror")

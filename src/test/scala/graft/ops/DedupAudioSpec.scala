@@ -96,4 +96,46 @@ class DedupAudioSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("recall guarantee"))
   }
+
+  test("non-conforming WAVs are skipped, not fatal") {
+    // a stereo clip, an 8-bit clip and a truncated RIFF ride along
+    // with the quartet: the dedup pass must hash the conforming four
+    // and silently pass over the rest (a corpus-wide job cannot
+    // abort on one odd file)
+    val stereo = {
+      val b = wav(rising); b(22) = 2; b // channels := 2
+    }
+    val eightBit = {
+      val b = wav(rising); b(34) = 8; b // bitsPerSample := 8
+    }
+    val truncated = wav(rising).take(30)
+    val mixed = Seq(
+      (100L, wav(rising), "wav"),
+      (101L, wav(perturbed), "wav"),
+      (102L, wav(falling), "wav"),
+      (103L, wav(rising), "wav"),
+      (200L, stereo, "wav"),
+      (201L, eightBit, "wav"),
+      (202L, truncated, "wav"))
+      .toDF("media_id", "media", "format")
+    val out = Multimodal.dedupAudioOn(mixed).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("keep_id")).toMap
+    assert(out.keySet === Set(100L, 101L, 102L, 103L)) // skipped, absent
+    assert(out(103L) === 100L && out(101L) === 100L && out(102L) === 102L)
+  }
+
+  test("envelope comparison is 128-bit exact where the raw product overflows") {
+    // sums ~ 32767 * 3e7-sample windows: a*b wraps Long; the unsigned
+    // 128-bit compare must still order the true products
+    val big = 32767L * 30000000L     // ~9.8e11 (a window's |amp| sum)
+    val cnt = 30000000L              // window sample count
+    // true products ~2.95e19 > Long.MaxValue: raw a*b has wrapped
+    assert(Math.multiplyHigh(big + 1, cnt) > 0)
+    assert(Multimodal.JdkCodec.productGt(big + 1, cnt, big, cnt))
+    assert(!Multimodal.JdkCodec.productGt(big, cnt, big + 1, cnt))
+    assert(!Multimodal.JdkCodec.productGt(big, cnt, big, cnt)) // strict
+    // and agrees with plain Long arithmetic in the non-overflow range
+    assert(Multimodal.JdkCodec.productGt(7, 5, 6, 5) === (7L * 5 > 6L * 5))
+    assert(Multimodal.JdkCodec.productGt(0, 5, 0, 9) === false)
+  }
 }

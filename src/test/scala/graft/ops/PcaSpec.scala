@@ -38,6 +38,14 @@ class PcaSpec extends SparkSpec {
     assert(out((0L, 0L)) === 0.222222 && out((0L, 1L)) === -0.111111)
   }
 
+  test("GramAgg enforces the single-buffer memory envelope") {
+    new graft.functions.GramAgg(4096) // the documented ceiling (64 MB)
+    val e = intercept[IllegalArgumentException] {
+      new graft.functions.GramAgg(4097)
+    }
+    assert(e.getMessage.contains("blocked-covariance"))
+  }
+
   test("jacobiEigen on a known symmetric system") {
     val (evals, evecs) = Pca.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
