@@ -52,7 +52,8 @@ private[chess] object IngestCore {
       extraPartition: Seq[(String, Column)] = Nil,
       ndjson: Option[(String, String)] = None,
       ndjsonSize: Option[Long] = None,
-      compression: String = "snappy"): Boolean = {
+      compression: String = "snappy",
+      calendarCarry: Boolean = false): Boolean = {
     val curState = stateDir.flatMap { d =>
       // StateSwap.resolve recovers the committed copy after a crash at
       // any point of a previous run's commit
@@ -62,7 +63,17 @@ private[chess] object IngestCore {
       yield StateSwap.appliedIds(fsFor(spark, d), p)).getOrElse(Set.empty[Long])
     if (appliedId.exists(applied.contains))
       return false // already fully applied and committed
-    val prior = curState.map(p => spark.read.parquet(p.toString))
+    // calendarCarry = the reference's calendar-keyed counter restart
+    // (ingester.py:60-86: prior counters come from the
+    // calendar-PREVIOUS month's state file; absent => restart): when
+    // the work unit's predecessor id was never applied, drop the
+    // prior COUNTERS but keep the applied-id set (idempotence is not
+    // a reference semantics knob)
+    val restart = calendarCarry &&
+      appliedId.exists(id => !applied.contains(id - 1))
+    val prior =
+      if (restart) None
+      else curState.map(p => spark.read.parquet(p.toString))
     // parsed once: the sink, the state aggregation and the optional
     // ndjson dump all consume `games` — uncached, each would re-run
     // the full decompress+parse (the dominant cost of an ingest)

@@ -56,6 +56,11 @@ import org.apache.spark.sql.SparkSession
   * sequence, which is what the counters are for. (The reference's
   * `restart_counter_games` parameter is dead code: defined at
   * ingest_lichess.py:9 with default True, never forwarded.)
+  * `--calendar-counters` (round 12) opts into the reference's
+  * byte-for-byte calendar-keyed behavior: a month whose CALENDAR
+  * predecessor is not in the committed applied set restarts its
+  * counters from zero — replaying "Januaries of 2015-2020" then
+  * matches the reference exactly.
   *
   * `--compression=CODEC`: parquet codec for the monthly sink. Default
   * snappy (decode speed); `--compression=gzip` reproduces the
@@ -93,6 +98,7 @@ object IngestMain {
   private val EndArg = """--end=(\d{4})-(\d{2})""".r
   private val MovesFlag = "--include-moves"
   private val DebugFlag = "--debug"
+  private val CalendarFlag = "--calendar-counters"
   private val NdjsonArg = """--dir-ndjson=(.+)""".r
   private val NdjsonSizeArg = """--ndjson-size=(\d+)""".r
   private val MonthsArg = """--months=(\d{1,2}(?:,\d{1,2})*)""".r
@@ -162,8 +168,9 @@ object IngestMain {
     */
   private def stripFlags(args: Array[String]): Array[String] =
     args.filterNot(a => a == MovesFlag || a == DebugFlag ||
-      NdjsonArg.matches(a) || NdjsonSizeArg.matches(a) ||
-      MonthsArg.matches(a) || CompressionArg.matches(a))
+      a == CalendarFlag || NdjsonArg.matches(a) ||
+      NdjsonSizeArg.matches(a) || MonthsArg.matches(a) ||
+      CompressionArg.matches(a))
 
   def main(args: Array[String]): Unit = {
     validateArgs(stripFlags(args)) // fail usage errors before Spark startup
@@ -211,6 +218,18 @@ object IngestMain {
     // in parse order (content identical to the unrolled dump).
     val ndjsonDir = rawArgs.collectFirst { case NdjsonArg(d) => d }
     val ndjsonSize = rawArgs.collectFirst { case NdjsonSizeArg(n) => n.toLong }
+    // the reference's IMPLICIT calendar-keyed counter carry
+    // (ingester.py:60-86: prior counters load from the
+    // calendar-PREVIOUS month's state file, cum_files_{y}_{m-1};
+    // absent => FileNotFoundError fallback RESTARTS the counters —
+    // which is what a sparse --months subset always hits). graft's
+    // default carries state across the months actually ingested, in
+    // order (SURVEY A14 documents why that is the defensible
+    // semantics for cumulative counters); this flag opts into the
+    // reference's byte-for-byte behavior for users replaying it
+    // exactly: a month whose calendar predecessor was never applied
+    // starts its counters from zero.
+    val calendarCarry = rawArgs.contains(CalendarFlag)
     // parquet codec for the sink (reference parity knob: ingester.py
     // 418-421 writes gzip for Apache Drill compatibility; Spark's
     // default snappy is ~5x faster to write). Validity is checked by
@@ -244,7 +263,7 @@ object IngestMain {
             val staged = Acquire.fetchMonth(y, m, stagingDir, baseUrl)
             ingestOne(spark, staged.toString, outDir, Some(stateDir), movesMode,
               ndjsonDir, ndjsonSize, appliedId = Some(monthId(y, m)),
-              compression = compression)
+              compression = compression, calendarCarry = calendarCarry)
           } else
             System.err.println(f"[ingest] $y%04d-$m%02d already applied. Skipping...")
         }
@@ -254,7 +273,7 @@ object IngestMain {
           val staged = Acquire.fetchMonth(y.toInt, m.toInt, stagingDir, baseUrl)
           ingestOne(spark, staged.toString, args(1), args.lift(2), movesMode,
             ndjsonDir, ndjsonSize, appliedId = Some(id),
-            compression = compression)
+            compression = compression, calendarCarry = calendarCarry)
         } else
           System.err.println(s"[ingest] ${args(0).stripPrefix("--month=")} already applied. Skipping...")
       case pgnPath =>
@@ -279,13 +298,15 @@ object IngestMain {
       ndjsonDir: Option[String] = None,
       ndjsonSize: Option[Long] = None,
       appliedId: Option[Long] = None,
-      compression: String = "snappy"): Unit = {
+      compression: String = "snappy",
+      calendarCarry: Boolean = false): Unit = {
     val raw = spark.read.format("pgn").load(pgnPath)
     IngestCore.applyGames(spark,
       ChessPipeline.parseGames(raw, movesMode), outDir, stateDir, appliedId,
       ndjson = ndjsonDir.map(d =>
         (d, new org.apache.hadoop.fs.Path(pgnPath).getName)),
       ndjsonSize = ndjsonSize,
-      compression = compression)
+      compression = compression,
+      calendarCarry = calendarCarry)
   }
 }

@@ -176,6 +176,58 @@ class AcquireSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("--months out of range"))
   }
 
+  test("--calendar-counters: a sparse subset restarts counters like the reference") {
+    // the reference keys prior counters by the CALENDAR-previous
+    // month's state file (ingester.py:60-86) — a sparse --months
+    // subset never wrote it, so every subset month restarts from
+    // zero. Default graft semantics carry across the ingested
+    // sequence; the flag opts into reference parity.
+    val mirror = Files.createTempDirectory("cal_mirror")
+    for ((y, m, d) <- Seq((2023, 12, "2023.12.05"), (2024, 2, "2024.02.05")))
+      PgnFixtures.writeDump(mirror, y, m,
+        PgnFixtures.gameTxt(y * 100 + m, d, sitePrefix = "cal").getBytes("UTF-8"))
+    def maxCum(out: String, ym: String): Int =
+      spark.read.parquet(out)
+        .filter(col("year_month") === ym && col("Player") === "alice")
+        .agg(max(col("Player_cum_games_total"))).head().getInt(0)
+
+    // default: December's game carries into February's counter (2)
+    val outSeq = Files.createTempDirectory("cal_seq_out").toString
+    IngestMain.run(spark,
+      Array("--months=12,2", "--start=2023-12", "--end=2024-02", outSeq,
+        Files.createTempDirectory("cal_seq_state").toString),
+      Files.createTempDirectory("cal_seq_staging").toString,
+      Some(mirror.toUri.toString))
+    assert(maxCum(outSeq, "2024_02") === 2)
+
+    // --calendar-counters: January was never applied, so February
+    // restarts at 1 — the reference's byte-for-byte behavior
+    val outCal = Files.createTempDirectory("cal_cal_out").toString
+    IngestMain.run(spark,
+      Array("--calendar-counters", "--months=12,2",
+        "--start=2023-12", "--end=2024-02", outCal,
+        Files.createTempDirectory("cal_cal_state").toString),
+      Files.createTempDirectory("cal_cal_staging").toString,
+      Some(mirror.toUri.toString))
+    assert(maxCum(outCal, "2024_02") === 1)
+    // December itself is identical either way
+    assert(maxCum(outCal, "2023_12") === maxCum(outSeq, "2023_12"))
+
+    // contiguous months still carry WITH the flag (the predecessor
+    // is in the applied set)
+    val mirror2 = Files.createTempDirectory("cal_mirror2")
+    for ((y, m, d) <- Seq((2024, 3, "2024.03.05"), (2024, 4, "2024.04.05")))
+      PgnFixtures.writeDump(mirror2, y, m,
+        PgnFixtures.gameTxt(y * 100 + m, d, sitePrefix = "cal2").getBytes("UTF-8"))
+    val outCont = Files.createTempDirectory("cal_cont_out").toString
+    IngestMain.run(spark,
+      Array("--calendar-counters", "--start=2024-03", "--end=2024-04", outCont,
+        Files.createTempDirectory("cal_cont_state").toString),
+      Files.createTempDirectory("cal_cont_staging").toString,
+      Some(mirror2.toUri.toString))
+    assert(maxCum(outCont, "2024_04") === 2)
+  }
+
   test("re-running a month after state loss overwrites the sink, never doubles it") {
     // the OTHER crash window: sink written, state commit lost (or the
     // operator cleared the state dir but not the sink). The re-run
