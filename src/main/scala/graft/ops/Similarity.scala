@@ -1115,7 +1115,13 @@ object Similarity {
       .unionByName(mutual.select(col("b").as("a"), col("a").as("b")))
       .transform(graft.Lineage.cut)
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    // deg is LOOP-INVARIANT: fold it into the edge list once, so each
+    // of the PrIters rounds pays ONE rank join instead of two (round
+    // 12 — measured ~2x on the loop's join work; the cut frame is
+    // (a, b, deg), 3 longs per directed edge)
+    val symDeg = sym.join(deg.withColumnRenamed("id", "a"), "a")
       .transform(graft.Lineage.cut)
+    graft.Lineage.free(sym)
     val nodes = nodeFrame.select(col("vec_id").as("id"))
       .transform(graft.Lineage.cut)
     val n = nodes.count()
@@ -1123,9 +1129,8 @@ object Similarity {
     var r = nodes.select(col("id"), lit(PrScale / n).as("r"))
       .transform(graft.Lineage.cut)
     for (_ <- 1 to PrIters) {
-      val contrib = sym
+      val contrib = symDeg
         .join(r.withColumnRenamed("id", "a"), "a")
-        .join(deg.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"),
           expr("(85 * r) div (100 * deg)").as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
@@ -1137,6 +1142,7 @@ object Similarity {
       graft.Lineage.free(r)
       r = next
     }
+    graft.Lineage.free(symDeg)
     r.select(col("id").as("vec_id"), col("r").as("pr_micro"),
         round(col("r").cast("double") / PrScale, 6).as("pagerank"))
       .orderBy("vec_id")

@@ -841,49 +841,60 @@ object TextOps {
     * never reaches: unseen bigram → (0+1)/(c1+V); unseen first word →
     * (0+1)/(0+V) = 1/V. LEFT joins + coalesce(0) — same
     * engine-exactness argument as D21 (integer-count ratios,
-    * position-ordered folds, 6dp round). Scale note: this form
-    * explodes per train COPY (linear partial-agg counting — fine for
-    * a curated history); a dup-heavy train corpus would put D21's
-    * exact-dup collapse (counts weighted by multiplicity) in front
-    * of the same aggregates.
+    * position-ordered folds, 6dp round). Round 12: both sides now run
+    * behind D21's exact-dup collapse — train counts come from UNIQUE
+    * history texts weighted by multiplicity (Σ-identical), and the
+    * batch is scored once per unique text with the bits mapped back
+    * through the doc→rep join — so a dup-heavy crawl (either side)
+    * no longer multiplies the explode or the scoring joins.
     */
   def textPerplexityHeldout(s: SparkSession, dir: String,
       splitId: Long = 250L): DataFrame = {
-    val docs = TextOps.docs(s, dir)
-      .select(col("doc_id"), filter(wsTokens(col("text")), t => t =!= "").as("a"))
-      .cache() // feeds the train counts AND the batch scoring rows
-    val trainToks = docs.filter(col("doc_id") < splitId)
-    val uni = trainToks.select(explode(col("a")).as("t1"))
-      .groupBy("t1").agg(count(lit(1)).as("c1"))
+    val bigramExpr = expr(
+      "transform(sequence(1, size(a) - 1), " +
+        "i -> struct(element_at(a, i) AS t1, element_at(a, i + 1) AS t2))")
+    // exact-dup collapse on BOTH sides (the D21 invariant): train
+    // counts from unique history texts weighted by multiplicity m,
+    // the batch scored once per unique text and mapped back
+    val proj = docs(s, dir)
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"),
+        Collapse.textKey(col("text")).as("tkey"))
+    val trainReps = Collapse.reps(proj.filter(col("doc_id") < splitId),
+        "tkey", countAs = Some("m"), payloads = Seq("a"))
+      .transform(graft.Lineage.cut) // feeds uni AND bi
+    val uni = trainReps.select(explode(col("a")).as("t1"), col("m"))
+      .groupBy("t1").agg(sum(col("m")).as("c1"))
       .cache() // feeds the model join AND the vocab-size total
     val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
-    def bigramsOf(d: DataFrame, idCol: String) = d
-      .filter(size(col("a")) >= 2)
-      .select(col(idCol), posexplode(expr(
-        "transform(sequence(1, size(a) - 1), " +
-          "i -> struct(element_at(a, i) AS t1, element_at(a, i + 1) AS t2))")))
-      .select(col(idCol), col("pos"), col("col.t1").as("t1"),
-        col("col.t2").as("t2"))
-    val bi = bigramsOf(trainToks, "doc_id")
-      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val bi = trainReps.filter(size(col("a")) >= 2)
+      .select(col("m"), explode(bigramExpr).as("bg"))
+      .select(col("m"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .groupBy("t1", "t2").agg(sum(col("m")).as("c12"))
+    val batchProj = proj.filter(col("doc_id") >= splitId)
+    val batchReps = Collapse.reps(batchProj, "tkey", payloads = Seq("a"))
+      .transform(graft.Lineage.cut) // feeds the scoring AND the map-back
+    val docToRep = Collapse.docToRep(batchProj, batchReps, "tkey")
     // c1 joins SEPARATELY from the pair: a bigram can be unseen while
     // its first word is known ((0+1)/(c1+V)), so riding c1 on the
     // model row (the D21 fusion) would wrongly zero c1 for novel
     // pairs of known words — two LEFT joins, nulls → the smoothing
     // fallbacks
-    val perDoc = bigramsOf(docs.filter(col("doc_id") >= splitId), "doc_id")
+    val perRep = batchReps.filter(size(col("a")) >= 2)
+      .select(col("rep"), posexplode(bigramExpr))
+      .select(col("rep"), col("pos"), col("col.t1").as("t1"),
+        col("col.t2").as("t2"))
       .join(bi, Seq("t1", "t2"), "left")
       .join(uni, Seq("t1"), "left")
       .crossJoin(vocab)
       .withColumn("lp", -log2(
         (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
-      .groupBy("doc_id")
+      .groupBy("rep")
       .agg(count(lit(1)).as("n_bigrams"),
         aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
           lit(0.0), (acc, x) => acc + x.getField("lp")).as("bits"))
-    docs.filter(col("doc_id") >= splitId).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    docToRep.join(perRep, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("bits") / col("n_bigrams"), 6).as("avg_bits"))
@@ -1322,27 +1333,37 @@ object TextOps {
     * VOCABULARY: LEFT join + coalesce(0) puts them on the smoothing
     * floor in BOTH LMs (weight ln((Nr+V)/(Nt+V)) — an unseen token
     * carries only the corpus-size prior, it does not explode the
-    * score). No collapse seam needed here: the scoring aggregate is
-    * keyed by doc_id (unique — unskewable) and the model explode is
-    * the curated history; a dup-heavy history would put D34's
-    * multiplicity-weighted collapse in front of the same aggregate.
+    * score). Round 12: the Collapse seam runs on BOTH sides (the
+    * D21b/D50b treatment) — train counts from unique history texts
+    * with class-conditional multiplicities (Σ-identical), the batch
+    * scored once per unique text and mapped back through doc→rep.
     */
   def textDsirHeldout(s: SparkSession, dir: String,
       splitId: Long = 250L): DataFrame = {
-    val d = docs(s, dir)
+    // Collapse on BOTH sides (round 12, the D21b/D50b treatment):
+    // train counts from unique history texts with class-conditional
+    // multiplicities, the batch scored once per unique text
+    val proj = docs(s, dir)
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
-        filter(wsTokens(col("text")), t => t =!= "").as("a"))
-      .cache() // feeds the train counts AND the batch scoring rows
-    val uni = d.filter(col("doc_id") < splitId)
-      .select(col("tgt"), explode(col("a")).as("t"))
-      .groupBy("t").agg(
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+        filter(wsTokens(col("text")), t => t =!= "").as("a"),
+        Collapse.textKey(col("text")).as("tkey"))
+    val trainReps = Collapse.reps(proj.filter(col("doc_id") < splitId),
+        "tkey", payloads = Seq("a"),
+        extraAggs = Seq(
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("mt"),
+          sum(when(col("tgt"), 0L).otherwise(1L)).as("mr")))
+      .transform(graft.Lineage.cut)
+    val uni = trainReps.select(explode(col("a")).as("t"), col("mt"), col("mr"))
+      .groupBy("t").agg(sum(col("mt")).as("ct"), sum(col("mr")).as("cr"))
       .cache() // feeds the totals AND the scoring join
     val totals = broadcast(uni.agg(sum(col("ct")).as("nt"),
       sum(col("cr")).as("nr"), count(lit(1)).as("v")))
-    val perDoc = d.filter(col("doc_id") >= splitId)
-      .select(col("doc_id"), posexplode(col("a")).as(Seq("pos", "t")))
+    val batchProj = proj.filter(col("doc_id") >= splitId)
+    val batchReps = Collapse.reps(batchProj, "tkey", payloads = Seq("a"))
+      .transform(graft.Lineage.cut) // feeds the scoring AND the map-back
+    val docToRep = Collapse.docToRep(batchProj, batchReps, "tkey")
+    val perRep = batchReps
+      .select(col("rep"), posexplode(col("a")).as(Seq("pos", "t")))
       .join(uni, Seq("t"), "left")
       .crossJoin(totals)
       .withColumn("lw",
@@ -1350,12 +1371,11 @@ object TextOps {
             (col("nt") + col("v")).cast("double")) -
         log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
             (col("nr") + col("v")).cast("double")))
-      .groupBy("doc_id")
+      .groupBy("rep")
       .agg(count(lit(1)).as("n_toks"),
         aggregate(array_sort(collect_list(struct(col("pos"), col("lw")))),
           lit(0.0), (acc, x) => acc + x.getField("lw")).as("sw"))
-    d.filter(col("doc_id") >= splitId).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    docToRep.join(perRep, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         round(col("sw") / col("n_toks"), 6).as("dsir_score"))
@@ -1453,32 +1473,41 @@ object TextOps {
     * D50). Batch tokens can be OUT OF VOCABULARY: LEFT join +
     * coalesce(0) puts them on the add-one smoothing floor in both
     * class LMs — an unseen token carries only the class-size prior,
-    * it does not explode the score. No collapse seam needed: the
-    * scoring aggregate keys on doc_id (unique — unskewable) and the
-    * model explode is the bounded history.
+    * it does not explode the score. Round 12: the Collapse seam runs
+    * on BOTH sides like the self-form — train counts from unique
+    * history texts with class-conditional multiplicities (the D34
+    * extraAggs shape; Σ-identical), the batch scored once per unique
+    * text and mapped back — a dup-heavy snapshot no longer
+    * multiplies the scoring explode.
     */
   def textNbQualityHeldout(s: SparkSession, dir: String,
       splitId: Long = 250L,
       curated: Seq[String] = CuratedSources): DataFrame = {
-    val d = docs(s, dir)
-      .select(col("doc_id"), col("source").isin(curated: _*).as("cur"),
-        filter(wsTokens(col("text")), t => t =!= "").as("a"))
-      .cache() // feeds the train counts AND the batch scoring rows
-    val hist = d.filter(col("doc_id") < splitId)
-    val uni = hist
-      .select(col("cur"), explode(col("a")).as("t"))
-      .groupBy("t").agg(
-        sum(when(col("cur"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("cur"), 0L).otherwise(1L)).as("cr"))
+    val proj = docs(s, dir)
+      .select(col("doc_id"),
+        filter(wsTokens(col("text")), t => t =!= "").as("a"),
+        col("source").isin(curated: _*).as("cur"),
+        Collapse.textKey(col("text")).as("tkey"))
+    val trainReps = Collapse.reps(proj.filter(col("doc_id") < splitId),
+        "tkey", payloads = Seq("a"),
+        extraAggs = Seq(
+          sum(when(col("cur"), 1L).otherwise(0L)).as("mt"),
+          sum(when(col("cur"), 0L).otherwise(1L)).as("mr")))
+      .transform(graft.Lineage.cut) // feeds uni AND the priors
+    val uni = trainReps.select(explode(col("a")).as("t"), col("mt"), col("mr"))
+      .groupBy("t").agg(sum(col("mt")).as("ct"), sum(col("mr")).as("cr"))
       .cache() // feeds the totals AND the scoring join
     val totals = broadcast(
       uni.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
           count(lit(1)).as("v"))
-        .crossJoin(hist.agg(
-          sum(when(col("cur"), 1L).otherwise(0L)).as("dc"),
-          sum(when(col("cur"), 0L).otherwise(1L)).as("dr"))))
-    val perDoc = d.filter(col("doc_id") >= splitId)
-      .select(col("doc_id"), posexplode(col("a")).as(Seq("pos", "t")))
+        .crossJoin(trainReps.agg(sum(col("mt")).as("dc"),
+          sum(col("mr")).as("dr"))))
+    val batchProj = proj.filter(col("doc_id") >= splitId)
+    val batchReps = Collapse.reps(batchProj, "tkey", payloads = Seq("a"))
+      .transform(graft.Lineage.cut) // feeds the scoring AND the map-back
+    val docToRep = Collapse.docToRep(batchProj, batchReps, "tkey")
+    val perRep = batchReps
+      .select(col("rep"), posexplode(col("a")).as(Seq("pos", "t")))
       .join(uni, Seq("t"), "left")
       .crossJoin(totals)
       .withColumn("lw",
@@ -1486,14 +1515,13 @@ object TextOps {
             (col("nt") + col("v")).cast("double")) -
         log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
             (col("nr") + col("v")).cast("double")))
-      .groupBy("doc_id")
+      .groupBy("rep")
       .agg(count(lit(1)).as("n_toks"),
         aggregate(array_sort(collect_list(struct(col("pos"), col("lw")))),
           lit(0.0), (acc, x) => acc + x.getField("lw")).as("sw"))
     val pri = log((col("dc") + 1).cast("double")) -
       log((col("dr") + 1).cast("double"))
-    d.filter(col("doc_id") >= splitId).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    docToRep.join(perRep, Seq("rep"), "left")
       .crossJoin(totals.select(col("dc"), col("dr")))
       .select(col("doc_id"),
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),

@@ -44,7 +44,12 @@ class CollapseSkewSpec extends SparkSpec with graft.StragglerProbe {
     "dedup_jaccard", "dedup_clusters", "text_dup_spans",
     "text_perplexity", "curation_gate", "text_dsir",
     "text_remove_dup_spans", "text_keywords", "source_overlap",
-    "dedup_incremental", "dedup_incremental_bloom")
+    "dedup_incremental", "dedup_incremental_bloom",
+    // round-12 late riders: the three held-out scorers moved onto the
+    // collapse (train counts from unique history texts, batch scored
+    // once per unique text)
+    "text_perplexity_heldout", "text_dsir_heldout",
+    "text_quality_classifier_heldout")
 
   test("no Window node in any collapse-riding plan, cuts included") {
     for (name <- riders) {
