@@ -379,6 +379,106 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** D55: UniMax per-language token allocation (Chung et al., ICLR
+    * 2023 — "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): instead of temperature
+    * weights (D19/D39, which still over-sample head languages and
+    * over-EPOCH tail ones), waterfill the token budget across
+    * languages in ascending-size order with a hard per-language epoch
+    * cap — each language gets min(fair share of the remaining budget,
+    * `epochs` passes over its own corpus), and whatever a capped tail
+    * language cannot absorb flows to the larger languages after it.
+    * Integer-exact formulation (paper's Algorithm 1 with integer
+    * division): process languages sorted by (t_l, lang); with budget
+    * remainder R and m languages left, b_l = min(R div m, epochs·t_l),
+    * R -= b_l. Output materializes each language's shortest
+    * hash-priority token prefix reaching b_l (the D38 `cum_before <
+    * b_l` straddle-keeping rule), so the result is an actual training
+    * set, not just a quota table.
+    *
+    * Scale shape: the waterfill itself is an in-group sorted fold over
+    * #languages structs (the sampleTemperature weight-fold convention
+    * — bounded by the language catalog, never a driver loop); budgets
+    * broadcast back; the per-language running token total is the D39
+    * hash-prefix bucketed form — the local window partitions by
+    * (lang, bkt) with md5-uniform bkt (a viral language spreads over
+    * all 16^prefix buckets), cross-bucket offsets are bucket-level
+    * rows bounded by 16^prefix per language. No skewable window key,
+    * no global reducer.
+    */
+  def sampleUnimax(s: SparkSession, dir: String, budget: Long = 20000L,
+      epochs: Long = 1L, prefix: Int = 2): DataFrame =
+    sampleUnimaxOn(Tables.load(s, dir, "documents"), budget, epochs, prefix)
+
+  /** [[sampleUnimax]] on an arbitrary (doc_id, lang, text) frame — the
+    * seam the closed-form waterfill / cap / plan-guard specs drive.
+    */
+  def sampleUnimaxOn(docs: DataFrame, budget: Long = 20000L,
+      epochs: Long = 1L, prefix: Int = 2): DataFrame = {
+    require(budget >= 0 && epochs >= 1, s"budget=$budget epochs=$epochs")
+    // checkpointed: feeds the per-language masses, the bucket sums AND
+    // the row branch — uncut, the BPE token scan runs three times
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.bpeTokenCount(col("text")).as("n_toks"),
+        hexKey(col("doc_id"), "umax:").as("hk"))
+      .withColumn("bkt", conv(substring(col("hk"), 1, prefix), 16, 10)
+        .cast("long"))
+      .transform(graft.Lineage.cut)
+    // the waterfill: ONE aggregation row holding the (t_l, lang)-sorted
+    // language list, folded left to right carrying the remainder — the
+    // sequential dependence UniMax requires, with bounded state
+    // (#languages structs; the same in-group fold sampleTemperature
+    // uses for its order-dependent weight total)
+    val allocs = toks.groupBy("lang").agg(sum(col("n_toks")).as("t_l"))
+      .agg(array_sort(collect_list(struct(col("t_l"), col("lang")))).as("ls"))
+      .select(explode(expr(
+        s"""aggregate(ls,
+           |  named_struct(
+           |    'r', ${budget}L,
+           |    'out', cast(array() as array<struct<lang:string,b_l:bigint>>)),
+           |  (acc, x) -> named_struct(
+           |    'r', acc.r - least(acc.r div (size(ls) - size(acc.out)),
+           |                       ${epochs}L * x.t_l),
+           |    'out', acc.out || array(named_struct('lang', x.lang,
+           |      'b_l', least(acc.r div (size(ls) - size(acc.out)),
+           |                   ${epochs}L * x.t_l)))),
+           |  acc -> acc.out)""".stripMargin)).as("e"))
+      .select(col("e.lang").as("lang"), col("e.b_l").as("b_l"))
+    // per-language running token total in hash order: the D39 shape
+    // re-keyed to lang — the local window is bounded by the
+    // md5-uniform sub-key, and the cross-bucket offsets use the
+    // sampleTemperature in-group sorted FOLD (≤16^prefix structs per
+    // language — bounded at any corpus size, and no lang-only window
+    // partition anywhere in the plan, so the SamplingSkewSpec guard
+    // applies verbatim)
+    val localW = Window.partitionBy("lang", "bkt")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("lang", "bkt")
+      .agg(sum(col("n_toks")).as("v"))
+      .groupBy("lang")
+      .agg(array_sort(collect_list(struct(col("bkt"), col("v")))).as("a"))
+      .select(col("lang"), explode(expr(
+        """aggregate(a,
+          |  named_struct(
+          |    'r', cast(array() as array<struct<bkt:bigint,off:bigint>>),
+          |    't', 0L),
+          |  (acc, x) -> named_struct(
+          |    'r', acc.r || array(named_struct('bkt', x.bkt, 'off', acc.t)),
+          |    't', acc.t + x.v),
+          |  acc -> acc.r)""".stripMargin)).as("o"))
+      .select(col("lang"), col("o.bkt").as("bkt"), col("o.off").as("off"))
+    toks
+      .withColumn("loc", coalesce(sum(col("n_toks")).over(localW), lit(0L)))
+      .join(offsets, Seq("lang", "bkt"))
+      .withColumn("cum_before", col("loc") + col("off"))
+      .join(broadcast(allocs), "lang")
+      .filter(col("cum_before") < col("b_l"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_before"))
+      .orderBy("doc_id")
+  }
+
   /** Exclusive prefix sums over one (k, v) row per distinct key,
     * computed HIERARCHICALLY: level j windows partition by
     * `k DIV fanout^(j+1)` and order by the level-j key, so no window
@@ -697,6 +797,38 @@ object Sampling {
         |  FROM t)
         |SELECT doc_id, source, n_toks, CAST(cb AS BIGINT) AS cum_before
         |FROM cum JOIN k USING (source) WHERE cb < b_s
+        |ORDER BY doc_id""".stripMargin)),
+    // the waterfill's sequential remainder carry is a recursive CTE
+    // stepping through languages in the same ascending (t_l, lang)
+    // order the engine's sorted fold uses; `//` = Spark's `div`
+    // (both integer division on BIGINT). The per-language single
+    // window stands in for the bucketed two-phase engine form, the
+    // sample_token_budget convention
+    Q("sample_unimax", (s, d) => sampleUnimax(s, d), Some(
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, $tokensSql AS n_toks,
+        |    substr(md5('umax:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, CAST(sum(n_toks) AS BIGINT) AS t_l,
+        |    CAST(row_number() OVER (ORDER BY sum(n_toks), lang) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM t GROUP BY lang),
+        |w AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(20000 AS BIGINT) AS r,
+        |         CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS b_l
+        |  UNION ALL
+        |  SELECT c.i, w.r - least(w.r // (c.n - w.i), 1 * c.t_l),
+        |         c.lang, least(w.r // (c.n - w.i), 1 * c.t_l)
+        |  FROM w JOIN c ON c.i = w.i + 1),
+        |k AS (SELECT lang, b_l FROM w WHERE lang IS NOT NULL),
+        |cum AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t)
+        |SELECT doc_id, lang, n_toks, CAST(cb AS BIGINT) AS cum_before
+        |FROM cum JOIN k USING (lang) WHERE cb < b_l
         |ORDER BY doc_id""".stripMargin)),
     Q("sample_stratified", (s, d) => sampleStratified(s, d), Some(
       stratifiedOracle)),

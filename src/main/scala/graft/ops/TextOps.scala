@@ -1209,6 +1209,130 @@ object TextOps {
       .orderBy("s1", "s2")
   }
 
+  /** D56: per-source corpus-health diagnostics — the lexical-statistics
+    * audit run before committing a source to a training mix: token
+    * mass, vocabulary size, type-token ratio, hapax-legomenon ratio
+    * (fraction of the vocabulary seen exactly once — near 0 flags
+    * template/boilerplate text, near 1 flags noise/OCR garbage), and
+    * the Zipf slope — the least-squares slope of ln(frequency) vs
+    * ln(rank) over the top-`k` ranks (natural language sits near −1,
+    * Zipf 1949; degenerate or synthetic text drifts far from it; the
+    * fit uses the published top-ranks convention since the tail is
+    * power-law noisy).
+    *
+    * Scale shape: ONE (source, token) count aggregation — partial
+    * aggregation collapses a hot stopword cell map-side — consumed
+    * twice (cached: vocab stats and the rank fit); the per-source
+    * top-k is the bounded [[graft.functions.TopKStrAgg]] (O(k)
+    * map-side state — never a source-keyed `row_number` window over
+    * the vocabulary); the regression folds over the rank-ORDERED
+    * top-k array row-locally, so the float sums accumulate in one
+    * deterministic order in both engines (the sampleTemperature
+    * ordered-fold convention — a grouped SUM() would leave float
+    * addition order to the engine).
+    */
+  def textZipf(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    textZipfOn(docs(s, dir), k)
+
+  /** [[textZipf]] on an arbitrary (source, text) frame — the seam the
+    * closed-form fit / hapax / plan-guard specs drive.
+    */
+  def textZipfOn(docsDf: DataFrame, k: Int = 50): DataFrame = {
+    val tf = docsDf
+      .select(col("source"),
+        explode(filter(wsTokens(col("text")), t => t =!= "")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("f"))
+      .cache() // consumed twice: the vocab stats and the top-k rank fit
+    val stats = tf.groupBy("source").agg(
+      sum(col("f")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+    val topk = udaf(new graft.functions.TopKStrAgg(k))
+    // rank = array index + 1: TopKStrAgg's (negScore asc, key asc)
+    // order IS (f desc, token asc) — the row_number rule, windowless
+    val fit = tf.groupBy("source")
+      .agg(topk(-col("f").cast("double"), col("t")).as("cand"))
+      .select(col("source"),
+        expr(
+          """aggregate(
+            |  transform(cand, (c, i) -> named_struct(
+            |    'x', ln(cast(i + 1 as double)),
+            |    'y', ln(-c.negScore))),
+            |  named_struct('sx', 0.0d, 'sy', 0.0d, 'sxy', 0.0d, 'sxx', 0.0d),
+            |  (a, p) -> named_struct(
+            |    'sx', a.sx + p.x, 'sy', a.sy + p.y,
+            |    'sxy', a.sxy + p.x * p.y, 'sxx', a.sxx + p.x * p.x))""".stripMargin)
+          .as("s"),
+        size(col("cand")).cast("double").as("kk"))
+      .select(col("source"),
+        round((col("kk") * col("s.sxy") - col("s.sx") * col("s.sy")) /
+          (col("kk") * col("s.sxx") - col("s.sx") * col("s.sx")), 6)
+          .as("zipf_slope"))
+    stats.join(fit, "source")
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax").cast("double") / col("vocab"), 6).as("hapax_ratio"),
+        col("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** D57: PMI collocations — corpus-wide top-`k` adjacent word pairs
+    * by pointwise mutual information (the classical collocation
+    * extractor, Church & Hanks 1990: pmi = ln(p(x,y) / (p(x)p(y))) with
+    * p(x,y) = c_xy/B over adjacent-bigram mass B and p(t) = c_t/N over
+    * unigram mass N), with the standard `minCount` floor — PMI is
+    * unstable on rare pairs. Used as a tokenizer-vocab seeding signal
+    * (multi-word entries), a boilerplate detector (templated corpora
+    * show abnormally high-PMI pairs), and a quick drift audit between
+    * corpus snapshots.
+    *
+    * Scale shape: bigrams come from a row-local slice/transform (no
+    * self-join); unigram and bigram counts are partial aggregations
+    * (hot pairs collapse map-side); the two count joins key on single
+    * tokens (AQE-splittable); totals are one-row broadcasts; the final
+    * top-k is TakeOrderedAndProject (never a global sort). The PMI
+    * double is computed by ONE shared expression shape in both engines
+    * (same multiply order), then 6dp-rounded; ordering ties break on
+    * the rounded value + (x, y).
+    */
+  def textPmi(s: SparkSession, dir: String, minCount: Long = 5L,
+      k: Int = 50): DataFrame =
+    textPmiOn(docs(s, dir), minCount, k)
+
+  /** [[textPmi]] on an arbitrary (text) frame — the seam the
+    * closed-form count / floor / tie-break specs drive.
+    */
+  def textPmiOn(docsDf: DataFrame, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    // checkpointed: the token-array projection feeds the unigram AND
+    // bigram branches — uncut, the tokenization scan runs twice
+    val arrs = docsDf
+      .select(filter(wsTokens(col("text")), t => t =!= "").as("a"))
+      .transform(graft.Lineage.cut)
+    val uni = arrs.select(explode(col("a")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .cache() // consumed three times: N total + the x and y joins
+    val nTot = broadcast(uni.agg(sum(col("c")).as("n")))
+    val big = arrs.filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(slice(a, 1, size(a) - 1)," +
+          " (t, i) -> named_struct('x', t, 'y', a[i + 1]))")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .cache() // consumed twice: the B total and the scoring rows
+    val bTot = broadcast(big.agg(sum(col("c_xy")).as("b")))
+    big.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(nTot).crossJoin(bTot)
+      .withColumn("pmi", round(log(
+        (col("c_xy").cast("double") * col("n") * col("n")) /
+          (col("b").cast("double") * col("c_x") * col("c_y"))), 6))
+      .select(col("x"), col("y"), col("c_xy"), col("pmi"))
+      .orderBy(desc("pmi"), col("x"), col("y"))
+      .limit(k)
+  }
+
   /** The Gopher repetition-free stopword list (Rae et al. 2021,
     * A1.1): a document must contain at least 2 of these.
     */
@@ -1483,13 +1607,35 @@ object TextOps {
   def textNbQualityHeldout(s: SparkSession, dir: String,
       splitId: Long = 250L,
       curated: Seq[String] = CuratedSources): DataFrame = {
-    val proj = docs(s, dir)
-      .select(col("doc_id"),
-        filter(wsTokens(col("text")), t => t =!= "").as("a"),
-        col("source").isin(curated: _*).as("cur"),
-        Collapse.textKey(col("text")).as("tkey"))
-    val trainReps = Collapse.reps(proj.filter(col("doc_id") < splitId),
-        "tkey", payloads = Seq("a"),
+    val proj = nbProj(docs(s, dir), curated)
+    val (uni, totals) = nbModel(proj.filter(col("doc_id") < splitId))
+    nbScoreBatch(proj.filter(col("doc_id") >= splitId), uni, totals)
+      .orderBy("doc_id")
+  }
+
+  /** The NB scoring projection: tokens + curated label + content
+    * digest — ONE definition shared by the held-out batch op and the
+    * E11 streaming gate, so their tokenization can never drift.
+    */
+  private[graft] def nbProj(docsDf: DataFrame,
+      curated: Seq[String] = CuratedSources): DataFrame =
+    docsDf.select(col("doc_id"),
+      filter(wsTokens(col("text")), t => t =!= "").as("a"),
+      col("source").isin(curated: _*).as("cur"),
+      Collapse.textKey(col("text")).as("tkey"))
+
+  /** The frozen NB model of a history projection (doc_id, a, cur,
+    * tkey): per-token class-conditional counts (`uni`: t, ct, cr —
+    * from UNIQUE texts weighted by class multiplicity, the Collapse
+    * seam) and the one-row broadcast totals/priors. Shared by
+    * [[textNbQualityHeldout]] and the E11 streaming gate
+    * ([[graft.streaming.TextStreams.qualityGateStream]]) so batch and
+    * stream train the IDENTICAL model. `uni` is cached (it feeds the
+    * totals and every scoring join); a stream materializes it once
+    * before the first micro-batch.
+    */
+  private[graft] def nbModel(hist: DataFrame): (DataFrame, DataFrame) = {
+    val trainReps = Collapse.reps(hist, "tkey", payloads = Seq("a"),
         extraAggs = Seq(
           sum(when(col("cur"), 1L).otherwise(0L)).as("mt"),
           sum(when(col("cur"), 0L).otherwise(1L)).as("mr")))
@@ -1502,7 +1648,17 @@ object TextOps {
           count(lit(1)).as("v"))
         .crossJoin(trainReps.agg(sum(col("mt")).as("dc"),
           sum(col("mr")).as("dr"))))
-    val batchProj = proj.filter(col("doc_id") >= splitId)
+    (uni, totals)
+  }
+
+  /** Score a batch projection (doc_id, a, tkey) against a frozen
+    * [[nbModel]]: OOV tokens LEFT-join to the add-one smoothing floor,
+    * the per-doc sum is the position-ordered fold, scoring runs once
+    * per UNIQUE text and maps back through the digest join (the D50b
+    * scaladoc's contracts, now in one shared seam).
+    */
+  private[graft] def nbScoreBatch(batchProj: DataFrame, uni: DataFrame,
+      totals: DataFrame): DataFrame = {
     val batchReps = Collapse.reps(batchProj, "tkey", payloads = Seq("a"))
       .transform(graft.Lineage.cut) // feeds the scoring AND the map-back
     val docToRep = Collapse.docToRep(batchProj, batchReps, "tkey")
@@ -1527,7 +1683,6 @@ object TextOps {
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         round(pri + coalesce(col("sw"), lit(0.0)), 6).as("nb_score"))
       .withColumn("keep", col("nb_score") > 0)
-      .orderBy("doc_id")
   }
 
   /** Shared C4 oracle CTEs (page build -> line/page rules -> span
@@ -2223,6 +2378,75 @@ object TextOps {
         |    (p.v1 + p.v2 - COALESCE(iv.inter, 0)), 6) AS jaccard
         |FROM p LEFT JOIN iv ON p.s1 = iv.s1 AND p.s2 = iv.s2
         |ORDER BY 1, 2""".stripMargin)),
+    // the regression folds over the rank-ORDERED top-k list in BOTH
+    // engines (list_prepend seeds the accumulator; the per-step
+    // arithmetic sequence matches the Spark fold term for term), and
+    // the top-k rank rule is the shared (f desc, token asc) total
+    // order — the oracle's window stands in for the engine's bounded
+    // TopKStrAgg, the text_keywords convention
+    Q("text_zipf", (s, d) => textZipf(s, d), Some(
+      raw"""WITH tf AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS f FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |    FROM documents) GROUP BY source, t),
+        |st AS (
+        |  SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS vocab,
+        |         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |  FROM tf GROUP BY source),
+        |rk AS (
+        |  SELECT source, f,
+        |         row_number() OVER (PARTITION BY source ORDER BY f DESC, t) AS r
+        |  FROM tf QUALIFY r <= 50),
+        |fold AS (
+        |  SELECT source,
+        |    list_reduce(
+        |      list_prepend([0.0, 0.0, 0.0, 0.0],
+        |        list([ln(CAST(r AS DOUBLE)), ln(CAST(f AS DOUBLE)), 0.0, 0.0]
+        |             ORDER BY r)),
+        |      (a, x) -> [a[1] + x[1], a[2] + x[2],
+        |                 a[3] + x[1] * x[2], a[4] + x[1] * x[1]]) AS s,
+        |    CAST(count(*) AS DOUBLE) AS k
+        |  FROM rk GROUP BY source)
+        |SELECT st.source, st.n_tokens, st.vocab,
+        |  round(CAST(st.vocab AS DOUBLE) / st.n_tokens, 6) AS ttr,
+        |  round(CAST(st.hapax AS DOUBLE) / st.vocab, 6) AS hapax_ratio,
+        |  round((f.k * f.s[3] - f.s[1] * f.s[2]) /
+        |        (f.k * f.s[4] - f.s[1] * f.s[1]), 6) AS zipf_slope
+        |FROM st JOIN fold f USING (source)
+        |ORDER BY source""".stripMargin)),
+    // ONE shared multiply order inside the ln in both engines
+    // (c_xy·N·N over B·c_x·c_y, left-associated), 6dp round, ties on
+    // the rounded value + (x, y); the list comprehension mirrors the
+    // engine's slice/transform bigram build
+    Q("text_pmi", (s, d) => textPmi(s, d), Some(
+      raw"""WITH arrs AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS a
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(a) AS t FROM arrs) GROUP BY t),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bigrows AS (
+        |  SELECT unnest([struct_pack(x := a[j], y := a[j + 1])
+        |                 FOR j IN range(1, len(a))]) AS p
+        |  FROM arrs),
+        |big AS (
+        |  SELECT struct_extract(p, 'x') AS x, struct_extract(p, 'y') AS y,
+        |         CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM bigrows GROUP BY 1, 2),
+        |b AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b FROM big)
+        |SELECT big.x, big.y, big.c_xy,
+        |  round(ln((CAST(big.c_xy AS DOUBLE) * n.n * n.n) /
+        |           (CAST(b.b AS DOUBLE) * cx.c * cy.c)), 6) AS pmi
+        |FROM big
+        |JOIN uni cx ON cx.t = big.x
+        |JOIN uni cy ON cy.t = big.y
+        |CROSS JOIN n CROSS JOIN b
+        |WHERE big.c_xy >= 5
+        |ORDER BY pmi DESC, big.x, big.y
+        |LIMIT 50""".stripMargin)),
     // the query set is interpolated from Bm25Queries (never
     // duplicated); idf is 6dp-rounded BEFORE use in both engines, the
     // per-doc sum is a term-ordered fold, ranking uses the unrounded

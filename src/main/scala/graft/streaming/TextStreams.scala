@@ -226,6 +226,53 @@ object TextStreams {
     } finally graft.Lineage.free(cleaned)
   }
 
+  /** E11: streaming quality gate — score every arriving micro-batch
+    * with the GPT-3-style NB quality classifier FROZEN on a history
+    * corpus before the stream starts (the deployment shape of D50b:
+    * train the filter once on curated-vs-crawl labels, gate the
+    * continuous crawl with it forever after). The model is two static
+    * frames ([[graft.ops.TextOps.nbModel]] — the per-token count table
+    * cached once, the totals/priors a one-row broadcast), so unlike
+    * the four persistent-index streams this one is STATELESS per
+    * batch: no index, no watermark, nothing in the state store, and
+    * replay idempotence comes from batch-partitioned dynamic overwrite
+    * alone. Scores are identical to the batch twin
+    * (textNbQualityHeldout) by construction — the stream calls the
+    * same nbProj/nbModel/nbScoreBatch seams, which also means the
+    * micro-batch path inherits the Collapse exact-dup scoring (a
+    * dup-heavy crawl batch scores each unique text once).
+    *
+    * Output: every scored doc with its `nb_score` and `keep` verdict
+    * (auditable gate — downstream filters on `keep`), partitioned by
+    * `ingest_batch`.
+    */
+  def qualityGateStream(spark: SparkSession, histDir: String,
+      docsDir: String, outDir: String, checkpointDir: String,
+      curated: Seq[String] = graft.ops.TextOps.CuratedSources)
+      : StreamingQuery = {
+    val (uni, totals) = graft.ops.TextOps.nbModel(
+      graft.ops.TextOps.nbProj(spark.read.parquet(histDir), curated))
+    // materialize the frozen model ONCE, before the first micro-batch
+    // (uni is cached; an unmaterialized cache would re-train per batch)
+    uni.count()
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.Caches.scoped(spark) {
+          graft.ops.TextOps.nbScoreBatch(
+              graft.ops.TextOps.nbProj(batch.toDF(), curated), uni, totals)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   /** E8: streaming heavy hitters — the running top tokens of a
     * document stream via the Misra–Gries Aggregator
     * ([[graft.functions.MisraGriesAgg]]). The sketch buffer IS the

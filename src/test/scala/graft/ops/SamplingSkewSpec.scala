@@ -31,6 +31,7 @@ class SamplingSkewSpec extends SparkSpec with graft.StragglerProbe {
   /** query -> (skewable key, required splitting sub-key) */
   private val guarded = Seq(
     ("sample_temperature", "lang#", "bkt#"),
+    ("sample_unimax", "lang#", "bkt#"),
     ("batch_by_length", "bucket#", "sb#"))
 
   test("no skew-keyed window without its splitting sub-key, cuts included") {
@@ -92,6 +93,23 @@ class SamplingSkewSpec extends SparkSpec with graft.StragglerProbe {
     // default budget, and every selected row is that language's
     // smallest-hash prefix — the count is the whole contract here
     assert(n === 250L)
+    Caches.sweep(spark)
+  }
+
+  test("one-language corpus: sample_unimax has no straggler, exact prefix") {
+    val d = viralDir()
+    Sampling.sampleUnimax(spark, d).limit(1).count() // warm-up
+    Caches.sweep(spark)
+    var tok = 0L
+    val times = taskTimes {
+      tok = Sampling.sampleUnimax(spark, d)
+        .agg(sum(col("n_toks"))).collect()(0).getLong(0)
+    }
+    assertNoStraggler(times, "sample_unimax on one-language corpus")
+    // one language absorbs the whole budget (its 1-epoch cap is far
+    // above it); the shortest hash prefix reaching 20000 overshoots
+    // by at most one doc (the 11-token viral page)
+    assert(tok >= 20000L && tok <= 20010L, s"selected tokens $tok")
     Caches.sweep(spark)
   }
 
