@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   * proportions describe what actually ships.)
   *
   *   runMain graft.Pipeline <sfDir> <outDir> [tokenBudget]
+  *   runMain graft.Pipeline <sfDir> <outDir> --unimax  (D55 mixture)
   *   runMain graft.Pipeline <sfDir> <outDir> --graph   (graphAudit)
   *
   * Writes `outDir/corpus` parquet partitioned by `split` and prints
@@ -32,7 +33,7 @@ object Pipeline {
     * corpus under `outDir/corpus`, partitioned by split).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      tokenBudget: Long = 10000L): Map[String, Long] = {
+      tokenBudget: Long = 10000L, unimax: Boolean = false): Map[String, Long] = {
     val docs = Tables.load(spark, sfDir, "documents")
     val total = docs.count()
     // stage 1: quality/language/repetition/dup gate (D25) — keep only
@@ -53,12 +54,17 @@ object Pipeline {
       .filter(col("bucket") === "tail").select("doc_id")
     val headMid = gated.join(tail, Seq("doc_id"), "left_anti")
     val nPpl = headMid.count()
-    // stage 3: training-mix materialization (D39) — per-source token
-    // budgets b_s ∝ √T_s over the SURVIVORS' token masses, each
-    // source contributing its shortest hash-priority prefix
-    val picked = graft.ops.Sampling.sampleMixtureOn(
-        headMid.select(col("doc_id"), col("source"), col("text")),
-        tokenBudget)
+    // stage 3: training-mix materialization — default D39 (per-source
+    // √-temperature token budgets), or with `unimax` the D55 policy
+    // (per-LANGUAGE epoch-capped waterfill; Chung et al. 2023 argue it
+    // dominates temperature sampling for multilingual mixes). Both run
+    // over the SURVIVORS' own token masses, each group contributing
+    // its shortest hash-priority prefix.
+    val picked = (
+      if (unimax) graft.ops.Sampling.sampleUnimaxOn(
+        headMid.select(col("doc_id"), col("lang"), col("text")), tokenBudget)
+      else graft.ops.Sampling.sampleMixtureOn(
+        headMid.select(col("doc_id"), col("source"), col("text")), tokenBudget))
       .select("doc_id")
     val mixed = headMid.join(picked, Seq("doc_id"), "left_semi")
     val nMixed = mixed.count()
@@ -119,12 +125,14 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     try {
       // `--graph`: run the shared-edges graph-analytics session
-      // instead of the document chain
-      val rest = args.drop(2).filterNot(_ == "--graph")
+      // instead of the document chain; `--unimax`: stage 3 uses the
+      // D55 per-language waterfill instead of the D39 source mixture
+      val rest = args.drop(2).filterNot(a => a == "--graph" || a == "--unimax")
       val counts =
         if (args.contains("--graph")) graphAudit(spark, sfDir)
         else run(spark, sfDir, outDir,
-          rest.headOption.map(_.toLong).getOrElse(10000L))
+          rest.headOption.map(_.toLong).getOrElse(10000L),
+          unimax = args.contains("--unimax"))
       println(counts.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}"))

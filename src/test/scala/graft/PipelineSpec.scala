@@ -57,4 +57,29 @@ class PipelineSpec extends SparkSpec {
       .filter(col("n") > 1).count()
     assert(spans === 0L)
   }
+
+  test("--unimax swaps stage 3 for the per-language waterfill (D55)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("pipe_umax").toString
+    val counts = Pipeline.run(spark, sf, out, unimax = true)
+    assert(counts("n_mixture") > 0L &&
+      counts("n_mixture") <= counts("n_ppl_kept"))
+    // written set == the D55 operator run standalone on the survivors
+    val written = spark.read.parquet(s"$out/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepIds = graft.ops.TextOps.curationGate(spark, sf)
+      .filter(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val gatedDocs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isInCollection(keepIds))
+    val tailIds = graft.ops.TextOps.textPplBucketsOn(gatedDocs)
+      .filter(col("bucket") === "tail").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isInCollection(keepIds -- tailIds))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val picked = graft.ops.Sampling.sampleUnimaxOn(docs, 10000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(written === picked)
+  }
 }
