@@ -1005,6 +1005,31 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** D58: soft dedup — inverse-multiplicity REWEIGHTING instead of
+    * removal (SoftDeDup, He et al. ACL 2024; also the DoReMi-family
+    * reweighting view of duplication): every copy keeps weight
+    * 1/copies, so a page's total training mass is one epoch's worth
+    * regardless of how many times the crawl caught it, while hard
+    * dedup's all-or-nothing drop loses the (occasionally meaningful)
+    * duplication signal entirely. Output: every doc with its exact
+    * copy count and 6dp weight — a loader multiplies per-example loss
+    * by it.
+    *
+    * Scale shape: the [[Collapse]] pair — one partial-aggregated
+    * group count per digest (a viral page collapses map-side) and the
+    * AQE-splittable (doc_id, digest) join-back. Nothing else moves;
+    * the weight is a row-local projection on the joined count.
+    */
+  def dedupSoft(s: SparkSession, dir: String): DataFrame = {
+    val proj = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Collapse.textKey(col("text")).as("tkey"))
+    val reps = Collapse.reps(proj, "tkey", countAs = Some("copies"))
+    Collapse.docToRep(proj, reps, "tkey", extra = Seq("copies"))
+      .select(col("doc_id"), col("copies"),
+        round(lit(1.0) / col("copies"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** D40: normalization-canonical exact dedup — the CCNet recipe
     * (Wenzek et al. 2020 §3.1 deduplicate on NORMALIZED content:
     * lowercase, digits→0, punctuation stripped) applied at document
@@ -1233,6 +1258,15 @@ object Dedup {
     Q("dedup_exact", dedupExact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+    // the null-text sentinel mirrors Collapse.textKey; 1.0/BIGINT is
+    // double division in both engines
+    Q("dedup_soft", dedupSoft, Some(
+      """WITH g AS (
+        |  SELECT doc_id, coalesce(md5(text), '<null-text>') AS k
+        |  FROM documents),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS copies FROM g GROUP BY k)
+        |SELECT doc_id, copies, round(CAST(1 AS DOUBLE) / copies, 6) AS weight
+        |FROM g JOIN c USING (k) ORDER BY doc_id""".stripMargin)),
     // the oracle groups by the normalized STRING itself (no digest) —
     // independent of the md5 keying; regexp_replace needs the 'g'
     // flag in DuckDB (Spark replaces all matches by default), and the

@@ -561,6 +561,53 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** D59: decontamination VERDICT — the drop rule on top of D18's
+    * collision counts (PaLM, Chowdhery et al. 2022 §6: a training doc
+    * is contaminated when ≥70% of its n-grams also appear in an
+    * evaluation set; GPT-3 App. C applies the same shape at 13-gram
+    * exactness). Emits EVERY train doc with its distinct-shingle
+    * count, eval-collision count, 6dp overlap fraction and the `drop`
+    * flag — decided by the integer cross-multiplication
+    * `den·n_common ≥ num·n_shingles` (never a float threshold to
+    * diverge between engines). Docs too short to shingle cannot be
+    * contaminated: frac 0, drop false.
+    *
+    * Scale shape adds nothing to D18: the eval shingle set broadcasts,
+    * the train side probes it map-side, one partial-aggregated count
+    * per doc, and the verdict join keys on doc_id (unique —
+    * unskewable).
+    */
+  def contaminationVerdict(s: SparkSession, dir: String,
+      num: Int = 7, den: Int = 10): DataFrame = {
+    require(num > 0 && den > 0, s"threshold $num/$den")
+    val sh = Tables.load(s, dir, "documents")
+      .withColumn("hk", hexKey(col("doc_id"), "split:"))
+      .select(col("doc_id"),
+        splitLabel(col("hk")).as("split"),
+        Dedup.shingles(col("text")).as("sh"))
+      .transform(graft.Lineage.cut) // feeds the eval set AND the train side
+    val testSh = sh.filter(col("split") === "test")
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id"), col("sh"),
+        size(col("sh")).cast("long").as("n_shingles"))
+      .transform(graft.Lineage.cut) // feeds the probe AND the verdict join
+    val common = train
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(testSh), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    train.select(col("doc_id"), col("n_shingles"))
+      .join(common, Seq("doc_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        when(col("n_shingles") > 0,
+          round(col("n_common").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)).as("frac"),
+        (col("n_shingles") > 0 &&
+          col("n_common") * den >= col("n_shingles") * num).as("drop"))
+      .orderBy("doc_id")
+  }
+
   /** D19: temperature-based language rebalancing (the mT5/multilingual
     * data-mixing stage, Xue et al. 2021 §3.1): sample languages with
     * probability ∝ p_l^α (α < 1 upsamples low-resource languages
@@ -864,6 +911,42 @@ object Sampling {
         |SELECT doc_id, count(*) AS n_common
         |FROM train_g JOIN test_sh USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // D18's CTEs + the verdict projection; the drop rule is integer
+    // cross-multiplication in both engines, "drop" quoted (reserved)
+    Q("contamination_verdict", (s, d) => contaminationVerdict(s, d), Some(
+      raw"""WITH sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(text, '\s+')) - 1),
+        |           i -> string_split_regex(text, '\s+')[i] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+1] || ' ' ||
+        |                string_split_regex(text, '\s+')[i+2])) AS sh
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |test_sh AS (
+        |  SELECT DISTINCT unnest(sh) AS g
+        |  FROM sets JOIN sp USING (doc_id) WHERE split = 'test'),
+        |tr AS (
+        |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, sh
+        |  FROM sets JOIN sp USING (doc_id) WHERE split = 'train'),
+        |cm AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM tr) t
+        |  JOIN test_sh USING (g) GROUP BY doc_id)
+        |SELECT tr.doc_id, tr.n_shingles,
+        |  COALESCE(cm.n_common, CAST(0 AS BIGINT)) AS n_common,
+        |  CASE WHEN tr.n_shingles > 0
+        |       THEN round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) / tr.n_shingles, 6)
+        |       ELSE CAST(0 AS DOUBLE) END AS frac,
+        |  (tr.n_shingles > 0 AND
+        |   COALESCE(cm.n_common, 0) * 10 >= tr.n_shingles * 7) AS "drop"
+        |FROM tr LEFT JOIN cm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     // list_reduce over the lang-ORDERED weight list = Spark's fold
     // over the lang-sorted collect_list: both engines sum the weights
     // left to right in the same order (see sampleTemperature scaladoc)
