@@ -43,6 +43,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # of the generic SQL-vs-parquet compare
 BOUNDED_IMAGE = {"dedup_image", "dedup_image_incremental"}
 
+# keys whose sf10 output is too large for one EXCEPT ALL pass (the
+# 120M-row role_explode spilled >77 GB of DuckDB temp sorting both
+# canonical projections at once): the compare runs in N disjoint
+# slices on a deterministic integer column. The predicate partitions
+# BOTH sides identically, so per-slice multiset equality for every
+# slice is exactly global multiset equality — same check, bounded
+# spill (peak temp divides by N).
+SLICED = {"role_explode": ("l_orderkey", 16)}
+
 NUMERIC = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE",
            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
 FLOATS = {"FLOAT", "DOUBLE"}
@@ -110,8 +119,22 @@ def compare(con, name, sql, out_dir):
                 if ("i" in (ks, ko) or "f" in (ks, ko)) and "O" in (ks, ko):
                     kind_fail = True
         rec["schema_match"] = not kind_fail
-        a = con.execute(f"SELECT count(*) FROM (({ssel}) EXCEPT ALL ({osel}))").fetchone()[0]
-        b = con.execute(f"SELECT count(*) FROM (({osel}) EXCEPT ALL ({ssel}))").fetchone()[0]
+        if name in SLICED:
+            col, n = SLICED[name]
+            a = b = 0
+            for i in range(n):
+                # appended to the canon SELECT's raw FROM (s_raw/o_raw),
+                # so the predicate sees the original integer column,
+                # not its VARCHAR canonicalization
+                pred = f'WHERE "{col}" % {n} = {i}'
+                ss = f"{ssel} {pred}"
+                os_ = f"{osel} {pred}"
+                a += con.execute(f"SELECT count(*) FROM (({ss}) EXCEPT ALL ({os_}))").fetchone()[0]
+                b += con.execute(f"SELECT count(*) FROM (({os_}) EXCEPT ALL ({ss}))").fetchone()[0]
+            rec["notes"].append(f"sliced compare: {n} disjoint {col}%{n} slices")
+        else:
+            a = con.execute(f"SELECT count(*) FROM (({ssel}) EXCEPT ALL ({osel}))").fetchone()[0]
+            b = con.execute(f"SELECT count(*) FROM (({osel}) EXCEPT ALL ({ssel}))").fetchone()[0]
         rec["hash_match"] = bool(rec["rows_match"] and not kind_fail
                                  and a == 0 and b == 0)
         if a or b:
