@@ -181,6 +181,18 @@ package object functions {
       centers.map(_._2).toArray, centers.map(_._1).toArray))
   }
 
+  /** Minimum-cost unigram-LM segmentation of a word column under a
+    * fixed (piece, quantized-integer-cost) model, via the native
+    * [[UnigramViterbi]] dp — the SentencePiece decode kernel. Null
+    * when the word is not coverable (never, once every single char is
+    * in the model).
+    */
+  def unigramViterbi(word: Column, pieces: Array[String],
+      costs: Array[Long], maxLen: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(UnigramViterbi(bridge.expression(word), pieces, costs, maxLen))
+  }
+
   /** `struct(n_lines, kept)` of the C4 line rule over a page column
     * via the native one-pass [[C4LineFilter]] byte scan — replaces
     * the nested per-line regex-split + lambda-filter HOFs

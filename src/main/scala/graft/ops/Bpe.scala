@@ -25,8 +25,12 @@ import graft.Tables
   */
 object Bpe {
 
-  /** (word, wc) vocabulary frame of the documents table. */
-  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+  /** (word, wc) vocabulary frame of the documents table — the Collapse
+    * front-end both tokenizer trainers (BPE here, [[Unigram]]) ride:
+    * all training statistics run over UNIQUE words weighted by
+    * frequency, never the corpus.
+    */
+  private[ops] def wordCounts(s: SparkSession, dir: String): DataFrame =
     TextOps.tokenRows(Tables.load(s, dir, "documents"))
       .groupBy(col("token").as("word"))
       .agg(count(lit(1)).as("wc"))

@@ -18,6 +18,6 @@ object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Eda.queries ++ Dedup.queries ++
       Similarity.queries ++ Pca.queries ++ TextOps.queries ++
-      Bpe.queries ++ Multimodal.queries ++ Sampling.queries ++
+      Bpe.queries ++ Unigram.queries ++ Multimodal.queries ++ Sampling.queries ++
       ChessQueries.queries
 }

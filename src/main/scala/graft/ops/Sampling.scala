@@ -160,11 +160,12 @@ object Sampling {
     * under-samples a stratum, unlike Bernoulli sampling).
     *
     * Scale note: one shuffle on the stratum key; a hot stratum is one
-    * window task, the classic remedy being a bounded top-k partial
-    * aggregate ([[graft.functions.TopKAgg]] is exactly that shape) —
-    * at 5–100 strata the window is simpler and the task is bounded by
-    * the largest stratum, which for language-like strata is fine; for
-    * high-skew strata swap in the aggregate.
+    * window task — which is why this WINDOW formulation is the
+    * spec-pinned twin, not the registered default:
+    * [[sampleStratifiedBounded]] (the bounded top-k partial aggregate)
+    * is what `sample_stratified` runs. Kept because at 5–100
+    * language-like strata the window is the simpler statement of the
+    * semantics and the equality spec pins the two forms together.
     */
   def sampleStratified(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val byHash = Window.partitionBy("lang")
@@ -177,8 +178,8 @@ object Sampling {
       .orderBy("lang", "rk")
   }
 
-  /** Skew-proof variant of [[sampleStratified]] — the remedy the plain
-    * version's scale note names: per-stratum take-k via the bounded
+  /** The REGISTERED `sample_stratified` (scale-safe default since
+    * round 13): per-stratum take-k via the bounded
     * [[graft.functions.TopKAgg]] aggregator, O(k) state per stratum,
     * so the map-side partial aggregation does the heavy selection and
     * a hot stratum is never one giant window task. Exactly equal to
@@ -579,7 +580,6 @@ object Sampling {
     */
   def contaminationVerdict(s: SparkSession, dir: String,
       num: Int = 7, den: Int = 10): DataFrame = {
-    require(num > 0 && den > 0, s"threshold $num/$den")
     val sh = Tables.load(s, dir, "documents")
       .withColumn("hk", hexKey(col("doc_id"), "split:"))
       .select(col("doc_id"),
@@ -588,7 +588,32 @@ object Sampling {
       .transform(graft.Lineage.cut) // feeds the eval set AND the train side
     val testSh = sh.filter(col("split") === "test")
       .select(explode(col("sh")).as("g")).distinct()
-    val train = sh.filter(col("split") === "train")
+    verdictCore(sh.filter(col("split") === "train")
+      .select(col("doc_id"), col("sh")), testSh, num, den)
+  }
+
+  /** [[contaminationVerdict]] on explicit train/eval document frames —
+    * the seam the E12 streaming decontamination gate
+    * ([[graft.streaming.TextStreams.decontamGateStream]]) and its
+    * stream==batch spec drive: the eval set is whatever corpus the
+    * caller froze, not a hash-derived split of one table.
+    */
+  def contaminationVerdictOn(trainDocs: DataFrame, evalDocs: DataFrame,
+      num: Int = 7, den: Int = 10): DataFrame =
+    verdictCore(
+      trainDocs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh")),
+      evalDocs.select(explode(Dedup.shingles(col("text"))).as("g")).distinct(),
+      num, den)
+
+  /** The verdict tail both entry points share: `train` = (doc_id, sh),
+    * `testSh` = the DISTINCT eval shingle set (broadcast — the
+    * streaming gate computes it ONCE and feeds every micro-batch the
+    * same cached frame).
+    */
+  private[graft] def verdictCore(trainSh: DataFrame, testSh: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, s"threshold $num/$den")
+    val train = trainSh
       .select(col("doc_id"), col("sh"),
         size(col("sh")).cast("long").as("n_shingles"))
       .transform(graft.Lineage.cut) // feeds the probe AND the verdict join
@@ -877,11 +902,13 @@ object Sampling {
         |SELECT doc_id, lang, n_toks, CAST(cb AS BIGINT) AS cum_before
         |FROM cum JOIN k USING (lang) WHERE cb < b_l
         |ORDER BY doc_id""".stripMargin)),
-    Q("sample_stratified", (s, d) => sampleStratified(s, d), Some(
+    // the bounded TopKAgg form is the REGISTERED primary (scale-safe
+    // under a hot stratum: O(k) state, map-side partial selection); the
+    // window formulation stays as the spec-pinned twin — two physical
+    // strategies, one semantic, one shared oracle
+    Q("sample_stratified", (s, d) => sampleStratifiedBounded(s, d), Some(
       stratifiedOracle)),
-    // the bounded-aggregate twin answers the same question, so it
-    // shares the oracle — two physical strategies, one semantic
-    Q("sample_stratified_topk", (s, d) => sampleStratifiedBounded(s, d), Some(
+    Q("sample_stratified_window", (s, d) => sampleStratified(s, d), Some(
       stratifiedOracle)),
     // shingle-id == string-3-gram equivalence is the same 64-bit
     // collision budget dedup_jaccard's oracle already relies on; both

@@ -1265,8 +1265,12 @@ object TextOps {
           .as("s"),
         size(col("cand")).cast("double").as("kk"))
       .select(col("source"),
-        round((col("kk") * col("s.sxy") - col("s.sx") * col("s.sy")) /
-          (col("kk") * col("s.sxx") - col("s.sx") * col("s.sx")), 6)
+        // a single-rank fit (vocab == 1 or k == 1) has zero x-variance:
+        // the denominator is 0 and Spark's double division would yield
+        // NaN where SQL engines yield NULL — guard to NULL in both
+        when(col("kk") >= 2,
+          round((col("kk") * col("s.sxy") - col("s.sx") * col("s.sy")) /
+            (col("kk") * col("s.sxx") - col("s.sx") * col("s.sx")), 6))
           .as("zipf_slope"))
     stats.join(fit, "source")
       .select(col("source"), col("n_tokens"), col("vocab"),
@@ -2412,8 +2416,9 @@ object TextOps {
         |SELECT st.source, st.n_tokens, st.vocab,
         |  round(CAST(st.vocab AS DOUBLE) / st.n_tokens, 6) AS ttr,
         |  round(CAST(st.hapax AS DOUBLE) / st.vocab, 6) AS hapax_ratio,
-        |  round((f.k * f.s[3] - f.s[1] * f.s[2]) /
-        |        (f.k * f.s[4] - f.s[1] * f.s[1]), 6) AS zipf_slope
+        |  CASE WHEN f.k >= 2 THEN
+        |    round((f.k * f.s[3] - f.s[1] * f.s[2]) /
+        |          (f.k * f.s[4] - f.s[1] * f.s[1]), 6) END AS zipf_slope
         |FROM st JOIN fold f USING (source)
         |ORDER BY source""".stripMargin)),
     // ONE shared multiply order inside the ln in both engines

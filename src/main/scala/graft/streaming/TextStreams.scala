@@ -248,14 +248,18 @@ object TextStreams {
     */
   def qualityGateStream(spark: SparkSession, histDir: String,
       docsDir: String, outDir: String, checkpointDir: String,
-      curated: Seq[String] = graft.ops.TextOps.CuratedSources)
+      curated: Seq[String] = graft.ops.TextOps.CuratedSources,
+      docsSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : StreamingQuery = {
     val (uni, totals) = graft.ops.TextOps.nbModel(
       graft.ops.TextOps.nbProj(spark.read.parquet(histDir), curated))
     // materialize the frozen model ONCE, before the first micro-batch
     // (uni is cached; an unmaterialized cache would re-train per batch)
     uni.count()
-    val schema = spark.read.parquet(docsDir).schema
+    // an always-on gate may start before the source dir has any files:
+    // pass docsSchema explicitly to skip the eager inference read
+    // (which throws "unable to infer schema" on an empty directory)
+    val schema = docsSchema.getOrElse(spark.read.parquet(docsDir).schema)
     spark.readStream.schema(schema).parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -263,6 +267,60 @@ object TextStreams {
         graft.Caches.scoped(spark) {
           graft.ops.TextOps.nbScoreBatch(
               graft.ops.TextOps.nbProj(batch.toDF(), curated), uni, totals)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(outDir)
+        }
+      }
+      .start()
+  }
+
+  /** E12: streaming DECONTAMINATION gate — the deployment shape of
+    * D59 ([[graft.ops.Sampling.contaminationVerdict]]), completing the
+    * streaming × contamination intersection: the evaluation corpus's
+    * distinct shingle set is FROZEN before the stream starts (computed
+    * once, cached, broadcast into every micro-batch — the E11
+    * frozen-model pattern; at 100 TB the cached set persists as a
+    * parquet side table and the same broadcast survives), and each
+    * arriving train batch is shingled, probed, and verdicted
+    * STATELESSLY through [[graft.ops.Sampling.verdictCore]] — the
+    * exact code path the batch oracle (`contamination_verdict`) pins.
+    * Nothing enters the state store; replay idempotence is
+    * batch-partitioned dynamic overwrite alone (the E11 protocol).
+    *
+    * Output: every train doc with its shingle/collision counts, 6dp
+    * overlap `frac` and the PaLM-rule `drop` verdict (≥ num/den of the
+    * doc's n-grams in the eval set), partitioned by `ingest_batch` —
+    * the auditable gate a continuous pretraining feed filters on.
+    *
+    * `docsSchema`: pass explicitly to start the gate on a
+    * not-yet-populated source directory (otherwise the schema is
+    * inferred from the existing files, the pre-existing streams'
+    * contract).
+    */
+  def decontamGateStream(spark: SparkSession, evalDir: String,
+      docsDir: String, outDir: String, checkpointDir: String,
+      num: Int = 7, den: Int = 10,
+      docsSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    import graft.ops.{Dedup, Sampling}
+    val testSh = spark.read.parquet(evalDir)
+      .select(explode(Dedup.shingles(col("text"))).as("g")).distinct()
+      .cache()
+    // materialize the frozen eval set ONCE, before the first batch
+    testSh.count()
+    val schema = docsSchema.getOrElse(spark.read.parquet(docsDir).schema)
+    spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.Caches.scoped(spark) {
+          Sampling.verdictCore(
+              batch.toDF().select(col("doc_id"),
+                Dedup.shingles(col("text")).as("sh")),
+              testSh, num, den)
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .partitionBy("ingest_batch")

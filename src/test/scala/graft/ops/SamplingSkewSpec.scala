@@ -80,6 +80,30 @@ class SamplingSkewSpec extends SparkSpec with graft.StragglerProbe {
     d
   }
 
+  test("sample_stratified (registered default) is window-free") {
+    // the r13 swap: the bounded TopKAgg form is the registered primary,
+    // so the registered plan must carry NO Window node at all — a hot
+    // stratum is partial-aggregated, never one giant window task
+    val plan = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sample_stratified still plans a Window:\n$plan")
+  }
+
+  test("one-stratum corpus: sample_stratified has no straggler, exact k") {
+    val d = viralDir() // 1_002_000 docs, ONE language = one stratum
+    Sampling.sampleStratifiedBounded(spark, d).limit(1).count() // warm-up
+    Caches.sweep(spark)
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    val times = taskTimes {
+      rows = Sampling.sampleStratifiedBounded(spark, d).collect()
+    }
+    assertNoStraggler(times, "sample_stratified on one-stratum corpus")
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to 20L))
+    Caches.sweep(spark)
+  }
+
   test("one-language corpus: sample_temperature has no straggler, exact budget") {
     val d = viralDir()
     Sampling.sampleTemperature(spark, d).limit(1).count() // warm-up

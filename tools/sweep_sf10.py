@@ -131,7 +131,15 @@ def compare(con, name, sql, out_dir):
                 os_ = f"{osel} {pred}"
                 a += con.execute(f"SELECT count(*) FROM (({ss}) EXCEPT ALL ({os_}))").fetchone()[0]
                 b += con.execute(f"SELECT count(*) FROM (({os_}) EXCEPT ALL ({ss}))").fetchone()[0]
-            rec["notes"].append(f"sliced compare: {n} disjoint {col}%{n} slices")
+            # col % n excludes NULL-key rows from EVERY slice on both
+            # sides — a final NULL pass closes that hole so per-slice
+            # equality really is global equality
+            pred = f'WHERE "{col}" IS NULL'
+            ss = f"{ssel} {pred}"
+            os_ = f"{osel} {pred}"
+            a += con.execute(f"SELECT count(*) FROM (({ss}) EXCEPT ALL ({os_}))").fetchone()[0]
+            b += con.execute(f"SELECT count(*) FROM (({os_}) EXCEPT ALL ({ss}))").fetchone()[0]
+            rec["notes"].append(f"sliced compare: {n} disjoint {col}%{n} slices + NULL pass")
         else:
             a = con.execute(f"SELECT count(*) FROM (({ssel}) EXCEPT ALL ({osel}))").fetchone()[0]
             b = con.execute(f"SELECT count(*) FROM (({osel}) EXCEPT ALL ({ssel}))").fetchone()[0]
