@@ -37,17 +37,75 @@ object Pca {
   private def dimOf(corp: DataFrame): Int =
     corp.select(size(col("embedding")).as("d")).head.getInt(0)
 
-  /** Population covariance cells (i ≤ j) of `corp`'s embedding column
-    * via the single-pass [[graft.functions.GramAgg]] sweep.
+  /** Default block side for the blocked (d > 4096) covariance path. */
+  private[ops] val BlockSize = 1024
+
+  /** Tile the upper-triangle (i-block ≤ j-block) plane and pack tiles
+    * greedily (in (bi, bj) order) into waves whose combined buffer
+    * stays inside [[graft.functions.GramTileAgg.EnvelopeCells]] — each
+    * wave is one bounded corpus pass.
     */
-  private[ops] def covOf(corp: DataFrame, d: Int): DataFrame = {
-    val g = udaf(new graft.functions.GramAgg(d))
-    corp.agg(g(col("embedding")).as("g"))
-      .select(explode(col("g")).as("e"))
-      .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
-        round(col("e.cov"), 6).as("cov"))
-      .orderBy("i", "j")
+  private[ops] def tileWaves(d: Int, bs: Int): Seq[Seq[(Int, Int)]] = {
+    val nb = (d + bs - 1) / bs
+    def sz(t: (Int, Int)): Long = {
+      val ni = math.min(t._1 * bs + bs, d) - t._1 * bs
+      val nj = math.min(t._2 * bs + bs, d) - t._2 * bs
+      if (t._1 == t._2) ni.toLong * (ni + 1) / 2 else ni.toLong * nj
+    }
+    val tiles = for (bi <- 0 until nb; bj <- bi until nb) yield (bi, bj)
+    val waves = Seq.newBuilder[Seq[(Int, Int)]]
+    var cur = Seq.newBuilder[(Int, Int)]
+    var used = 0L
+    for (t <- tiles) {
+      if (used + sz(t) > graft.functions.GramTileAgg.EnvelopeCells && used > 0) {
+        waves += cur.result(); cur = Seq.newBuilder; used = 0L
+      }
+      cur += t; used += sz(t)
+    }
+    val last = cur.result()
+    if (last.nonEmpty) waves += last
+    waves.result()
   }
+
+  /** Unrounded covariance cells (i ≤ j, int dims): ONE
+    * [[graft.functions.GramAgg]] pass inside the single-buffer
+    * envelope (d ≤ 4096); beyond it, the BLOCKED path — tile waves of
+    * [[graft.functions.GramTileAgg]] buffers, one envelope-bounded
+    * corpus pass per wave over the Lineage-cut scan, unioned (the
+    * classic out-of-core Gram trade: task memory stays flat, pass
+    * count grows as ⌈tiles/wave⌉).
+    */
+  private[ops] def covCells(corp: DataFrame, d: Int): DataFrame =
+    if (d <= 4096) {
+      val g = udaf(new graft.functions.GramAgg(d))
+      corp.agg(g(col("embedding")).as("g"))
+        .select(explode(col("g")).as("e"))
+        .select(col("e.i"), col("e.j"), col("e.cov"))
+    } else covCellsBlocked(corp, d, BlockSize)
+
+  /** The blocked path with an explicit block side — the seam the
+    * blocked==single equality spec drives at small d.
+    */
+  private[ops] def covCellsBlocked(corp: DataFrame, d: Int, bs: Int): DataFrame = {
+    val waves = tileWaves(d, bs)
+    // several passes read the same projection: cache it once
+    val src = graft.Lineage.cut(corp.select(col("embedding")))
+    waves.map { wv =>
+      val g = udaf(new graft.functions.GramTileAgg(d, wv, bs))
+      src.agg(g(col("embedding")).as("g"))
+        .select(explode(col("g")).as("e"))
+        .select(col("e.i"), col("e.j"), col("e.cov"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Population covariance cells (i ≤ j) of `corp`'s embedding column,
+    * 6dp-rounded — single-buffer or blocked per [[covCells]].
+    */
+  private[ops] def covOf(corp: DataFrame, d: Int): DataFrame =
+    covCells(corp, d)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("cov"), 6).as("cov"))
+      .orderBy("i", "j")
 
   /** D44 (oracled surface): the upper-triangle covariance matrix of
     * the embedding corpus, 6dp-rounded. The DuckDB oracle re-derives
@@ -64,11 +122,7 @@ object Pca {
     * (model-sized collect: d(d+1)/2 cells), unrounded.
     */
   private[ops] def covMatrix(corp: DataFrame, d: Int): Array[Array[Double]] = {
-    val g = udaf(new graft.functions.GramAgg(d))
-    val cells = corp.agg(g(col("embedding")).as("g"))
-      .select(explode(col("g")).as("e"))
-      .select(col("e.i"), col("e.j"), col("e.cov"))
-      .collect()
+    val cells = covCells(corp, d).collect()
     val a = Array.ofDim[Double](d, d)
     cells.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))

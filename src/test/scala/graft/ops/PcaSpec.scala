@@ -46,6 +46,77 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("blocked-covariance"))
   }
 
+  test("tile waves: disjoint, complete, every wave inside the task envelope") {
+    for ((d, bs) <- Seq((16384, 1024), (5000, 1024), (4100, 1024), (64, 24))) {
+      val waves = Pca.tileWaves(d, bs)
+      val nb = (d + bs - 1) / bs
+      val all = waves.flatten
+      assert(all.toSet.size === all.size, s"d=$d: overlapping tiles")
+      assert(all.toSet ===
+        (for (bi <- 0 until nb; bj <- bi until nb) yield (bi, bj)).toSet,
+        s"d=$d: missing tiles")
+      def sz(t: (Int, Int)): Long = {
+        val ni = math.min(t._1 * bs + bs, d) - t._1 * bs
+        val nj = math.min(t._2 * bs + bs, d) - t._2 * bs
+        if (t._1 == t._2) ni.toLong * (ni + 1) / 2 else ni.toLong * nj
+      }
+      for (w <- waves)
+        assert(w.map(sz).sum <= graft.functions.GramTileAgg.EnvelopeCells,
+          s"d=$d: wave exceeds the envelope")
+      // the per-wave bound is also enforced at construction
+      assert(waves.forall(w =>
+        { new graft.functions.GramTileAgg(d, w, bs); true }))
+    }
+    // an over-packed wave is rejected at construction, not at OOM
+    val tooMany = for (bi <- 0 until 4; bj <- bi until 4) yield (bi, bj)
+    val e = intercept[IllegalArgumentException] {
+      new graft.functions.GramTileAgg(4096 * 4, tooMany, 4096)
+    }
+    assert(e.getMessage.contains("envelope"))
+  }
+
+  test("blocked covariance == single-buffer covariance at d <= 4096") {
+    val corp = graft.Tables.spread(graft.Tables.load(
+        spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding")))
+    // bs=24 over d=64 → ragged 3×3 block grid incl. off-diagonal tiles
+    val blocked = Pca.covCellsBlocked(corp, 64, 24)
+      .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val single = Pca.covOf(corp, 64).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2))).toMap
+    assert(blocked.keySet === single.keySet)
+    for ((k, v) <- single) assert(blocked(k) === v, s"cell $k")
+  }
+
+  test("d > 4096: covOf routes to the blocked path and matches direct math") {
+    val d = 4100 // two ragged waves at bs=1024 (15 tiles ≈ 8.9M cells)
+    val n = 30
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until n).map(r =>
+      (r.toLong, Seq.fill(d)(rnd.nextFloat() * 2f - 1f)))
+    val corp = rows.toDF("vec_id", "embedding").coalesce(1)
+    assert(Pca.tileWaves(d, Pca.BlockSize).length > 1, "must exercise >1 wave")
+    // sample cells: the first rows of the plane + a band crossing the
+    // 1024-block boundary (full-plane collect would be 8.4M rows)
+    val out = Pca.covOf(corp, d)
+      .filter(col("i") < 2 || (col("i") >= 1022 && col("i") <= 1026))
+      .collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2))).toMap
+    val mean = Array.tabulate(d)(i => rows.map(_._2(i).toDouble).sum / n)
+    def cov(i: Int, j: Int): Double =
+      rows.map(r => r._2(i).toDouble * r._2(j).toDouble).sum / n - mean(i) * mean(j)
+    for ((i, j) <- Seq((0, 0), (0, 1), (0, 4099), (1, 1023), (1, 1024),
+        (1022, 1023), (1023, 1024), (1024, 2047), (1026, 4099)))
+      assert(math.abs(out((i, j)) - cov(i, j)) < 1e-5,
+        s"cell ($i,$j): ${out((i, j))} vs ${cov(i, j)}")
+    // completeness of the sampled band: each sampled row i has cells
+    // for every j in [i, d) — incl. across the 1024-block boundary
+    assert(out.keys.count(_._1 == 0) === d)
+    assert(out.keys.count(_._1 == 1023) === d - 1023)
+    assert(out.keys.count(_._1 == 1024) === d - 1024)
+  }
+
   test("jacobiEigen on a known symmetric system") {
     val (evals, evecs) = Pca.jacobiEigen(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
