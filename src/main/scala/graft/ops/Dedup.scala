@@ -1336,8 +1336,15 @@ object Dedup {
         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
         |  FROM batch)
         |SELECT doc_id FROM first WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
-    Q("dedup_minhash", (s, d) => dedupMinhash(s, d), None),
-    Q("dedup_simhash", (s, d) => dedupSimhash(s, d), None),
+    // HASH-ORACLED since r13: DuckDB re-derives XXH64 (token bytes +
+    // chained hashLong shingle ids) and Murmur3 (slot mins + band
+    // hashes) bit-for-bit via emulated wrapping arithmetic, then
+    // replays banding, cap, verification and the survivor rule — see
+    // HashOracles
+    Q("dedup_minhash", (s, d) => dedupMinhash(s, d),
+      Some(HashOracles.minhashOracle())),
+    Q("dedup_simhash", (s, d) => dedupSimhash(s, d),
+      Some(HashOracles.simhashOracle())),
     // exact jaccard in DuckDB over string 3-grams: the PPJoin result
     // must equal it exactly (prefix-filter recall is exact; shingle-id
     // collisions are ~d^2/2^65). `common` and the jaccard quotient are
