@@ -60,7 +60,12 @@ object Bench {
     // build feeding density/classify/clusters/pagerank/hubness
     // through the *On seams (Pipeline.graphAudit); tracks the
     // shared-build scaling the riders actually pay in a pipeline
-    "graph_audit")
+    "graph_audit",
+    // round 13: the held-out NB quality scorer — representative of the
+    // r12 Collapse re-seamed held-out trio (3 of the 5 heaviest
+    // long-tail CPU keys), promoted so the re-seam's scaling is
+    // tracked at sf1/sf10 instead of only in the single-sample tail
+    "text_quality_classifier_heldout")
 
   /** One full ingest pass for the `pgn_ingest` bench entry: 20k
     * sample games through parse → withStats → role doubling → the
@@ -94,6 +99,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-Aggregator plans (TopKAgg and friends) fall back to
+      // SORT-BASED aggregation past 128 distinct keys per task by
+      // default — the per-task candidate stream then gets fully
+      // sorted, the exact cost the O(k)-state aggregators exist to
+      // avoid (found by the r13 knnskew probe: the hot Voronoi task
+      // sorted 2e8 rows). 128k keys x O(k) state is a few tens of MB.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 131072)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -158,10 +170,22 @@ object Bench {
           (gcMillis() - g0) / 1e3)
       } finally Caches.sweep(spark)
 
+    // huge-SF tiers (sf100) run ONE timed pass with no warm-up — a
+    // 2-3 h single pass can't afford 4x, and at that scale per-query
+    // JIT noise is a rounding error against multi-minute queries —
+    // over an explicit subset (the ladder-relevant heavies + linear
+    // controls; a full sf100 headline pass is ~2.5 h alone)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt > 0
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(qs) => Bench.headline.filter(qs.split(",").toSet)
+      case None => Bench.headline
+    }
+
     val failed = scala.collection.mutable.Set.empty[String]
     // warm-up pass (discarded); a query that throws here is reported
     // as -1 and skipped in the timed rounds
-    headline.foreach { name =>
+    if (warmup) headline.foreach { name =>
       try once(name)
       catch {
         case e: Throwable =>
@@ -173,9 +197,12 @@ object Bench {
     val live = headline.filterNot(failed)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Sample]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to 3; name <- live)
-      try samples(name) = samples(name) :+ once(name)
-      catch {
+    for (r <- 1 to rounds; name <- live)
+      try {
+        val s = once(name)
+        samples(name) = samples(name) :+ s
+        System.err.println(f"[bench] pass $r: $name ${s.wall}%.1fs cpu ${s.cpu}%.1f")
+      } catch {
         case e: Throwable =>
           System.err.println(
             s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")

@@ -122,7 +122,77 @@ object Scale {
     dir
   }
 
+  /** One tight cluster of `hot` vectors + gaussian noise to `total`
+    * vectors, ALL unique (the post-dedup contract holds) — with the
+    * cluster placed on the vec_ids whose `md5("ivf:"||id)` ranks
+    * LARGEST, so the hash-pivot selection (smallest ranks) can never
+    * put a pivot inside the ball: every cluster member's nearest pivot
+    * is the same outside pivot and the whole ball lands in ONE Voronoi
+    * cell. The knn_graph join-output-skew worst case.
+    */
+  private def knnSkewCorpus(spark: SparkSession, hot: Int, total: Int): String = {
+    val d = 16
+    val ranked = spark.range(1L, total.toLong + 1)
+      .select(col("id").as("vec_id"),
+        md5(concat(lit("ivf:"), col("id").cast("string"))).as("hk"))
+      .orderBy(desc("hk")).limit(hot).select("vec_id")
+      .withColumn("is_hot", lit(true))
+    val base = spark.range(1L, total.toLong + 1)
+      .select(col("id").as("vec_id"))
+      .join(ranked, Seq("vec_id"), "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+    val dims = (0 until d).map { k =>
+      when(col("is_hot"),
+        lit(1.0) + lit(0.001) * randn(1000L + k))
+        .otherwise(randn(2000L + k))
+    }
+    val dir = s"/tmp/graft_scale_knnskew_${hot}_$total"
+    base.select(col("vec_id"),
+        array(dims: _*).cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    System.err.println(s"[scale] knn-skew corpus: $hot-vector ball " +
+      s"(pivot-free by hash rank) + ${total - hot} noise at $dir")
+    dir
+  }
+
+  /** The knn_graph hot-Voronoi-cell probe (round 13, SURVEY §8):
+    * measures the list-id join's straggler ratio on the degenerate
+    * corpus under (a) plain join + default AQE, (b) plain join with
+    * the AQE skew byte-threshold floored, (c) the hot-list salt.
+    * Also reports whether OptimizeSkewedJoin ever engaged
+    * (`skewed=true` in the final adaptive plan).
+    */
+  private def knnSkewProbe(spark: SparkSession, hot: Int, total: Int): Unit = {
+    val dir = knnSkewCorpus(spark, hot, total)
+    def run(tag: String, hotSalt: Int): Unit = {
+      val t0 = System.nanoTime()
+      var plan = ""
+      val (maxT, medT, detail) = withTaskStats(spark) {
+        val df = graft.ops.Similarity.knnGraph(spark, dir, hotSalt = hotSalt)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df.queryExecution.executedPlan.toString
+      }
+      val ratio = if (medT > 0) maxT.toDouble / medT else 0.0
+      System.err.println(f"[scale] knn_graph[$tag] " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs straggler max/median " +
+        f"${maxT}ms/${medT}ms = $ratio%.1fx; " +
+        s"aqeSkewEngaged=${plan.contains("skewed=true")}; $detail")
+      Caches.sweep(spark)
+    }
+    run("plain, default AQE", hotSalt = 1)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try run("plain, AQE byte-threshold floored", hotSalt = 1)
+    finally {
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+    run(s"hot-list salt x${graft.ops.Similarity.HotSalt}",
+      hotSalt = graft.ops.Similarity.HotSalt)
+  }
+
   def main(args: Array[String]): Unit = {
+    val knnSkewMode = args.headOption.contains("knnskew")
     val viralBatchMode = args.headOption.contains("viralbatch")
     val viralMode = args.headOption.contains("viral") || viralBatchMode
     val baseSf =
@@ -133,9 +203,24 @@ object Scale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-Aggregator plans (TopKAgg and friends) fall back to
+      // SORT-BASED aggregation past 128 distinct keys per task by
+      // default — the per-task candidate stream then gets fully
+      // sorted, the exact cost the O(k)-state aggregators exist to
+      // avoid (found by the r13 knnskew probe: the hot Voronoi task
+      // sorted 2e8 rows). 128k keys x O(k) state is a few tens of MB.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 131072)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (knnSkewMode) {
+      val hot = args.lift(1).map(_.toInt).getOrElse(30000)
+      val total = args.lift(2).map(_.toInt).getOrElse(1000000)
+      knnSkewProbe(spark, hot, total)
+      spark.stop()
+      return
+    }
 
     // the viral-batch corpus dictionary-compresses to a few MB, so the
     // default 128 MB split packing would coalesce the whole 2e7-row

@@ -181,6 +181,18 @@ package object functions {
       centers.map(_._2).toArray, centers.map(_._1).toArray))
   }
 
+  /** Top-k `struct(cos, pid)` of a float-vector column against a fixed
+    * center set, (cos desc, pid desc), via the native one-pass
+    * [[CosTopK]] — the IVF pivot-ranking kernel (replaces the
+    * nLists-struct array_sort per row; bit-identical prefix,
+    * spec-pinned).
+    */
+  def cosTopK(vec: Column, centers: Seq[(Long, Array[Float])], k: Int): Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(CosTopK(bridge.expression(vec),
+      centers.map(_._2).toArray, centers.map(_._1).toArray, k))
+  }
+
   /** Minimum-cost unigram-LM segmentation of a word column under a
     * fixed (piece, quantized-integer-cost) model, via the native
     * [[UnigramViterbi]] dp — the SentencePiece decode kernel. Null

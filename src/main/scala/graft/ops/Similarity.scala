@@ -232,7 +232,11 @@ object Similarity {
     * one expression tree per row: [[NLists]] fused-cosine calls + a
     * 16-element sort, zero data movement.
     */
-  private def pivotRanking(emb: Column, piv: Array[(Long, Array[Float])]): Column =
+  // retained as the COMPOSED reference formulation: CosTopKSpec pins
+  // the native cosTopK prefix bit-equal to slice(this, 1, k); no
+  // production path calls it since r13 (the r13 knnskew probe measured
+  // the per-row nLists-struct array_sort at ~3.9 ms/row at nLists=1000)
+  private[ops] def pivotRanking(emb: Column, piv: Array[(Long, Array[Float])]): Column =
     reverse(array_sort(array(piv.toIndexedSeq.map { case (pid, v) =>
       struct(cosine(emb, typedLit(v)).as("cos"), lit(pid).as("pid"))
     }: _*)))
@@ -295,9 +299,10 @@ object Similarity {
       piv: Array[(Long, Array[Float])], nProbe: Int): DataFrame = {
     val assigned = corp
       .withColumn("pid",
-        element_at(pivotRanking(col("embedding"), piv), 1).getField("pid"))
+        element_at(graft.functions.cosTopK(col("embedding"), piv.toSeq, 1), 1)
+          .getField("pid"))
     val probes = queries
-      .withColumn("p", explode(slice(pivotRanking(col("q_emb"), piv), 1, nProbe)))
+      .withColumn("p", explode(graft.functions.cosTopK(col("q_emb"), piv.toSeq, nProbe)))
       .select(col("q_id"), col("q_emb"), col("p.pid").as("pid"))
     val scored = assigned.join(broadcast(probes), Seq("pid"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
@@ -459,7 +464,8 @@ object Similarity {
     // the compact index: list id + m-byte code per vector (the only
     // full-corpus frame the search touches)
     val indexed = corp.withColumn("pid",
-        element_at(pivotRanking(col("embedding"), piv), 1).getField("pid"))
+        element_at(graft.functions.cosTopK(col("embedding"), piv.toSeq, 1), 1)
+          .getField("pid"))
       .withColumn("codes", pqCodes(col("embedding"), books, ds))
       .select(col("vec_id"), col("pid"), col("codes"))
       .transform(graft.Lineage.cut)
@@ -484,7 +490,7 @@ object Similarity {
     import spark.implicits._
     val adcDf = adcRows.toSeq.toDF("q_id", "adc", "nt")
     val probes = queries
-      .withColumn("p", explode(slice(pivotRanking(col("q_emb"), piv), 1, nProbe)))
+      .withColumn("p", explode(graft.functions.cosTopK(col("q_emb"), piv.toSeq, nProbe)))
       .select(col("q_id"), col("p.pid").as("pid"))
       .join(adcDf, "q_id")
     // ADC scoring: m lookups + sqrt per candidate; codes never leave
@@ -867,9 +873,18 @@ object Similarity {
     *     recompute the nLists-cosine scan twice.
     *  2. Candidates meet through a SHUFFLE join on the list id (the
     *     broadcast of [[annIvfOn]] is impossible — the probe side is
-    *     the whole corpus). List-size skew (hash pivots give uneven
-    *     Voronoi cells) is a skewed shuffle join: AQE-splittable, the
-    *     [[Collapse]] argument.
+    *     the whole corpus). MILD list-size skew (input bytes) is
+    *     AQE-splittable; a DEGENERATE cell (a dense ball no pivot
+    *     landed in) is JOIN-OUTPUT-quadratic skew that AQE provably
+    *     does not split (the r13 knnskew probe: `skewed=true` never
+    *     appears, even with the byte threshold floored — skew
+    *     decisions read input partition bytes, and the hot cell's m²
+    *     rows explode out of a few-MB partition). The guard is the
+    *     `hotSalt` static split below: per-list assigned counts are a
+    *     model-sized aggregate, lists over [[HotFactor]]× the mean
+    *     join on (pid, salt) with probes replicated per salt —
+    *     identical pair set, m² spread over [[HotSalt]] tasks, even
+    *     corpora keep the exact unsalted plan (SURVEY §8 r13).
     *  3. Per-vector top-k through the bounded partial-aggregated
     *     [[graft.functions.TopKAgg]] — O(k) state map-side, no
     *     per-vector window.
@@ -901,7 +916,7 @@ object Similarity {
     * [[knnHubness]]).
     */
   def knnGraph(s: SparkSession, dir: String, nLists: Int = 0,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, hotSalt: Int = HotSalt): DataFrame = {
     val nl =
       if (nLists > 0) nLists
       else math.max(16, math.ceil(math.sqrt(
@@ -909,7 +924,7 @@ object Similarity {
     val piv = ivfPivots(s, dir, nl)
     val ranked = corpus(s, dir)
       .select(col("vec_id"), col("embedding"),
-        slice(pivotRanking(col("embedding"), piv), 1, nProbe).as("pr"))
+        graft.functions.cosTopK(col("embedding"), piv.toSeq, nProbe).as("pr"))
       .transform(graft.Lineage.cut)
     val assigned = ranked.select(
       element_at(col("pr"), 1).getField("pid").as("pid"),
@@ -917,12 +932,54 @@ object Similarity {
     val probes = ranked.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), explode(col("pr")).as("p"))
       .select(col("p.pid").as("pid"), col("q_id"), col("q_emb"))
-    val scored = assigned.join(probes, Seq("pid"))
+    // HOT-LIST SALT (round 13 — the knnskew probe's finding): a
+    // degenerate Voronoi cell (a dense ball no pivot landed in) is a
+    // JOIN-OUTPUT-quadratic hot key: m assigned × m probes explode out
+    // of ONE task, while the task's INPUT is a few MB — invisible to
+    // AQE's OptimizeSkewedJoin, which splits on input partition bytes
+    // (measured: 2e9-row hot-cell output, no `skewed=true` even with
+    // the byte threshold floored; SURVEY §8). So the split is made
+    // static where the size is KNOWN: per-list assigned counts are an
+    // nLists-row aggregate over the cached ranking (model-sized — the
+    // pivot-collect convention); lists over [[HotFactor]]× the mean
+    // get their assigned side salted `hotSalt` ways and their probe
+    // rows replicated per salt — the join key becomes (pid, salt), the
+    // hot cell's m² work spreads over hotSalt tasks, and the candidate
+    // PAIR SET is identical (same pairs, different meeting task), so
+    // results and the oracle are untouched. Even corpora have no hot
+    // lists: the salt column is constant 0 and the only added cost is
+    // the nLists-row count.
+    val hotIds: Seq[Long] =
+      if (hotSalt <= 1) Seq.empty
+      else {
+        val sizes = assigned.groupBy("pid").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val mean = sizes.map(_._2).sum.toDouble / math.max(1, sizes.length)
+        sizes.filter(_._2 > HotFactor * mean).map(_._1).toSeq
+      }
+    val scored = (if (hotIds.isEmpty) assigned.join(probes, Seq("pid"))
+      else {
+        val hot = col("pid").isInCollection(hotIds)
+        val aSalted = assigned.withColumn("salt",
+          when(hot, pmod(hash(col("vec_id")), lit(hotSalt)))
+            .otherwise(lit(0)))
+        val pSalted = probes.withColumn("salt", explode(
+          when(hot, sequence(lit(0), lit(hotSalt - 1)))
+            .otherwise(array(lit(0)))))
+        aSalted.join(pSalted, Seq("pid", "salt"))
+      })
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .select("q_id", "vec_id", "cos")
     topKPerQuery(scored)
   }
+
+  /** Salt fan-out for join-output-skewed kNN-graph lists (see
+    * [[knnGraph]]); lists beyond [[HotFactor]]× the mean assigned size
+    * are split this many ways.
+    */
+  val HotSalt = 16
+  val HotFactor = 4.0
 
   /** D49: kNN-density outlier scoring — each vector's density is the
     * mean cosine to its [[knnGraph]] neighbors; vectors whose density
