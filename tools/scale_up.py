@@ -62,19 +62,22 @@ def main(base, out, factor):
         print(f"{name}: copied (dimension)")
     for name, keys in KEYED.items():
         t = pq.read_table(f"{base}/{name}.parquet")
-        copies = []
-        for c in range(factor):
-            tc = t
-            for colname, dom in keys.items():
-                i = tc.schema.get_field_index(colname)
-                shifted = pc.add(tc[colname],
-                                 pa.scalar(c * stride[dom],
-                                           type=tc.schema.field(i).type))
-                tc = tc.set_column(i, tc.schema.field(i), shifted)
-            copies.append(tc)
-        big = pa.concat_tables(copies)
-        pq.write_table(big, f"{out}/{name}.parquet")
-        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+        # Stream each shifted copy as its own row group(s): memory stays
+        # O(one copy) at any factor (the factor-1000 sf100 tier would
+        # otherwise hold 1000 shifted key-column buffers before the one
+        # concat write), and the many-row-group file is what a real
+        # multi-file cluster scan looks like to Spark's split planner.
+        with pq.ParquetWriter(f"{out}/{name}.parquet", t.schema) as w:
+            for c in range(factor):
+                tc = t
+                for colname, dom in keys.items():
+                    i = tc.schema.get_field_index(colname)
+                    shifted = pc.add(tc[colname],
+                                     pa.scalar(c * stride[dom],
+                                               type=tc.schema.field(i).type))
+                    tc = tc.set_column(i, tc.schema.field(i), shifted)
+                w.write_table(tc)
+        print(f"{name}: {t.num_rows} -> {t.num_rows * factor} rows")
 
 
 if __name__ == "__main__":
