@@ -26,9 +26,16 @@ object RunQ {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    // dev knobs: core count (default 8 — the quick-iteration shape) and
+    // arbitrary conf overrides "k=v;k=v" for A/B plan probes (the
+    // instrument behind §8's AQE-partition-sizing measurements)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains('='))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // typed-Aggregator plans (TopKAgg and friends) fall back to
       // SORT-BASED aggregation past 128 distinct keys per task by
@@ -37,7 +44,21 @@ object RunQ {
       // avoid (found by the r13 knnskew probe: the hot Voronoi task
       // sorted 2e8 rows). 128k keys x O(k) state is a few tens of MB.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 131072)
+      // shuffles START wide and let AQE coalesce down (parallelismFirst
+      // keeps small exchanges at full parallelism): with the fixed
+      // 32-partition default, sf100's 600M-row sort-merge sides ran
+      // ~2 GB/partition and spilled — q5_volume measured 194 -> 147 s
+      // (-25%) with wide initial partitions. On a real cluster this is
+      // the knob that makes one session config survive 100x data drift.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 1024)
+      // ...and let AQE coalesce CACHED plans too, or every .cache()
+      // materializes all 1024 initial partitions and each downstream
+      // pass schedules 1024 mostly-empty tasks (dedup_incremental_bloom
+      // warm: 2.6 s wide-initials-only vs 0.7 s with this — the cached
+      // history index is tiny but was pinned at the initial width).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))

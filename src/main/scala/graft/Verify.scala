@@ -21,6 +21,19 @@ object Verify {
       // avoid (found by the r13 knnskew probe: the hot Voronoi task
       // sorted 2e8 rows). 128k keys x O(k) state is a few tens of MB.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 131072)
+      // shuffles START wide and let AQE coalesce down (parallelismFirst
+      // keeps small exchanges at full parallelism): with the fixed
+      // 32-partition default, sf100's 600M-row sort-merge sides ran
+      // ~2 GB/partition and spilled — q5_volume measured 194 -> 147 s
+      // (-25%) with wide initial partitions. On a real cluster this is
+      // the knob that makes one session config survive 100x data drift.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 1024)
+      // ...and let AQE coalesce CACHED plans too, or every .cache()
+      // materializes all 1024 initial partitions and each downstream
+      // pass schedules 1024 mostly-empty tasks (dedup_incremental_bloom
+      // warm: 2.6 s wide-initials-only vs 0.7 s with this — the cached
+      // history index is tiny but was pinned at the initial width).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
