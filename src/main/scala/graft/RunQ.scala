@@ -65,6 +65,11 @@ object RunQ {
     val totals = if (sys.env.contains("SPARK_GRAFT_METRICS")) {
       val t = new ShuffleTotals; spark.sparkContext.addSparkListener(t); Some(t)
     } else None
+    // per-query sum of a named SQL metric over the query's executions
+    // (substring match, e.g. "sort fallback", "spill size") — the
+    // counter instrument behind §8's partial-agg-degradation probes
+    val sqlMetric = sys.env.get("SPARK_GRAFT_SQLMETRIC")
+    var lastExecId = -1L
     for (name <- args.tail) {
       val t0 = System.nanoTime()
       totals.foreach(_.reset())
@@ -80,6 +85,13 @@ object RunQ {
           org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
           println(f"[runq] $name shuffle: write ${t.written.get / 1048576.0}%.1f MiB, " +
             f"read ${t.read.get / 1048576.0}%.1f MiB")
+        }
+        sqlMetric.foreach { m =>
+          org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
+          val (maxId, v) = org.apache.spark.sql.GraftSqlShim
+            .sqlMetricSince(spark, lastExecId, m)
+          lastExecId = maxId
+          println(s"""[runq] $name sqlmetric "$m": $v""")
         }
         if (sys.env.contains("SPARK_GRAFT_SHOW")) df.show(5, 80)
       } catch { case e: Throwable =>

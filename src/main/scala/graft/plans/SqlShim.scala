@@ -48,6 +48,33 @@ object GraftSqlShim {
   def flushListeners(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Sum a named SQL metric across every plan node of every SQL
+    * execution whose id is > `sinceExecId`, returning (newest execution
+    * id seen, summed value). The SQL status store is `private[sql]`;
+    * this is the instrument behind RunQ's `SPARK_GRAFT_SQLMETRIC` —
+    * e.g. "sort fallback" reads ObjectHashAggregate's "number of sort
+    * fallback tasks" counter, turning a does-the-partial-agg-degrade
+    * hypothesis into a counter instead of a wall-clock inference.
+    * Values arrive display-formatted ("1,234", or "total (min, med,
+    * max)" lines for size/timing metrics) — the first comma-grouped
+    * integer is the total in every format Spark emits.
+    */
+  def sqlMetricSince(spark: SparkSession, sinceExecId: Long,
+      nameSubstring: String): (Long, Long) = {
+    val store = spark.asInstanceOf[classic.SparkSession].sharedState.statusStore
+    val execs = store.executionsList().filter(_.executionId > sinceExecId)
+    val num = "-?[\\d,]+".r
+    val total = execs.map { e =>
+      val vals = store.executionMetrics(e.executionId)
+      e.metrics.filter(_.name.contains(nameSubstring))
+        .flatMap(m => vals.get(m.accumulatorId))
+        .flatMap(v => num.findFirstIn(v))
+        .map(_.replace(",", "").toLong).sum
+    }.sum
+    val maxId = (sinceExecId +: execs.map(_.executionId)).max
+    (maxId, total)
+  }
+
   /** Whether `rdd`'s persisted blocks are a `localCheckpoint` — i.e.
     * the ONLY copy of the data (RDD lineage truncated): unpersisting
     * such blocks destroys them instead of degrading to recompute.
