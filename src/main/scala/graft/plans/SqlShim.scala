@@ -63,7 +63,10 @@ object GraftSqlShim {
       nameSubstring: String): (Long, Long) = {
     val store = spark.asInstanceOf[classic.SparkSession].sharedState.statusStore
     val execs = store.executionsList().filter(_.executionId > sinceExecId)
-    val num = "-?[\\d,]+".r
+    // at least one DIGIT required — size/timing metrics render as
+    // "total (min, med, max)" and a bare "," would match [\d,]+ and
+    // throw on toLong
+    val num = "-?\\d[\\d,]*".r
     val total = execs.map { e =>
       val vals = store.executionMetrics(e.executionId)
       e.metrics.filter(_.name.contains(nameSubstring))
