@@ -24,18 +24,62 @@ object RunQ {
     def reset(): Unit = { read.set(0L); written.set(0L) }
   }
 
+  /** Per-STAGE resource table (SPARK_GRAFT_STAGES=1): one row per
+    * completed stage — tasks, wall/CPU seconds, shuffle read/write,
+    * records, spill. The r14 attribution instrument: a per-query CPU
+    * total says a query got slower; this says WHICH exchange boundary
+    * carries the growth across scale tiers (run the same query at
+    * sf10 and sf100, diff the tables stage-by-stage).
+    */
+  private class StageTable extends SparkListener {
+    case class StageRow(id: Int, name: String, tasks: Int, wallMs: Long,
+      cpuMs: Long, srMB: Double, srRecs: Long, swMB: Double, swRecs: Long,
+      spillMB: Double, inMB: Double, outRecs: Long)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    override def onStageCompleted(st: SparkListenerStageCompleted): Unit = {
+      val i = st.stageInfo
+      val m = i.taskMetrics
+      if (m != null) rows.add(StageRow(i.stageId,
+        i.name.takeWhile(_ != '\n').take(70), i.numTasks,
+        m.executorRunTime, m.executorCpuTime / 1000000L,
+        m.shuffleReadMetrics.totalBytesRead / 1048576.0,
+        m.shuffleReadMetrics.recordsRead,
+        m.shuffleWriteMetrics.bytesWritten / 1048576.0,
+        m.shuffleWriteMetrics.recordsWritten,
+        (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576.0,
+        m.inputMetrics.bytesRead / 1048576.0, m.outputMetrics.recordsWritten))
+    }
+    def dump(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val rs = rows.asScala.toSeq.sortBy(_.id)
+      println(f"[runq] $tag stages (${rs.size}):")
+      println("[runq]   id tasks  wall_s   cpu_s  sread_MB srecs swrite_MB wrecs spill_MB input_MB  name")
+      rs.foreach { r =>
+        println(f"[runq]   ${r.id}%4d ${r.tasks}%4d ${r.wallMs / 1000.0}%8.1f " +
+          f"${r.cpuMs / 1000.0}%8.1f ${r.srMB}%8.1f ${r.srRecs}%9d ${r.swMB}%8.1f " +
+          f"${r.swRecs}%9d ${r.spillMB}%8.1f ${r.inMB}%8.1f  ${r.name}")
+      }
+    }
+    def reset(): Unit = rows.clear()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     // dev knobs: core count (default 8 — the quick-iteration shape) and
     // arbitrary conf overrides "k=v;k=v" for A/B plan probes (the
-    // instrument behind §8's AQE-partition-sizing measurements)
+    // instrument behind §8's AQE-partition-sizing measurements).
+    // Note conf VALUES cannot contain ';' (the split delimiter).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // "*" is a valid local[] master but not a partition count — only
+    // mirror cpus into shuffle.partitions when it parses as an Int
+    val cpusInt = cpus.toIntOption
     val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).filter(_.contains('='))
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
-    val builder = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val builder = cpusInt.fold(builder0)(n =>
+      builder0.config("spark.sql.shuffle.partitions", n))
       .config("spark.sql.session.timeZone", "UTC")
       // typed-Aggregator plans (TopKAgg and friends) fall back to
       // SORT-BASED aggregation past 128 distinct keys per task by
@@ -65,6 +109,10 @@ object RunQ {
     val totals = if (sys.env.contains("SPARK_GRAFT_METRICS")) {
       val t = new ShuffleTotals; spark.sparkContext.addSparkListener(t); Some(t)
     } else None
+    val stages = if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      val t = new StageTable; spark.sparkContext.addSparkListener(t); Some(t)
+    } else None
+    val planMetrics = sys.env.contains("SPARK_GRAFT_PLANMETRICS")
     // per-query sum of a named SQL metric over the query's executions
     // (substring match, e.g. "sort fallback", "spill size") — the
     // counter instrument behind §8's partial-agg-degradation probes
@@ -73,6 +121,7 @@ object RunQ {
     for (name <- args.tail) {
       val t0 = System.nanoTime()
       totals.foreach(_.reset())
+      stages.foreach(_.reset())
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
@@ -86,21 +135,43 @@ object RunQ {
           println(f"[runq] $name shuffle: write ${t.written.get / 1048576.0}%.1f MiB, " +
             f"read ${t.read.get / 1048576.0}%.1f MiB")
         }
-        sqlMetric.foreach { m =>
-          org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
-          val (maxId, v) = org.apache.spark.sql.GraftSqlShim
-            .sqlMetricSince(spark, lastExecId, m)
-          lastExecId = maxId
-          println(s"""[runq] $name sqlmetric "$m": $v""")
-        }
         if (sys.env.contains("SPARK_GRAFT_SHOW")) df.show(5, 80)
       } catch { case e: Throwable =>
         println(s"[runq] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         e.getStackTrace.take(10).foreach(f => println(s"   at $f"))
         Option(e.getCause).foreach(c =>
           println(s"   cause: ${c.getClass.getName}: ${c.getMessage}"))
-      // failed or not, the query's checkpoints are dead post-attempt
-      } finally Caches.sweep(spark)
+      } finally {
+        // read (and ADVANCE past) this query's SQL executions in the
+        // finally block: a FAILed query's executions must not leak into
+        // the next query's sqlmetric window (r13 review finding)
+        // plan metrics read the window WITHOUT advancing it (sqlMetric
+        // may want the same window); the watermark advances once, after
+        // both readers, to the max exec id either saw
+        var windowEnd = lastExecId
+        if (planMetrics) {
+          org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
+          val (maxId, lines) = org.apache.spark.sql.GraftSqlShim
+            .planMetricLinesSince(spark, lastExecId)
+          windowEnd = math.max(windowEnd, maxId)
+          println(s"[runq] $name plan metrics (${lines.size} nodes):")
+          lines.foreach(l => println(s"[runq]   $l"))
+        }
+        sqlMetric.foreach { m =>
+          org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
+          val (maxId, v) = org.apache.spark.sql.GraftSqlShim
+            .sqlMetricSince(spark, lastExecId, m)
+          windowEnd = math.max(windowEnd, maxId)
+          println(s"""[runq] $name sqlmetric "$m": $v""")
+        }
+        lastExecId = windowEnd
+        stages.foreach { t =>
+          org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
+          t.dump(name)
+        }
+        // failed or not, the query's checkpoints are dead post-attempt
+        Caches.sweep(spark)
+      }
     }
     spark.stop()
   }

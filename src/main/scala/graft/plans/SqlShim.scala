@@ -55,27 +55,67 @@ object GraftSqlShim {
     * e.g. "sort fallback" reads ObjectHashAggregate's "number of sort
     * fallback tasks" counter, turning a does-the-partial-agg-degrade
     * hypothesis into a counter instead of a wall-clock inference.
-    * Values arrive display-formatted ("1,234", or "total (min, med,
-    * max)" lines for size/timing metrics) — the first comma-grouped
-    * integer is the total in every format Spark emits.
+    *
+    * Values arrive display-formatted: plain SUM counters as "1,234";
+    * size metrics as "2.0 MiB (min, med, max)"; timing metrics as
+    * "1.5 m (...)". The leading total is parsed as a DECIMAL and
+    * NORMALIZED by its unit suffix — sizes to bytes, durations to ms —
+    * so sums never mix "2.0 MiB" as 2 with "512.0 KiB" as 512 (that
+    * unit-blind mix was a real r13 hazard, flagged in review). One
+    * nameSubstring targets one metric family, so the normalized sum is
+    * dimensionally consistent per call.
     */
   def sqlMetricSince(spark: SparkSession, sinceExecId: Long,
       nameSubstring: String): (Long, Long) = {
     val store = spark.asInstanceOf[classic.SparkSession].sharedState.statusStore
     val execs = store.executionsList().filter(_.executionId > sinceExecId)
-    // at least one DIGIT required — size/timing metrics render as
-    // "total (min, med, max)" and a bare "," would match [\d,]+ and
-    // throw on toLong
-    val num = "-?\\d[\\d,]*".r
+    // leading total: decimal number (comma-grouped) + optional unit token
+    val num = "(-?\\d[\\d,]*(?:\\.\\d+)?)\\s*([A-Za-z]+)?".r
+    val unitScale: Map[String, Double] = Map(
+      "B" -> 1d, "KiB" -> math.pow(2, 10), "MiB" -> math.pow(2, 20),
+      "GiB" -> math.pow(2, 30), "TiB" -> math.pow(2, 40),
+      "PiB" -> math.pow(2, 50), "EiB" -> math.pow(2, 60),
+      // Utils.msDurationToString suffixes, normalized to ms
+      "ms" -> 1d, "s" -> 1000d, "m" -> 60000d, "h" -> 3600000d)
     val total = execs.map { e =>
       val vals = store.executionMetrics(e.executionId)
       e.metrics.filter(_.name.contains(nameSubstring))
         .flatMap(m => vals.get(m.accumulatorId))
-        .flatMap(v => num.findFirstIn(v))
-        .map(_.replace(",", "").toLong).sum
+        .flatMap(v => num.findFirstMatchIn(v))
+        .map { m =>
+          val raw = m.group(1).replace(",", "").toDouble
+          val scale = Option(m.group(2)).flatMap(unitScale.get).getOrElse(1d)
+          (raw * scale).toLong
+        }.sum
     }.sum
     val maxId = (sinceExecId +: execs.map(_.executionId)).max
     (maxId, total)
+  }
+
+  /** Per-plan-node metric dump for every SQL execution newer than
+    * `sinceExecId`: one line per node that has populated metrics, in
+    * the display format ("node HashAggregate#12: output rows=1,234,
+    * spill size=2.0 MiB"). The instrument behind RunQ's
+    * `SPARK_GRAFT_PLANMETRICS` — where [[sqlMetricSince]] answers "how
+    * much total", this answers "WHICH operator": the r14 residual
+    * attributions (knn_graph candidate volume, bpe_encode growth) need
+    * per-node output-row counts, not a summed scalar.
+    */
+  def planMetricLinesSince(spark: SparkSession, sinceExecId: Long)
+      : (Long, Seq[String]) = {
+    val store = spark.asInstanceOf[classic.SparkSession].sharedState.statusStore
+    val execs = store.executionsList().filter(_.executionId > sinceExecId)
+    val lines = execs.flatMap { e =>
+      val vals = store.executionMetrics(e.executionId)
+      store.planGraph(e.executionId).allNodes.flatMap { n =>
+        val ms = n.metrics.flatMap(m =>
+          vals.get(m.accumulatorId).map(v => s"${m.name}=$v"))
+        if (ms.isEmpty) None
+        else Some(s"exec ${e.executionId} ${n.name}#${n.id}: ${ms.mkString(" | ")}")
+      }
+    }
+    val maxId = (sinceExecId +: execs.map(_.executionId)).max
+    (maxId, lines)
   }
 
   /** Whether `rdd`'s persisted blocks are a `localCheckpoint` — i.e.

@@ -34,7 +34,7 @@ engine's hashes; (2) re-compute the EXACT all-pairs keep rule for ALL
 Usage: sweep_sf10.py <sf10_dir> <verify_out_dir> <out_json> [names...]
 (named subset re-runs merge into an existing <out_json>)
 """
-import json, os, re, sys, glob, time, traceback
+import json, os, re, subprocess, sys, glob, time, traceback
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -884,8 +884,17 @@ def main(sf_dir, out_dir, out_json, only=()):
     ok = sum(1 for r in results.values() if r.get("hash_match"))
     sk = sum(1 for r in results.values() if "skip" in r)
     bad = len(results) - ok - sk
+    # stamp the record with its generating code revision + wall time so
+    # tier records never carry stale provenance (r13 verdict item 7)
+    try:
+        rev = subprocess.run(["git", "-C", os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+    except Exception:
+        rev = "unknown"
     summary = {"sf_dir": sf_dir, "green": ok, "skipped": sk, "failed": bad,
-               "oracled_total": len(results)}
+               "oracled_total": len(results), "code_rev": rev,
+               "generated": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     print(json.dumps(summary), flush=True)
     json.dump({"_summary": summary,
                **{k: results[k] for k in sorted(results)}},
