@@ -327,4 +327,96 @@ private[ops] object HashOracles {
       |LEFT JOIN repkeep k USING (rep)
       |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** text_fingerprint (D11): the rolling polynomial fingerprint
+    * `fold(tokens, 0, acc -> (acc·31 + pmod(xxh64(tok), M)) mod M)`
+    * with M = 2^31−1, re-derived end to end (round 14 — the r13
+    * verdict's "strictly simpler than the XXH64 re-derivation that
+    * just landed" item): per-token XXH64 over the DISTINCT tokens
+    * (tokhCtes), re-sequenced per document in token order, then the
+    * exact fold as an order-preserving list_reduce. pmod matches
+    * Spark's (h % M + M) % M on the signed hash; every intermediate
+    * < 2^36 fits BIGINT on both engines (the ANSI-safety argument on
+    * the impl, TextOps.fingerprint).
+    */
+  def fingerprintOracle: String =
+    raw"""WITH ${tokhCtes},
+      |hseq AS MATERIALIZED (
+      |  SELECT t.doc_id,
+      |    list(((${u64ToSigned("h.th")} % 2147483647) + 2147483647)
+      |         % 2147483647 ORDER BY t.pos) AS hs
+      |  FROM (
+      |    SELECT doc_id, i AS pos, arr[i::INT] AS tok
+      |    FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+      |          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS arr
+      |                FROM documents WHERE text IS NOT NULL))) t
+      |  JOIN tokh h USING (tok) GROUP BY t.doc_id)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT, hs),
+      |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      |FROM hseq ORDER BY doc_id""".stripMargin
+
+  /** ann_lsh (D7): the multi-table SRP-LSH search re-derived end to
+    * end (round 14): the deterministic hyperplane family
+    * `r(g, i) = ±1 by parity of murmur3.hashInt(i, hashInt(g, 42))`
+    * is replayed through the u32 Murmur3 CTE chains, projections are
+    * index-order list_reduce folds of the ±(float→double) components
+    * (sign flip is exact in IEEE, so ±x equals the engine's
+    * add/subtract), sign-fold buckets, the popcount≤`probeRadius`
+    * multi-probe flip set (pure combinatorics, inlined), bucket-join
+    * candidates, exact cosine re-rank, (cos desc, vec_id) top-k —
+    * bit-for-bit [[graft.functions.SrpSig]] + the annLsh plan.
+    * Assumes non-empty embeddings (the SrpSig empty-array caveat;
+    * graft's corpora guarantee it).
+    */
+  def srpLshOracle(planes: Int, tables: Int, probeRadius: Int,
+      nQueries: Int, k: Int): String = {
+    val flips = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p))).toSeq)
+    val g = planes * tables
+    val (sc, slast) = chain("gs", "gd", mmInt("g::UBIGINT", "42::UBIGINT", "gd"))
+    val (pc, plast) = chain("gi", "pn", mmInt("i::UBIGINT", "seed", "pn"))
+    raw"""WITH gs AS (SELECT unnest(range(0, $g)) AS g)$sc,
+      |seeds AS MATERIALIZED (SELECT g, gdout AS seed FROM $slast),
+      |dims AS (SELECT unnest(range(0,
+      |  (SELECT max(len(embedding)) FROM embeddings))) AS i),
+      |gi AS (SELECT s.g, s.seed, d.i FROM seeds s, dims d)$pc,
+      |signs AS MATERIALIZED (
+      |  SELECT g, i, CASE WHEN pnout % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+      |  FROM $plast),
+      |slists AS MATERIALIZED (
+      |  SELECT g, list(sgn ORDER BY i) AS sl FROM signs GROUP BY g),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |proj AS MATERIALIZED (
+      |  SELECT v.vec_id, s.g,
+      |    list_reduce(list_transform(range(1, len(v.e) + 1),
+      |      ii -> v.e[ii::INT] * s.sl[ii::INT]), (a, b) -> a + b) AS p
+      |  FROM emb v CROSS JOIN slists s),
+      |buck AS MATERIALIZED (
+      |  SELECT vec_id, g // $planes AS tbl,
+      |    CAST(COALESCE(sum(CASE WHEN p > 0
+      |      THEN (1::BIGINT << (g % $planes)) END), 0) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id, g // $planes),
+      |probes AS (
+      |  SELECT vec_id AS q_id, tbl,
+      |         xor(bucket::UBIGINT, f::UBIGINT)::BIGINT AS bucket
+      |  FROM buck, (SELECT unnest([${flips.mkString(", ")}]) AS f)
+      |  WHERE vec_id < $nQueries),
+      |cand AS (
+      |  SELECT DISTINCT p.q_id, c.vec_id
+      |  FROM probes p JOIN buck c USING (tbl, bucket)),
+      |scored AS (
+      |  SELECT cd.q_id, cd.vec_id, list_cosine_similarity(ce.e, qe.e) AS cos
+      |  FROM cand cd
+      |  JOIN emb ce ON ce.vec_id = cd.vec_id
+      |  JOIN emb qe ON qe.vec_id = cd.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 }

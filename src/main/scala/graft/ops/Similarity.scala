@@ -1531,7 +1531,10 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
-    Q("ann_lsh", (s, d) => annLsh(s, d), None),
+    // FULL hash oracle since r14: SrpSig's hyperplane family replayed
+    // through the Murmur3 CTE chains (HashOracles.srpLshOracle)
+    Q("ann_lsh", (s, d) => annLsh(s, d),
+      Some(HashOracles.srpLshOracle(PlanesPerTable, NTables, 2, NQueries, K))),
     // rows-only by nature (trained pivots + trained codebooks — the
     // D7 convention): fidelity pinned by the recall spec instead
     Q("ann_ivfpq", (s, d) => annIvfPq(s, d), None),

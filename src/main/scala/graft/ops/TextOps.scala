@@ -2096,7 +2096,10 @@ object TextOps {
         |       CASE WHEN cjk THEN 'zh' ELSE lang END AS lang_pred,
         |       CAST(hits AS INTEGER) AS profile_hits
         |FROM u WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
-    Q("text_fingerprint", textFingerprint, None),
+    // FULL hash oracle since r14: the rolling fold re-derived over the
+    // tokhCtes XXH64 re-derivation (HashOracles.fingerprintOracle)
+    Q("text_fingerprint", textFingerprint,
+      Some(HashOracles.fingerprintOracle)),
     // the gate composes the quality/repetition/langid/dup oracle
     // formulations already pinned above, then decides with INTEGER
     // comparisons only — no float thresholds to diverge
