@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // extra JVM flags for GC A/B probes (e.g. "-XX:+UseZGC" or
+  // "-XX:G1HeapRegionSize=32m") — space-separated, dev-only
+) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

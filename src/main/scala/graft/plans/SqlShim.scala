@@ -108,8 +108,12 @@ object GraftSqlShim {
     val lines = execs.flatMap { e =>
       val vals = store.executionMetrics(e.executionId)
       store.planGraph(e.executionId).allNodes.flatMap { n =>
+        // size/timing metrics render MULTILINE ("total (min, med, max)"
+        // header, values on the next line) — flatten, or a line-based
+        // log filter silently drops the values
         val ms = n.metrics.flatMap(m =>
-          vals.get(m.accumulatorId).map(v => s"${m.name}=$v"))
+          vals.get(m.accumulatorId).map(v =>
+            s"${m.name}=${v.replace("\n", " ")}"))
         if (ms.isEmpty) None
         else Some(s"exec ${e.executionId} ${n.name}#${n.id}: ${ms.mkString(" | ")}")
       }
