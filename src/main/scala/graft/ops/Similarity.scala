@@ -949,15 +949,62 @@ object Similarity {
     // results and the oracle are untouched. Even corpora have no hot
     // lists: the salt column is constant 0 and the only added cost is
     // the nLists-row count.
+    // ONE model-sized stats pass over the cached ranking: per-list
+    // probe AND assigned counts (an nLists-row collect — the
+    // pivot-collect convention). It feeds BOTH static plan decisions
+    // below: the hot-list salt and the output-sized partition count.
+    val stats = ranked
+      .select(posexplode(col("pr")).as(Seq("pos", "p")))
+      .groupBy(col("p.pid").as("pid"))
+      .agg(count(lit(1)).as("probes"),
+        count(when(col("pos") === 0, lit(1))).as("assigned"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val hotIds: Seq[Long] =
       if (hotSalt <= 1) Seq.empty
       else {
-        val sizes = assigned.groupBy("pid").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1))
-        val mean = sizes.map(_._2).sum.toDouble / math.max(1, sizes.length)
-        sizes.filter(_._2 > HotFactor * mean).map(_._1).toSeq
+        val mean = stats.map(_._3).sum.toDouble / math.max(1, stats.length)
+        stats.filter(_._3 > HotFactor * mean).map(_._1).toSeq
       }
-    val scored = (if (hotIds.isEmpty) assigned.join(probes, Seq("pid"))
+    // OUTPUT-SIZED PARTITIONING (round 14 — the r13 residual's root
+    // cause, measured at sf100): the candidate join's task count must
+    // follow its OUTPUT volume Σ_l assigned_l·probes_l (exact from the
+    // stats pass; salting respreads a hot cell's pairs but never
+    // changes the count), not its input bytes. AQE sizes this exchange
+    // by input (~0.4 GB at sf100 → 34 tasks), so per-task distinct
+    // q_ids (~235k) blow past the objectHashAggregate fallback
+    // threshold and the partial TopKAgg degenerates to SORTING the
+    // entire candidate stream — 13.2e9 rows, 237 GB of task spill,
+    // 1.10 µs/pair vs the 0.58 on-design cost (§8 r14; this is what
+    // the r13 wall-clock A/B could not resolve inside host noise —
+    // the stage-CPU instrument did). An explicit repartition to
+    // ⌈pairs/TargetPairsPerTask⌉ keeps per-task q_ids orders of
+    // magnitude under the threshold AT ANY SCALE (probe rows per task
+    // ≈ n·nProbe/nParts), the agg hash map cache-resident, and is
+    // AQE-stable (user-specified shuffles are never coalesced). Both
+    // sides repartition on the join key, so EnsureRequirements adds no
+    // further exchange — same data movement as the implicit plan.
+    // Measured at sf100 (fresh JVMs, 96g, stage CPU): join-stage CPU
+    // 14,470 s → 5,687 s and wall 887 → 256 s with this + the side
+    // order below; per-pair 0.43 µs — the sf10→sf100 CPU ladder drops
+    // to ~24×/decade, inside the 31.6× n^1.5 design line.
+    val pairs = stats.map(t => t._2 * t._3).sum
+    val nParts = math.max(s.sparkContext.defaultParallelism,
+      math.min(4096, math.ceil(pairs / TargetPairsPerTask.toDouble).toInt))
+    // JOIN SIDE ORDER: Spark streams the LEFT of an inner sort-merge
+    // join and buffers the RIGHT per key group. With probes streamed,
+    // each probe row (one q_id) emits its whole cell consecutively —
+    // the downstream partial TopKAgg hits ONE hot hash entry per inner
+    // loop and the buffered assigned rows scan sequentially (~cell ×
+    // 300 B, prefetch friendly). The reverse order cycles every output
+    // row through a DIFFERENT q_id agg entry across a working set of
+    // cell×nProbe probe rows — ~1.7 MB at sf100, falling out of L2
+    // exactly as cells grow with √n. Measured with the repartition
+    // (the two shipped together): join-stage CPU 7,607 → 5,687 s
+    // (−25%) vs the no-fallback control at sf100 — the delta is the
+    // combined cache effect, not individually attributed (§8 r14).
+    val scored = (if (hotIds.isEmpty)
+        probes.repartition(nParts, col("pid"))
+          .join(assigned.repartition(nParts, col("pid")), Seq("pid"))
       else {
         val hot = col("pid").isInCollection(hotIds)
         val aSalted = assigned.withColumn("salt",
@@ -966,13 +1013,23 @@ object Similarity {
         val pSalted = probes.withColumn("salt", explode(
           when(hot, sequence(lit(0), lit(hotSalt - 1)))
             .otherwise(array(lit(0)))))
-        aSalted.join(pSalted, Seq("pid", "salt"))
+        pSalted.repartition(nParts, col("pid"), col("salt"))
+          .join(aSalted.repartition(nParts, col("pid"), col("salt")),
+            Seq("pid", "salt"))
       })
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .select("q_id", "vec_id", "cos")
     topKPerQuery(scored)
   }
+
+  /** Candidate-pair budget per task of [[knnGraph]]'s list join — the
+    * output-volume partitioning grain (~40 s of scoring at the
+    * measured ~0.6 µs/pair). Chosen so per-task distinct query ids
+    * (≈ pairs/cellSize) stay far under the 131072 typed-agg fallback
+    * threshold while tasks stay coarse enough to amortize scheduling.
+    */
+  val TargetPairsPerTask = 64000000L
 
   /** Salt fan-out for join-output-skewed kNN-graph lists (see
     * [[knnGraph]]); lists beyond [[HotFactor]]× the mean assigned size
