@@ -154,23 +154,48 @@ object Bpe {
     */
   def bpeEncode(s: SparkSession, dir: String, nMerges: Int = 20): DataFrame = {
     val (_, vocab) = train(s, dir, nMerges)
+    // AGGREGATE SHAPE is a measured plan decision (round 14): the old
+    // single groupBy carried `min_by(sym, pos)` — an ARRAY-valued
+    // aggregation buffer, which Spark cannot hash-aggregate (buffers
+    // must be fixed-width), so the WHOLE per-doc rollup planned as
+    // SortAggregate: every exploded token row (corpus-linear, wide —
+    // tok + the joined sym array) was buffered and SORTED per task.
+    // Per-task sort runs grow with the corpus, and the measured
+    // per-token CPU grew 2.3-3.7x per decade (sf10 1.6 -> sf100 13.7
+    // us/token, §8 r14) — the bpe_encode 25-37x/decade residual. The
+    // fix splits the query by buffer width: token counts are a pure
+    // fixed-width HashAggregate (count + sum LONGs, codegen, no sort
+    // at any scale), and the first word's symbol string — constant per
+    // doc, never an aggregate at all — comes from a narrow one-row-
+    // per-doc scan (regexp_extract of the first token, O(token) not
+    // O(text)) broadcast-joined to the vocabulary. min_by(sym, pos)
+    // == sym(pos 0) == the first token's encoding: pos 0 always joins
+    // because the vocabulary is built from the same corpus.
     val enc = vocab.select(col("word"), col("sym"),
       size(col("sym")).cast("long").as("n_sym"))
+    val encCnt = enc.select(col("word"), col("n_sym"))
+    // serialized (space-joined), NOT an array column: the driver's
+    // pandas hash-compare cannot sort/factorize list cells, so every
+    // registered query ships scalar columns only (ScalarOutputSpec
+    // guards this structurally). A symbol can never contain a space
+    // (tokens are whitespace-split), so the join is lossless.
+    val encStr = enc.select(col("word").as("w0"),
+      array_join(col("sym"), " ").as("first_enc"))
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(filter(TextOps.wsTokens(col("text")), _ =!= "")))
       .withColumnRenamed("col", "tok")
-    toks.join(broadcast(enc), toks("tok") === enc("word"))
+    val counts = toks.join(broadcast(encCnt), toks("tok") === encCnt("word"))
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_words"),
-        sum(col("n_sym")).as("n_bpe"),
-        // serialized (space-joined), NOT an array column: the driver's
-        // pandas hash-compare cannot sort/factorize list cells, so every
-        // registered query ships scalar columns only (ScalarOutputSpec
-        // guards this structurally). A symbol can never contain a space
-        // (tokens are whitespace-split), so the join is lossless.
-        array_join(min_by(col("sym"), col("pos")), " ").as("first_enc"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+    val firsts = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "^\\s*(\\S+)", 1).as("tok0"))
+      .filter(col("tok0") =!= "")
+      .join(broadcast(encStr), col("tok0") === col("w0"))
+      .select(col("doc_id"), col("first_enc"))
+    counts.join(firsts, Seq("doc_id"))
+      .select("doc_id", "n_words", "n_bpe", "first_enc")
       .orderBy("doc_id")
   }
 
