@@ -881,7 +881,10 @@ def main(sf_dir, out_dir, out_json, only=()):
         print(f"{status:4s} {name} rows={rec['spark_rows']} ({rec.get('secs', 0)}s)"
               + (f" err={rec['err'][-140:]}" if rec.get("err") else "")
               + (f" notes={rec['notes']}" if rec.get("notes") else ""), flush=True)
-    ok = sum(1 for r in results.values() if r.get("hash_match"))
+    # a merged record may carry either schema: this sweep's
+    # hash_match records or check_oracle's {"ok": true} records
+    ok = sum(1 for r in results.values()
+             if r.get("hash_match") or r.get("ok"))
     sk = sum(1 for r in results.values() if "skip" in r)
     bad = len(results) - ok - sk
     # stamp the record with its generating code revision + wall time so
