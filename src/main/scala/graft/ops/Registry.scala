@@ -18,6 +18,7 @@ object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Eda.queries ++ Dedup.queries ++
       Similarity.queries ++ Pca.queries ++ TextOps.queries ++
-      Bpe.queries ++ Unigram.queries ++ Multimodal.queries ++ Sampling.queries ++
+      Bpe.queries ++ Unigram.queries ++ Multimodal.queries ++ Video.queries ++
+      Sampling.queries ++
       ChessQueries.queries
 }

@@ -1,0 +1,623 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** D12g (round 14): VIDEO as the fourth multimodal column type —
+  * AVI/RIFF containers carried as opaque `binary` columns, with
+  * container-header metadata, header-planned frame sampling, and
+  * per-frame-dHash-median near-dup dedup, all through the seams the
+  * image/audio modalities already proved:
+  *
+  *  - the fixture is PLANTED REAL MEDIA ([[VideoGen]]): every
+  *    document row becomes a real AVI whose dimensions, frame count
+  *    and (for the uncompressed codec) every pixel are pure functions
+  *    of `doc_id`, so the DuckDB oracle recomputes what a correct
+  *    container parse + frame decode MUST report from arithmetic
+  *    alone (the [[Multimodal.MediaGen]] contract, one more format);
+  *  - TWO codecs split the oracle surface exactly like png/jpeg did
+  *    for images: '00db' uncompressed-DIB frames decode losslessly
+  *    (per-pixel SQL re-derivation — the registered `dedup_video` /
+  *    `mm_video_frames` forms), '00dc' MJPEG frames are real lossy
+  *    JPEG (container surface oracled via `mm_video_meta`; pixel
+  *    surfaces pinned by the cross-codec planted spec — the
+  *    dedup_image_all convention);
+  *  - decode is the same narrow batched `mapPartitions` (payloads
+  *    never shuffle; 16 bytes of video hash move per clip);
+  *  - the near-dup back-end IS [[Multimodal.pairHashFrame]] — one
+  *    pairing implementation, now three perceptual-hash front-ends
+  *    (image dHash, audio envelope, video dHash-median) — and the
+  *    incremental form IS [[Multimodal.newImagesAgainstHistory]]
+  *    (hash-representation-generic, as the audio member showed).
+  *
+  * Header-planned sampling is the scale argument restated for video:
+  * the `movi` chunk walk reads 8-byte chunk headers (O(frames) header
+  * bytes, zero pixel work) to locate every [[Multimodal.FrameStep]]-th
+  * frame, and decode cost scales with frames KEPT — at 100 TB the
+  * sampler touches ~25% of stored pixels instead of 100%.
+  *
+  * Video signature: dHash per sampled frame ([[Multimodal.JdkCodec
+  * .dhashImage]] — the image kernel unchanged), folded by PER-BIT
+  * STRICT MAJORITY over the sampled frames (bit set iff 2·Σbit >
+  * nSampled; ties clear). The median-of-bits fold is the standard
+  * clip-level reduction of frame-level perceptual hashes: stable
+  * under a minority of edited/corrupted frames, deterministic, and —
+  * because each frame bit is exact integer arithmetic on DIB pixels —
+  * bit-for-bit re-derivable in SQL.
+  */
+object Video {
+
+  /** Deterministic real-AVI fixture: doc_id % 2 selects the
+    * uncompressed-DIB ('00db', lossless — the oracle-able arm) or
+    * MJPEG ('00dc', real lossy JPEG frames) codec. Dimensions, frame
+    * count and DIB pixels are pure functions of doc_id — the SQL twin
+    * contract. Frame f's pixel (x, y) reuses [[Multimodal.MediaGen
+    * .pixelAt]] under a per-frame id fold, so one arithmetic oracle
+    * covers every frame.
+    */
+  object VideoGen {
+    def codec(id: Long): String = if (id % 2 == 0) "dib" else "mjpeg"
+    // dims keep the 8x8-tile grid at least as fine as dHash's 9x8
+    // cell grid (>= 9x8 tiles), so all 64 signature bits stay
+    // informative — at 16x16 frames the tile grid degenerated to 2x2
+    // and unrelated clips collided
+    def width(id: Long): Int = (72 + (id * 5) % 56).toInt   // 72..127
+    def height(id: Long): Int = (64 + (id * 11) % 48).toInt // 64..111
+    def frameCount(id: Long): Int = (2 + (id * 3) % 12).toInt // 2..13
+
+    /** Per-frame generator id: frame f of video v draws pixels from
+      * the image generator at this derived id (pure, collision-free
+      * enough for a fixture; the oracle repeats the same fold).
+      */
+    def frameId(id: Long, f: Int): Long = id * 131L + f * 7919L
+
+    /** Frame content is 8x8-TILE-CONSTANT noise: random color per
+      * tile, constant within it, tiles aligned with JPEG's 8x8 blocks
+      * (and 4:2:0 chroma pairs). A block-constant tile encodes as a
+      * DC-only JPEG block, so the MJPEG codec is near-lossless on this
+      * content — which is what lets the cross-codec twin pair under
+      * the normal Hamming budget (per-PIXEL noise measured 24-45 bits
+      * apart after one JPEG round-trip at these frame sizes; real
+      * video is smooth at block scale, so tile-noise is also the more
+      * honest fixture). Tile colors stay random across (id, f, tile),
+      * preserving signature diversity across clips.
+      */
+    def framePixel(id: Long, f: Int, x: Int, y: Int): Int = {
+      // GRAY tiles (r = g = b): constant chroma makes JPEG's 4:2:0
+      // chroma path exactly lossless (a colored tile grid lost 17-21
+      // bits through chroma blocks spanning 4 tiles); the only
+      // surviving MJPEG error is luma-DC quantization, measured 0
+      // bits on this fixture. Tile coords get LARGE multipliers so
+      // they reach the extracted high byte (a small-multiplier mix
+      // left every tile the same shade and zeroed all signatures).
+      val v = (((frameId(id, f) * 2654435761L + (x >> 3) * 2246822519L
+        + (y >> 3) * 3266489917L) >> 24) & 255).toInt
+      (v << 16) | (v << 8) | v
+    }
+
+    private def frameImage(id: Long, f: Int): BufferedImage = {
+      val (w, h) = (width(id), height(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, framePixel(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    /** Bottom-up BGR rows, stride padded to 4 — the classic
+      * biCompression=0 24-bit DIB frame layout.
+      */
+    private def dibFrame(id: Long, f: Int): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val stride = (w * 3 + 3) & ~3
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val p = framePixel(id, f, x, y)
+          out(row + x * 3) = (p & 255).toByte           // B
+          out(row + x * 3 + 1) = ((p >> 8) & 255).toByte  // G
+          out(row + x * 3 + 2) = ((p >> 16) & 255).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def jpegFrame(id: Long, f: Int): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      require(ImageIO.write(frameImage(id, f), "jpg", baos),
+        "no ImageIO jpg writer")
+      baos.toByteArray
+    }
+
+    /** One real AVI payload: RIFF(AVI ) { LIST hdrl { avih, LIST strl
+      * { strh, strf } }, LIST movi { 00db/00dc frames } }. Minimal but
+      * structurally honest — a chunk-walking reader (this file's
+      * [[VideoCodec]], ffprobe, a media indexer) finds everything
+      * where the spec puts it.
+      */
+    def aviBytes(id: Long): Array[Byte] = {
+      val (w, h, nf) = (width(id), height(id), frameCount(id))
+      val isDib = codec(id) == "dib"
+      aviFrom(w, h, isDib, (0 until nf).map(f =>
+        if (isDib) dibFrame(id, f) else jpegFrame(id, f)))
+    }
+
+    /** Container assembly from explicit frame blobs — the seam the
+      * cross-codec transcoding spec drives ([[aviBytes]] is this under
+      * the generator's frames).
+      */
+    private[ops] def aviFrom(w: Int, h: Int, isDib: Boolean,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      val nf = frames.length
+      val moviBody = frames.map(fb => 8 + fb.length + (fb.length & 1)).sum
+      val strf = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      strf.put("strf".getBytes(US_ASCII)).putInt(40)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(if (isDib) 0 else fourcc("MJPG"))
+        .putInt(((w * 3 + 3) & ~3) * h).putInt(0).putInt(0).putInt(0).putInt(0)
+      val strh = ByteBuffer.allocate(72).order(ByteOrder.LITTLE_ENDIAN)
+      strh.put("strh".getBytes(US_ASCII)).putInt(56)
+        .putInt(fourcc("vids")).putInt(if (isDib) fourcc("DIB ") else fourcc("MJPG"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(10) // scale 1, rate 10 fps
+        .putInt(0).putInt(nf).putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      val strl = list("strl", strh.array() ++ strf.array())
+      val avih = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      avih.put("avih".getBytes(US_ASCII)).putInt(56)
+        .putInt(100000).putInt(0).putInt(0).putInt(0)
+        .putInt(nf).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      val hdrl = list("hdrl", avih.array() ++ strl)
+      val movi = ByteBuffer.allocate(12 + moviBody).order(ByteOrder.LITTLE_ENDIAN)
+      movi.put("LIST".getBytes(US_ASCII)).putInt(4 + moviBody)
+        .put("movi".getBytes(US_ASCII))
+      frames.foreach { fb =>
+        movi.put((if (isDib) "00db" else "00dc").getBytes(US_ASCII))
+          .putInt(fb.length).put(fb)
+        if ((fb.length & 1) == 1) movi.put(0.toByte) // word alignment
+      }
+      val body = hdrl ++ movi.array()
+      val out = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes(US_ASCII)).putInt(4 + body.length)
+        .put("AVI ".getBytes(US_ASCII)).put(body)
+      out.array()
+    }
+
+    private def fourcc(s: String): Int = {
+      val b = s.getBytes(US_ASCII)
+      (b(0) & 255) | ((b(1) & 255) << 8) | ((b(2) & 255) << 16) | ((b(3) & 255) << 24)
+    }
+
+    private def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("LIST".getBytes(US_ASCII)).putInt(4 + body.length)
+        .put(kind.getBytes(US_ASCII)).put(body)
+      buf.array()
+    }
+  }
+
+  /** Parsed AVI container surface + frame chunk directory — produced
+    * by ONE chunk walk that reads headers only (8-byte chunk tags +
+    * the 56-byte avih + 40-byte strf), never pixel data. `frames`
+    * holds (payloadOffset, payloadLength) per stored frame, which is
+    * what makes sampled decode pay only for frames kept.
+    */
+  final case class AviHeader(codec: String, width: Int, height: Int,
+      frames: Vector[(Int, Int)]) {
+    def nFrames: Int = frames.length
+  }
+
+  final case class VFrame(media_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, frame_luma: Long)
+
+  object VideoCodec {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, US_ASCII)
+
+    /** RIFF/AVI chunk walk: avih for dims+count, strf for the codec,
+      * the movi LIST for the frame directory. Loud failure on corrupt
+      * sizes (the WAV parser's Long-bounded contract).
+      */
+    def parseAvi(b: Array[Byte]): AviHeader = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ",
+        s"not a RIFF/AVI payload (${b.length} bytes)")
+      var width, height = 0
+      var codec = "dib"
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = tag(b, p)
+          val size = le32(b, p + 4)
+          require(size >= 0 && p.toLong + 8 + size <= to,
+            s"corrupt $id chunk: size $size at offset $p of $to")
+          if (id == "LIST") walk(p + 12, p + 8 + size)
+          else if (id == "avih") {
+            width = le32(b, p + 8 + 32)
+            height = le32(b, p + 8 + 36)
+          } else if (id == "strf") {
+            codec = if (le32(b, p + 8 + 16) == 0) "dib" else "mjpeg"
+          } else if (id == "00db" || id == "00dc") {
+            frames += ((p + 8, size))
+          }
+          p += 8 + size + (size & 1)
+        }
+      }
+      walk(12, b.length)
+      val out = AviHeader(codec, width, height, frames.result())
+      require(out.width > 0 && out.height > 0 && out.nFrames > 0,
+        "missing avih dims or movi frames")
+      out
+    }
+
+    /** Decode ONE stored frame to pixels: DIB is a direct bottom-up
+      * BGR read (lossless — the oracle arm), MJPEG a real ImageIO
+      * JPEG decode.
+      */
+    def decodeFrame(b: Array[Byte], h: AviHeader, idx: Int): BufferedImage = {
+      val (off, len) = h.frames(idx)
+      if (h.codec == "dib") {
+        val stride = (h.width * 3 + 3) & ~3
+        require(len >= stride * h.height,
+          s"DIB frame $idx too small: $len < ${stride * h.height}")
+        val img = new BufferedImage(h.width, h.height, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h.height) {
+          val row = off + (h.height - 1 - y) * stride
+          var x = 0
+          while (x < h.width) {
+            val p = (b(row + x * 3) & 255) |
+              ((b(row + x * 3 + 1) & 255) << 8) |
+              ((b(row + x * 3 + 2) & 255) << 16)
+            img.setRGB(x, y, p)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      } else {
+        val img = ImageIO.read(new ByteArrayInputStream(b, off, len))
+        if (img == null)
+          throw new IllegalArgumentException(s"undecodable MJPEG frame $idx")
+        img
+      }
+    }
+
+    /** Exact luma sum Σ(r+g+b) of a decoded frame — the real decoded
+      * statistic the DIB oracle recomputes per pixel.
+      */
+    def lumaSum(img: BufferedImage): Long = {
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+      var s = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        s += ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+        i += 1
+      }
+      s
+    }
+
+    /** Sampled frame indices: every [[Multimodal.FrameStep]]-th stored
+      * frame — the mm_frames audio convention.
+      */
+    def sampledIdxs(n: Int): Seq[Int] = 0 until n by Multimodal.FrameStep
+
+    /** Clip signature: dHash per sampled frame, per-bit STRICT
+      * majority (2·Σbit > nSampled; ties clear), packed (hi, lo) like
+      * the image/audio hashes so the banding machinery is shared
+      * unchanged.
+      */
+    def videoHash(b: Array[Byte], h: AviHeader): (Long, Long) = {
+      val idxs = sampledIdxs(h.nFrames)
+      val votes = new Array[Int](64)
+      idxs.foreach { i =>
+        val (fh, fl) = Multimodal.JdkCodec.dhashImage(decodeFrame(b, h, i))
+        var k = 0
+        while (k < 32) {
+          if (((fl >> k) & 1L) == 1L) votes(k) += 1
+          if (((fh >> k) & 1L) == 1L) votes(32 + k) += 1
+          k += 1
+        }
+      }
+      var hi = 0L
+      var lo = 0L
+      var k = 0
+      while (k < 64) {
+        if (2 * votes(k) > idxs.length) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      (hi, lo)
+    }
+  }
+
+  /** The video scan: one real AVI per document row (executor-side
+    * generation, narrow — the [[Multimodal.mediaTable]] stand-in for
+    * a binary-column parquet scan).
+    */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.load(s, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, VideoGen.aviBytes(id))))
+      .toDF("media_id", "media")
+  }
+
+  /** Container metadata for EVERY video, both codecs — header parse
+    * only, no frame decode. Fully oracled (the container surface is
+    * lossless even when the frames are not).
+    */
+  def mmVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    videoTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(Multimodal.BatchSize).flatMap(_.map {
+        case (id, b) =>
+          val h = VideoCodec.parseAvi(b)
+          (id, h.codec, h.width, h.height, h.nFrames,
+            VideoCodec.sampledIdxs(h.nFrames).length)
+      }))
+      .toDF("media_id", "codec", "width", "height", "n_frames", "n_sampled")
+      .orderBy("media_id")
+  }
+
+  /** Header-planned frame sampling over the LOSSLESS (DIB) videos:
+    * the chunk directory locates every [[Multimodal.FrameStep]]-th
+    * frame, ONLY those decode, and each reports its exact luma sum —
+    * the real decoded value the oracle recomputes per pixel. MJPEG
+    * clips are excluded from the registered form (lossy decode is not
+    * SQL-expressible — the dedup_image split), but ride the same code
+    * path under the cross-codec spec.
+    */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    videoTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(Multimodal.BatchSize).flatMap(_.flatMap {
+        case (id, b) =>
+          val h = VideoCodec.parseAvi(b)
+          if (h.codec != "dib") Seq.empty[VFrame]
+          else VideoCodec.sampledIdxs(h.nFrames).map(i =>
+            VFrame(id, i, h.nFrames, h.width, h.height,
+              VideoCodec.lumaSum(VideoCodec.decodeFrame(b, h, i))))
+      }))
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** The video hash front-end: parse + sampled decode + dHash-median
+    * per clip as a narrow batched `mapPartitions` → (media_id,
+    * dhash_hi, dhash_lo) — the third front-end of the shared pairing
+    * core. `includeLossy` switches the DIB-only oracle arm vs the
+    * full-corpus (MJPEG-inclusive) form, exactly the image split.
+    */
+  private[graft] def videoHashFrameOf(media: DataFrame,
+      includeLossy: Boolean): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(Multimodal.BatchSize).flatMap(_.flatMap {
+        case (id, b) =>
+          val h = VideoCodec.parseAvi(b)
+          if (!includeLossy && h.codec != "dib") None
+          else {
+            val (hi, lo) = VideoCodec.videoHash(b, h)
+            Some((id, hi, lo))
+          }
+      }))
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+  }
+
+  /** D12g near-dup over the lossless arm: dHash-median signatures
+    * through the SHARED collapse + 8-band + Hamming-1 multi-probe +
+    * exact-verify pairing ([[Multimodal.pairHashFrame]]). keep_id =
+    * smallest media_id among signature-neighbors — the family rule.
+    */
+  def dedupVideo(s: SparkSession, dir: String, maxHamming: Int = 10): DataFrame = {
+    require(maxHamming <= 15,
+      s"maxHamming=$maxHamming exceeds the banding's recall guarantee (<= 15)")
+    val hashed = videoHashFrameOf(videoTable(s, dir), includeLossy = false)
+      .transform(graft.Lineage.cut)
+    Multimodal.pairHashFrame(hashed, maxHamming)
+  }
+
+  /** The full-corpus (MJPEG-inclusive) form — rows-only by nature
+    * (lossy frame decode is not SQL-expressible); pinned by the
+    * cross-codec planted spec, with the hash/keep machinery proven by
+    * the `dedup_video` oracle.
+    */
+  def dedupVideoAll(s: SparkSession, dir: String, maxHamming: Int = 10): DataFrame = {
+    require(maxHamming <= 15,
+      s"maxHamming=$maxHamming exceeds the banding's recall guarantee (<= 15)")
+    val hashed = videoHashFrameOf(videoTable(s, dir), includeLossy = true)
+      .transform(graft.Lineage.cut)
+    Multimodal.pairHashFrame(hashed, maxHamming)
+  }
+
+  /** D12g-incremental: admit a new batch of clips against the
+    * already-admitted corpus through the hash-generic
+    * [[Multimodal.newImagesAgainstHistory]] survivor rule — history
+    * payloads are never re-parsed in a deployment (the persistent
+    * index stores 8 (band, bhash) rows per admitted signature).
+    */
+  def dedupVideoIncremental(s: SparkSession, dir: String,
+      splitId: Long = 250L, maxHamming: Int = 10): DataFrame = {
+    val hashed = videoHashFrameOf(videoTable(s, dir), includeLossy = false)
+      .transform(graft.Lineage.cut)
+    dedupVideoIncrementalOn(hashed, splitId, maxHamming)
+  }
+
+  /** [[dedupVideoIncremental]] on a pre-hashed frame — the spec seam. */
+  private[ops] def dedupVideoIncrementalOn(hashed: DataFrame,
+      splitId: Long, maxHamming: Int = 10): DataFrame = {
+    val hist = hashed.filter(col("media_id") < splitId)
+    val batch = hashed.filter(col("media_id") >= splitId)
+    Multimodal.newImagesAgainstHistory(batch, Multimodal.bandRowsOf(hist),
+        maxHamming)
+      .orderBy("media_id")
+  }
+
+  /** Shared video-dHash re-derivation CTEs (vids → sampled frames →
+    * pixels → cells → per-frame bits → majority vote → vhash): every
+    * signature bit of every DIB clip recomputed from the generator's
+    * frame-pixel arithmetic — [[Multimodal]]'s DhashCtes with one
+    * more dimension (the frame) and the majority fold on top.
+    */
+  private val VideoDhashCtes: String =
+    """vids AS (
+      |  SELECT doc_id AS media_id,
+      |         72 + (doc_id * 5) % 56 AS w,
+      |         64 + (doc_id * 11) % 48 AS h,
+      |         2 + (doc_id * 3) % 12 AS nf
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |vf AS (
+      |  SELECT media_id, w, h, nf, unnest(range(0, nf, 4)) AS f,
+      |         media_id * 131 + unnest(range(0, nf, 4)) * 7919 AS fid
+      |  FROM vids),
+      |vxs AS (SELECT media_id, f, fid, w, h, unnest(range(0, w)) AS x FROM vf),
+      |vgr AS (
+      |  SELECT media_id, f, x, y, 3 * v AS g
+      |  FROM (SELECT media_id, f, x, y,
+      |          ((fid * 2654435761 + (x // 8) * 2246822519 + (y // 8) * 3266489917) >> 24) & 255 AS v
+      |        FROM (SELECT media_id, f, fid, w, x, unnest(range(0, h)) AS y
+      |              FROM vxs))),
+      |vcxb AS (
+      |  SELECT media_id, cx, (cx * w) // 9 AS xlo,
+      |         least(w, greatest((cx * w) // 9 + 1, ((cx + 1) * w) // 9)) AS xhi
+      |  FROM (SELECT media_id, w, unnest(range(0, 9)) AS cx FROM vids)),
+      |vcyb AS (
+      |  SELECT media_id, cy, (cy * h) // 8 AS ylo,
+      |         least(h, greatest((cy * h) // 8 + 1, ((cy + 1) * h) // 8)) AS yhi
+      |  FROM (SELECT media_id, h, unnest(range(0, 8)) AS cy FROM vids)),
+      |vcolsum AS (
+      |  SELECT g.media_id, g.f, c.cx, g.y, sum(g.g) AS s, count(*) AS n
+      |  FROM vgr g JOIN vcxb c
+      |    ON g.media_id = c.media_id AND g.x >= c.xlo AND g.x < c.xhi
+      |  GROUP BY 1, 2, 3, 4),
+      |vcell AS (
+      |  SELECT cs.media_id, cs.f, cs.cx, c.cy, sum(cs.s) AS s, sum(cs.n) AS n
+      |  FROM vcolsum cs JOIN vcyb c
+      |    ON cs.media_id = c.media_id AND cs.y >= c.ylo AND cs.y < c.yhi
+      |  GROUP BY 1, 2, 3, 4),
+      |vfbits AS (
+      |  SELECT l.media_id, l.f, l.cy * 8 + l.cx AS i,
+      |         CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+      |  FROM vcell l JOIN vcell r
+      |    ON l.media_id = r.media_id AND l.f = r.f AND l.cy = r.cy
+      |   AND r.cx = l.cx + 1),
+      |vmaj AS (
+      |  SELECT media_id, i,
+      |         CASE WHEN 2 * sum(bit) > count(*) THEN 1 ELSE 0 END AS bit
+      |  FROM vfbits GROUP BY 1, 2),
+      |vhash AS MATERIALIZED (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM vmaj GROUP BY 1)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    // container surface: both codecs, header arithmetic only — the
+    // lossless metadata path is oracled even for the lossy codec
+    Q("mm_video_meta", mmVideoMeta, Some(
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 2 WHEN 0 THEN 'dib' ELSE 'mjpeg' END AS codec,
+        |       CAST(72 + (doc_id * 5) % 56 AS INT) AS width,
+        |       CAST(64 + (doc_id * 11) % 48 AS INT) AS height,
+        |       CAST(2 + (doc_id * 3) % 12 AS INT) AS n_frames,
+        |       CAST(ceil((2 + (doc_id * 3) % 12) / 4.0) AS INT) AS n_sampled
+        |FROM documents ORDER BY media_id""".stripMargin)),
+    // header-planned sampling: sampled indices + the exact per-frame
+    // luma sum recomputed pixel-by-pixel from the generator arithmetic
+    Q("mm_video_frames", mmVideoFrames, Some(
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id,
+        |         72 + (doc_id * 5) % 56 AS w,
+        |         64 + (doc_id * 11) % 48 AS h,
+        |         2 + (doc_id * 3) % 12 AS nf
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |idx AS (
+        |  SELECT media_id, w, h, nf, unnest(range(0, nf, 4)) AS f,
+        |         media_id * 131 + unnest(range(0, nf, 4)) * 7919 AS fid
+        |  FROM vids),
+        |px AS (
+        |  SELECT media_id, f, nf, w, h,
+        |         ((fid * 2654435761 + (x // 8) * 2246822519 + (y // 8) * 3266489917) >> 24) & 255 AS v
+        |  FROM (SELECT media_id, f, fid, nf, w, h, x, unnest(range(0, h)) AS y
+        |        FROM (SELECT media_id, f, fid, nf, w, h, unnest(range(0, w)) AS x
+        |              FROM idx)))
+        |SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(sum(3 * v) AS BIGINT) AS frame_luma
+        |FROM px GROUP BY media_id, f, nf, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin)),
+    // dHash-median near-dup, lossless arm: every signature bit
+    // re-derived from frame-pixel arithmetic, then the exact all-pairs
+    // Hamming scan — equal to the banded engine answer by pigeonhole
+    Q("dedup_video", (s, d) => dedupVideo(s, d), Some(
+      s"""WITH $VideoDhashCtes,
+        |pairs AS (
+        |  SELECT a.media_id AS a, b.media_id AS b
+        |  FROM vhash a JOIN vhash b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+        |        bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10),
+        |nbr AS (
+        |  SELECT media_id, min(nb) AS mn
+        |  FROM (SELECT a AS media_id, b AS nb FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs)
+        |  GROUP BY 1)
+        |SELECT h.media_id, h.dhash_hi, h.dhash_lo,
+        |       least(coalesce(n.mn, h.media_id), h.media_id) AS keep_id
+        |FROM vhash h LEFT JOIN nbr n USING (media_id)
+        |ORDER BY media_id""".stripMargin)),
+    // MJPEG-inclusive form: rows-only by nature (lossy frame decode is
+    // not SQL-expressible) — the dedup_image_all convention; pinned by
+    // the cross-codec planted spec + the machinery dedup_video proves
+    Q("dedup_video_all", (s, d) => dedupVideoAll(s, d), None),
+    // incremental admission over the shared re-derivation — the
+    // dedup_image_incremental rule verbatim on video signatures
+    Q("dedup_video_incremental", (s, d) => dedupVideoIncremental(s, d), Some(
+      s"""WITH $VideoDhashCtes,
+        |hist AS (SELECT * FROM vhash WHERE media_id < 250),
+        |bat AS (SELECT * FROM vhash WHERE media_id >= 250),
+        |histhit AS (
+        |  SELECT DISTINCT b.media_id FROM bat b JOIN hist h
+        |    ON bit_count(xor(b.dhash_hi, h.dhash_hi)) +
+        |       bit_count(xor(b.dhash_lo, h.dhash_lo)) <= 10),
+        |clean AS (
+        |  SELECT * FROM bat
+        |  WHERE media_id NOT IN (SELECT media_id FROM histhit)),
+        |dominated AS (
+        |  SELECT DISTINCT b.media_id FROM clean b JOIN clean a
+        |    ON a.media_id < b.media_id
+        |   AND bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+        |       bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10)
+        |SELECT media_id, dhash_hi, dhash_lo FROM clean
+        |WHERE media_id NOT IN (SELECT media_id FROM dominated)
+        |ORDER BY media_id""".stripMargin))
+  )
+}
