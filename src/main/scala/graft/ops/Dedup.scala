@@ -1367,8 +1367,16 @@ object Dedup {
     Q("dedup_jaccard", (s, d) => dedupJaccard(s, d), Some(
       raw"""WITH
         |uniq AS MATERIALIZED (
+        |  -- members capped at the 51 smallest per text: the final
+        |  -- ORDER BY (jaccard DESC, a, b) LIMIT 50 can only surface a
+        |  -- pair whose BOTH endpoints are among their text's 51
+        |  -- smallest ids (a pair with a later b is outranked by >= 50
+        |  -- same-jaccard pairs (a, b') with smaller b' from the same
+        |  -- group) — EXACT top-50 cover, and it bounds the member
+        |  -- expansion at factor-1000 replication (sf100: 2.5e9 intra
+        |  -- rows -> 6.4e6)
         |  SELECT min(doc_id) AS rep, text,
-        |         list(doc_id ORDER BY doc_id) AS members
+        |         (list_sort(list(doc_id)))[1:51] AS members
         |  FROM documents GROUP BY text),
         |sets AS MATERIALIZED (
         |  SELECT rep, members,

@@ -264,26 +264,39 @@ private[ops] object HashOracles {
         (acc ++ st, s"bb${i}out")
     }
     val (bc, bl) = chain("bsl", "bb", bchain._1)
+    // the per-doc hash-sequence work collapses by TEXT first (round
+    // 14): identical texts yield identical shingle sets, so hseq runs
+    // over the ~|unique texts| reps, not the corpus — a doc's rep
+    // chains doc -> text-rep -> shingle-set group, and min-over-group
+    // of text-rep mins equals the global min doc_id (the engine's own
+    // Collapse argument). On the factor-1000 sf100 corpus this is the
+    // difference between a 182 s oracle and a 24 GB OOM.
     raw"""WITH ${tokhCtes},
+      |uniqx AS MATERIALIZED (
+      |  SELECT min(doc_id) AS xrep, text FROM documents
+      |  WHERE text IS NOT NULL GROUP BY text),
+      |d2x AS (SELECT d.doc_id, u.xrep FROM documents d JOIN uniqx u USING (text)),
       |hseq AS MATERIALIZED (
-      |  SELECT t.doc_id, list(h.th ORDER BY t.pos) AS ths FROM (
-      |    SELECT doc_id, i AS pos, arr[i::INT] AS tok
-      |    FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
-      |          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS arr
-      |                FROM documents WHERE text IS NOT NULL))) t
-      |  JOIN tokh h USING (tok) GROUP BY t.doc_id),
+      |  SELECT t.xrep, list(h.th ORDER BY t.pos) AS ths FROM (
+      |    SELECT xrep, i AS pos, arr[i::INT] AS tok
+      |    FROM (SELECT xrep, arr, unnest(range(1, len(arr) + 1)) AS i
+      |          FROM (SELECT xrep, string_split_regex(text, '\s+') AS arr
+      |                FROM uniqx))) t
+      |  JOIN tokh h USING (tok) GROUP BY t.xrep),
       |dtrip AS MATERIALIZED (
-      |  SELECT doc_id, ths[i::INT] AS a, ths[(i + 1)::INT] AS b,
+      |  SELECT xrep, ths[i::INT] AS a, ths[(i + 1)::INT] AS b,
       |         ths[(i + 2)::INT] AS c
-      |  FROM (SELECT doc_id, ths, unnest(range(1, len(ths) - 1)) AS i
+      |  FROM (SELECT xrep, ths, unnest(range(1, len(ths) - 1)) AS i
       |        FROM hseq WHERE len(ths) >= 3)),
       |trip AS (SELECT DISTINCT a, b, c FROM dtrip)$g1$g2$g3,
       |triph AS MATERIALIZED (SELECT a, b, c, scout AS shid FROM $l3),
-      |dsh AS MATERIALIZED (
-      |  SELECT d.doc_id, list_sort(list(DISTINCT t.shid)) AS sh
-      |  FROM dtrip d JOIN triph t USING (a, b, c) GROUP BY d.doc_id),
-      |reps AS (SELECT sh, min(doc_id) AS rep FROM dsh GROUP BY sh),
-      |d2r AS (SELECT d.doc_id, r.rep FROM dsh d JOIN reps r USING (sh)),
+      |dshx AS MATERIALIZED (
+      |  SELECT d.xrep, list_sort(list(DISTINCT t.shid)) AS sh
+      |  FROM dtrip d JOIN triph t USING (a, b, c) GROUP BY d.xrep),
+      |reps AS (SELECT sh, min(xrep) AS rep FROM dshx GROUP BY sh),
+      |d2r AS (
+      |  SELECT x.doc_id, r.rep
+      |  FROM d2x x JOIN dshx d USING (xrep) JOIN reps r USING (sh)),
       |shu AS (SELECT DISTINCT unnest(sh) AS h FROM reps),
       |shuj AS (SELECT h, j FROM shu, (SELECT unnest(range(0, 64)) AS j))$m1$m2,
       |slots AS MATERIALIZED (
