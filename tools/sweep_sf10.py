@@ -407,31 +407,45 @@ def bounded_knn_compare(con, name, sql, sf_dir, out_dir):
             rec["err"] = "oracle SQL shape changed; update bounded_knn_compare"
             rec["hash_match"] = False
             return rec
-        ssql = f"""
-          WITH piv AS (
+        # pivots + assignment as TEMP TABLES, assignment built in
+        # CHUNKS of ~1e8 cross-join rows: the one-statement n x nLists
+        # cross join (2.8e9 rows at sf100) materialized past every
+        # memory guard duckdb offers and drew the host OOM killer at
+        # 130 GB RSS; per-chunk the pipeline stays bounded and the
+        # result is row-identical (hash-agg per vec_id is chunk-local
+        # because chunks partition vec_id)
+        import math as _math
+        nlists = max(16, _math.ceil(_math.sqrt(n)))
+        con.execute("""CREATE OR REPLACE TEMP TABLE knn_piv AS
             SELECT vec_id AS pid, embedding AS pvec
             FROM embeddings
             QUALIFY row_number() OVER (
                 ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id)
               <= GREATEST(16, CAST(ceil(sqrt(
-                   (SELECT count(*) FROM embeddings))) AS BIGINT))),
-          lists AS (
-            -- (cos desc, pid desc) argmax as a lexicographic list max
-            -- (max_by takes only scalar keys in this DuckDB); pid is
-            -- exactly representable in the double slot
-            SELECT c.vec_id,
-                   CAST(max(
-                     [list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                             CAST(p.pvec AS DOUBLE[])),
-                      CAST(p.pid AS DOUBLE)])[2] AS BIGINT) AS pid
-            FROM embeddings c CROSS JOIN piv p GROUP BY c.vec_id),
-          qr AS (
+                   (SELECT count(*) FROM embeddings))) AS BIGINT))""")
+        chunks = max(1, (n * nlists) // 100_000_000)
+        con.execute("CREATE OR REPLACE TEMP TABLE knn_lists "
+                    "(vec_id BIGINT, pid BIGINT)")
+        for ci in range(chunks):
+            con.execute(f"""INSERT INTO knn_lists
+              SELECT c.vec_id,
+                     CAST(max(
+                       [list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(p.pvec AS DOUBLE[])),
+                        CAST(p.pid AS DOUBLE)])[2] AS BIGINT) AS pid
+              FROM embeddings c CROSS JOIN knn_piv p
+              WHERE c.vec_id % {chunks} = {ci}
+              GROUP BY c.vec_id""")
+        if chunks > 1:
+            rec["notes"].append(f"assignment built in {chunks} chunks")
+        ssql = f"""
+          WITH qr AS (
             SELECT c.vec_id, p.pid,
                    row_number() OVER (PARTITION BY c.vec_id
                      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                                      CAST(p.pvec AS DOUBLE[])) DESC,
                               p.pid DESC) AS rn
-            FROM embeddings c CROSS JOIN piv p
+            FROM embeddings c CROSS JOIN knn_piv p
             WHERE c.vec_id % {stride} = 0),
           qprobe AS (SELECT vec_id AS q_id, pid FROM qr WHERE rn <= 4),
           scored AS (
@@ -439,7 +453,7 @@ def bounded_knn_compare(con, name, sql, sf_dir, out_dir):
                    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                           CAST(q.embedding AS DOUBLE[])) AS cos
             FROM qprobe qp
-            JOIN lists l USING (pid)
+            JOIN knn_lists l USING (pid)
             JOIN embeddings c ON c.vec_id = l.vec_id
             JOIN embeddings q ON q.vec_id = qp.q_id
             WHERE l.vec_id <> qp.q_id),
@@ -478,7 +492,7 @@ def bounded_knn_compare(con, name, sql, sf_dir, out_dir):
         rec["err"] = traceback.format_exc()[-400:]
         rec["hash_match"] = False
     finally:
-        for t in ("knn_s_raw", "knn_o"):
+        for t in ("knn_s_raw", "knn_o", "knn_piv", "knn_lists"):
             try:
                 con.execute(f"DROP TABLE IF EXISTS {t}")
             except Exception:
