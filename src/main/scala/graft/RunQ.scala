@@ -148,26 +148,38 @@ object RunQ {
         // plan metrics read the window WITHOUT advancing it (sqlMetric
         // may want the same window); the watermark advances once, after
         // both readers, to the max exec id either saw
+        // the reads are status-store queries that can themselves throw;
+        // an exception HERE would replace the query's own failure and
+        // abort the remaining loop — instruments log and continue
+        // (ADVICE r14)
         var windowEnd = lastExecId
-        if (planMetrics) {
-          org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
-          val (maxId, lines) = org.apache.spark.sql.GraftSqlShim
-            .planMetricLinesSince(spark, lastExecId)
-          windowEnd = math.max(windowEnd, maxId)
-          println(s"[runq] $name plan metrics (${lines.size} nodes):")
-          lines.foreach(l => println(s"[runq]   $l"))
-        }
-        sqlMetric.foreach { m =>
-          org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
-          val (maxId, v) = org.apache.spark.sql.GraftSqlShim
-            .sqlMetricSince(spark, lastExecId, m)
-          windowEnd = math.max(windowEnd, maxId)
-          println(s"""[runq] $name sqlmetric "$m": $v""")
+        try {
+          if (planMetrics) {
+            org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
+            val (maxId, lines) = org.apache.spark.sql.GraftSqlShim
+              .planMetricLinesSince(spark, lastExecId)
+            windowEnd = math.max(windowEnd, maxId)
+            println(s"[runq] $name plan metrics (${lines.size} nodes):")
+            lines.foreach(l => println(s"[runq]   $l"))
+          }
+          sqlMetric.foreach { m =>
+            org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
+            val (maxId, v) = org.apache.spark.sql.GraftSqlShim
+              .sqlMetricSince(spark, lastExecId, m)
+            windowEnd = math.max(windowEnd, maxId)
+            println(s"""[runq] $name sqlmetric "$m": $v""")
+          }
+        } catch { case e: Throwable =>
+          println(s"[runq] $name instrument read failed: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
         }
         lastExecId = windowEnd
-        stages.foreach { t =>
+        try stages.foreach { t =>
           org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
           t.dump(name)
+        } catch { case e: Throwable =>
+          println(s"[runq] $name stage dump failed: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
         }
         // failed or not, the query's checkpoints are dead post-attempt
         Caches.sweep(spark)

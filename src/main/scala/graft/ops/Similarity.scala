@@ -377,7 +377,8 @@ object Similarity {
     * iteration.
     */
   private[ops] def pqCodebooks(corp: DataFrame, m: Int, k: Int,
-      iters: Int = 2): Array[IndexedSeq[(Int, Array[Double])]] = {
+      iters: Int = 2,
+      orderedFold: Boolean = true): Array[IndexedSeq[(Int, Array[Double])]] = {
     val d = corp.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"embedding dim $d not divisible by $m subspaces")
     val ds = d / m
@@ -389,15 +390,28 @@ object Similarity {
     var books: Array[IndexedSeq[(Int, Array[Double])]] =
       Array.tabulate(m)(mi => initRows.zipWithIndex.map { case (v, i) =>
         i -> v.slice(mi * ds, (mi + 1) * ds) }.toIndexedSeq)
+    // orderedFold = the oracle-able mean (vec_id-ordered sum,
+    // bit-reproducible; collect_list bounded by cell population —
+    // n·d list elements total, the lloydCentroids bound); false is
+    // the production update — a plain partial-aggregated avg,
+    // order-free, equal to within last-ulp noise (code-assignment
+    // equality is spec-pinned, the embed_kmeans convention)
+    val meanCol =
+      if (orderedFold)
+        aggregate(
+          array_sort(collect_list(struct(col("vec_id"),
+            col("v").cast("double").as("dv")))),
+          lit(0.0), (a, x) => a + x.getField("dv")) / count(lit(1))
+      else avg(col("v").cast("double"))
     for (_ <- 1 to iters) {
-      val coded = corp.select(col("embedding"),
+      val coded = corp.select(col("vec_id"), col("embedding"),
         posexplode(pqCodes(col("embedding"), books, ds)).as(Seq("mi", "code")))
       val updated = coded
-        .select(col("mi"), col("code"),
+        .select(col("vec_id"), col("mi"), col("code"),
           posexplode(slice(col("embedding"), col("mi") * ds + 1, lit(ds)))
             .as(Seq("pos", "v")))
         .groupBy("mi", "code", "pos")
-        .agg(avg(col("v").cast("double")).as("mv"))
+        .agg(meanCol.as("mv"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (key, rows) =>
@@ -988,8 +1002,23 @@ object Similarity {
     // order below; per-pair 0.43 µs — the sf10→sf100 CPU ladder drops
     // to ~24×/decade, inside the 31.6× n^1.5 design line.
     val pairs = stats.map(t => t._2 * t._3).sum
-    val nParts = math.max(s.sparkContext.defaultParallelism,
-      math.min(4096, math.ceil(pairs / TargetPairsPerTask.toDouble).toInt))
+    // SMALL-SCALE GATE (round 15 — the r14 verdict's weak item): the
+    // explicit double repartition exists ONLY to size this exchange by
+    // output volume where AQE's input-byte sizing under-partitions.
+    // When ⌈pairs/TargetPairsPerTask⌉ <= defaultParallelism the
+    // formula itself says output-sizing is moot — every task is under
+    // the pair budget at the default width — yet the unconditional
+    // exchange still paid two shuffles + sorts with the embedding
+    // payloads (measured at sf0.1: knn_graph CPU 3.88 → 14.86 s,
+    // graph_audit 17.8 → 33.5 s vs r13's implicit plan). So the gate:
+    // below the threshold, join without explicit repartition (the r13
+    // plan — AQE sizes it fine at that volume); above it, the r14
+    // output-sized exchange, unchanged (sf100 stage table identical:
+    // rawParts there is ~207 ≫ 32).
+    val rawParts = math.ceil(pairs / TargetPairsPerTask.toDouble).toInt
+    val explicitParts =
+      if (rawParts <= s.sparkContext.defaultParallelism) None
+      else Some(math.min(4096, rawParts))
     // JOIN SIDE ORDER: Spark streams the LEFT of an inner sort-merge
     // join and buffers the RIGHT per key group. With probes streamed,
     // each probe row (one q_id) emits its whole cell consecutively —
@@ -1002,9 +1031,11 @@ object Similarity {
     // (the two shipped together): join-stage CPU 7,607 → 5,687 s
     // (−25%) vs the no-fallback control at sf100 — the delta is the
     // combined cache effect, not individually attributed (§8 r14).
+    def sized(df: DataFrame, keys: Column*): DataFrame =
+      explicitParts.fold(df)(n => df.repartition(n, keys: _*))
     val scored = (if (hotIds.isEmpty)
-        probes.repartition(nParts, col("pid"))
-          .join(assigned.repartition(nParts, col("pid")), Seq("pid"))
+        sized(probes, col("pid"))
+          .join(sized(assigned, col("pid")), Seq("pid"))
       else {
         val hot = col("pid").isInCollection(hotIds)
         val aSalted = assigned.withColumn("salt",
@@ -1013,8 +1044,8 @@ object Similarity {
         val pSalted = probes.withColumn("salt", explode(
           when(hot, sequence(lit(0), lit(hotSalt - 1)))
             .otherwise(array(lit(0)))))
-        pSalted.repartition(nParts, col("pid"), col("salt"))
-          .join(aSalted.repartition(nParts, col("pid"), col("salt")),
+        sized(pSalted, col("pid"), col("salt"))
+          .join(sized(aSalted, col("pid"), col("salt")),
             Seq("pid", "salt"))
       })
       .filter(col("vec_id") =!= col("q_id"))
@@ -1461,6 +1492,172 @@ object Similarity {
         |                      pid DESC) AS rk
         |    FROM s2) WHERE rk = 1)""".stripMargin
 
+  /** The `ann_ivfpq` oracle (round 15 — closes the last trainable
+    * rows-only key): the WHOLE trained pipeline re-derived in SQL —
+    * codebook init (k smallest md5('pq:'||vec_id)), two unrolled
+    * fused-Lloyd iterations (the [[KmeansCtes]] pattern per subspace:
+    * argmax(dot − ‖c‖²/2) assignment with ties to the LARGER code —
+    * [[graft.functions.PqEncode]]'s Double.compare `>=` update — and
+    * the vec_id-ordered mean fold [[pqCodebooks]] uses under
+    * `orderedFold`), corpus encode, IVF probe (the ann_ivf CTEs
+    * verbatim), per-query ADC tables with the engine's exact fold
+    * orders (subspace dot / qn per entry, then the mi-ordered left
+    * fold — sums of identical doubles in identical order on both
+    * engines), acos-ranked rerank-candidate cut (TopKAgg order:
+    * acos DESC, vec_id ASC), and the exact cosine top-K re-rank.
+    * Every double on the compare surface is bit-reproducible because
+    * every fold order matches; no sketch, no loss — which is why this
+    * key was never rows-only "by nature", just unfinished.
+    */
+  private def ivfPqOracle: String = {
+    val (m, k) = (PqM, PqK)
+    // one fused-Lloyd step: assignment vs b{t-1}, ordered-fold means,
+    // reassembled b{t} (+ its per-dim explode for the next step)
+    def step(t: Int): String =
+      s"""s$t AS MATERIALIZED (
+         |  SELECT s.vec_id, s.mi, b.code,
+         |         list_reduce(list_transform(range(1, len(s.se) + 1),
+         |             j -> s.se[j] * b.ce[j]), (x, y) -> x + y)
+         |           - list_reduce(list_transform(b.ce, x -> x * x),
+         |               (x, y) -> x + y) / 2.0 AS sc
+         |  FROM vsub s JOIN b${t - 1} b ON s.mi = b.mi),
+         |a$t AS MATERIALIZED (
+         |  SELECT vec_id, mi, code FROM (
+         |    SELECT vec_id, mi, code, row_number() OVER (
+         |        PARTITION BY vec_id, mi ORDER BY sc DESC, code DESC) AS rk
+         |    FROM s$t) WHERE rk = 1),
+         |u$t AS MATERIALIZED (
+         |  SELECT a.mi, a.code, d.pos,
+         |         list_reduce(list(d.val ORDER BY d.vec_id), (x, y) -> x + y)
+         |           / count(*) AS mv
+         |  FROM a$t a JOIN vsubd d ON a.vec_id = d.vec_id AND a.mi = d.mi
+         |  GROUP BY a.mi, a.code, d.pos),
+         |b$t AS MATERIALIZED (
+         |  SELECT c.mi, c.code,
+         |         list(COALESCE(u.mv, c.cval) ORDER BY c.pos) AS ce
+         |  FROM b${t - 1}d c LEFT JOIN u$t u
+         |    ON c.mi = u.mi AND c.code = u.code AND c.pos = u.pos
+         |  GROUP BY c.mi, c.code),
+         |b${t}d AS MATERIALIZED (
+         |  SELECT mi, code, pos, ce[pos] AS cval
+         |  FROM (SELECT mi, code, ce, unnest(range(1, len(ce) + 1)) AS pos
+         |        FROM b$t))""".stripMargin
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dim AS MATERIALIZED (SELECT len(e) // $m AS ds FROM v LIMIT 1),
+       |mis AS MATERIALIZED (SELECT unnest(range(0, $m)) AS mi),
+       |vsub AS MATERIALIZED (
+       |  SELECT v.vec_id, m.mi,
+       |         list_transform(range(1, d.ds + 1),
+       |           j -> v.e[m.mi * d.ds + j]) AS se
+       |  FROM v CROSS JOIN mis m CROSS JOIN dim d),
+       |vsubd AS MATERIALIZED (
+       |  SELECT vec_id, mi, pos, se[pos] AS val
+       |  FROM (SELECT vec_id, mi, se, unnest(range(1, len(se) + 1)) AS pos
+       |        FROM vsub)),
+       |binit AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (
+       |      ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+       |  FROM v
+       |  QUALIFY row_number() OVER (
+       |      ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) <= $k),
+       |b0 AS MATERIALIZED (
+       |  SELECT s.mi, b.code, s.se AS ce
+       |  FROM binit b JOIN vsub s USING (vec_id)),
+       |b0d AS MATERIALIZED (
+       |  SELECT mi, code, pos, ce[pos] AS cval
+       |  FROM (SELECT mi, code, ce, unnest(range(1, len(ce) + 1)) AS pos
+       |        FROM b0)),
+       |${step(1)},
+       |${step(2)},
+       |s3 AS MATERIALIZED (
+       |  SELECT s.vec_id, s.mi, b.code,
+       |         list_reduce(list_transform(range(1, len(s.se) + 1),
+       |             j -> s.se[j] * b.ce[j]), (x, y) -> x + y)
+       |           - list_reduce(list_transform(b.ce, x -> x * x),
+       |               (x, y) -> x + y) / 2.0 AS sc
+       |  FROM vsub s JOIN b2 b ON s.mi = b.mi),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, mi, code FROM (
+       |    SELECT vec_id, mi, code, row_number() OVER (
+       |        PARTITION BY vec_id, mi ORDER BY sc DESC, code DESC) AS rk
+       |    FROM s3) WHERE rk = 1),
+       |piv AS (
+       |  SELECT vec_id AS pid, embedding AS pvec
+       |  FROM embeddings
+       |  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NLists),
+       |assign AS (
+       |  SELECT c.vec_id, p.pid,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                           CAST(p.pvec AS DOUBLE[])) DESC,
+       |                    p.pid DESC) AS rn
+       |  FROM embeddings c CROSS JOIN piv p),
+       |lists AS (SELECT vec_id, pid FROM assign WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT q.vec_id AS q_id, p.pid,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                           CAST(p.pvec AS DOUBLE[])) DESC,
+       |                    p.pid DESC) AS rn
+       |  FROM embeddings q CROSS JOIN piv p
+       |  WHERE q.vec_id < $NQueries),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, e AS qe,
+       |         sqrt(list_reduce(list_transform(e, x -> x * x),
+       |           (x, y) -> x + y)) AS qn
+       |  FROM v WHERE vec_id < $NQueries),
+       |qsub AS MATERIALIZED (
+       |  SELECT q.q_id, m.mi,
+       |         list_transform(range(1, d.ds + 1),
+       |           j -> q.qe[m.mi * d.ds + j]) AS qs,
+       |         q.qn
+       |  FROM qv q CROSS JOIN mis m CROSS JOIN dim d),
+       |adc AS MATERIALIZED (
+       |  SELECT q.q_id, b.mi, b.code,
+       |         CASE WHEN q.qn = 0 THEN 0.0
+       |              ELSE list_reduce(list_transform(range(1, len(b.ce) + 1),
+       |                     j -> q.qs[j] * b.ce[j]), (x, y) -> x + y) / q.qn
+       |         END AS av,
+       |         list_reduce(list_transform(b.ce, x -> x * x),
+       |           (x, y) -> x + y) AS nt
+       |  FROM qsub q JOIN b2 b ON q.mi = b.mi),
+       |cand0 AS (
+       |  SELECT qp.q_id, l.vec_id
+       |  FROM qprobe qp JOIN lists l ON l.pid = qp.pid
+       |  WHERE qp.rn <= $NProbe),
+       |acand AS MATERIALIZED (
+       |  SELECT c0.q_id, c0.vec_id,
+       |         list_reduce(list(a.av ORDER BY a.mi), (x, y) -> x + y) AS adot,
+       |         list_reduce(list(a.nt ORDER BY a.mi), (x, y) -> x + y) AS an2
+       |  FROM cand0 c0
+       |  JOIN codes c ON c.vec_id = c0.vec_id
+       |  JOIN adc a ON a.q_id = c0.q_id AND a.mi = c.mi AND a.code = c.code
+       |  GROUP BY c0.q_id, c0.vec_id),
+       |rr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY CASE WHEN an2 > 0 THEN adot / sqrt(an2)
+       |                      ELSE 0.0 END DESC,
+       |                 vec_id) AS rk
+       |    FROM acand) WHERE rk <= $PqRerank),
+       |exact AS (
+       |  SELECT r.q_id, r.vec_id,
+       |         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                CAST(q.embedding AS DOUBLE[])) AS cos
+       |  FROM rr r
+       |  JOIN embeddings c ON c.vec_id = r.vec_id
+       |  JOIN embeddings q ON q.vec_id = r.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   /** The [[knnGraph]] oracle CTE chain (ends at `knn(q_id, rank,
     * vec_id, cos)` — the exact edge set at default dials), shared
     * with the `knn_density` oracle so the two cannot drift. The
@@ -1594,7 +1791,7 @@ object Similarity {
       Some(HashOracles.srpLshOracle(PlanesPerTable, NTables, 2, NQueries, K))),
     // rows-only by nature (trained pivots + trained codebooks — the
     // D7 convention): fidelity pinned by the recall spec instead
-    Q("ann_ivfpq", (s, d) => annIvfPq(s, d), None),
+    Q("ann_ivfpq", (s, d) => annIvfPq(s, d), Some(ivfPqOracle)),
     // exact oracle: pivots, assignment, probes and ranking are all
     // deterministic SQL; cosine ties resolve identically because both
     // engines accumulate the double dot/norms in array order

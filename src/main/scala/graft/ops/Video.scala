@@ -162,7 +162,7 @@ object Video {
       * cross-codec transcoding spec drives ([[aviBytes]] is this under
       * the generator's frames).
       */
-    private[ops] def aviFrom(w: Int, h: Int, isDib: Boolean,
+    private[graft] def aviFrom(w: Int, h: Int, isDib: Boolean,
         frames: Seq[Array[Byte]]): Array[Byte] = {
       val nf = frames.length
       val moviBody = frames.map(fb => 8 + fb.length + (fb.length & 1)).sum
@@ -503,7 +503,12 @@ object Video {
       |vgr AS (
       |  SELECT media_id, f, x, y, 3 * v AS g
       |  FROM (SELECT media_id, f, x, y,
-      |          ((fid * 2654435761 + (x // 8) * 2246822519 + (y // 8) * 3266489917) >> 24) & 255 AS v
+      |          -- the generator's Long arithmetic WRAPS at 2^64; BIGINT here is
+      |          -- checked and errors once doc_id > ~2.6e7 (fid*2654435761 > 2^63),
+      |          -- so the products run in HUGEINT and reduce mod 2^64 — bits 24..31
+      |          -- of the wrapped value are shift-mode-independent (ADVICE r14)
+      |          CAST((((fid::HUGEINT * 2654435761 + (x // 8) * 2246822519 + (y // 8) * 3266489917)
+      |                 % 18446744073709551616) // 16777216) % 256 AS BIGINT) AS v
       |        FROM (SELECT media_id, f, fid, w, x, unnest(range(0, h)) AS y
       |              FROM vxs))),
       |vcxb AS (

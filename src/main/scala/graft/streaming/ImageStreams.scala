@@ -105,12 +105,27 @@ object ImageStreams {
 
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, outDir: String, indexDir: String,
-      maxHamming: Int = 10): Unit = graft.Caches.scoped(spark) {
-    val hashesDir = s"$indexDir/hashes"
+      maxHamming: Int = 10): Unit = {
     val hashed = graft.ops.Multimodal.hashFrameOf(
         batch.withColumn("format",
           graft.ops.Multimodal.sniffFormat(col("media"))),
         includeLossy = true)
+    applyHashedBatch(spark, hashed, batchId, outDir, indexDir, maxHamming)
+  }
+
+  /** The hash-GENERIC admission core: everything downstream of the
+    * 128-bit signature — band-index probe, exact-Hamming survivor
+    * rule, dynamic-overwrite index/output appends — is front-end
+    * independent (the same property [[graft.ops.Multimodal
+    * .newImagesAgainstHistory]] gives the batch family). Image (E9c)
+    * and video (E9d, [[VideoStreams]]) streams differ ONLY in the
+    * `hashed` producer handed in here.
+    */
+  private[streaming] def applyHashedBatch(spark: SparkSession,
+      hashed0: DataFrame, batchId: Long, outDir: String, indexDir: String,
+      maxHamming: Int = 10): Unit = graft.Caches.scoped(spark) {
+    val hashesDir = s"$indexDir/hashes"
+    val hashed = hashed0
       .transform(graft.Lineage.cut) // probedGroups collect + survivor rule
     val histBands =
       if (nonEmptyDir(spark, hashesDir))

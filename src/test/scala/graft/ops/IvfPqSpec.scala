@@ -35,6 +35,28 @@ class IvfPqSpec extends SparkSpec {
     assert(selfRank.forall(_ == 1L))
   }
 
+  test("ordered-fold codebook update == production avg update on code assignment") {
+    // the embed_kmeans convention: the registered (oracle-able)
+    // vec_id-ordered mean and the production partial-aggregated avg
+    // differ only in last-ulp summation noise — the DISCRETE surface
+    // (every vector's m code assignments under the trained books)
+    // must be identical at test scale
+    import org.apache.spark.sql.functions.col
+    val corp = graft.Tables.load(spark, Dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val m = 16; val ds = 64 / m
+      val ordered = Similarity.pqCodebooks(corp, m, 16, orderedFold = true)
+      val plain = Similarity.pqCodebooks(corp, m, 16, orderedFold = false)
+      def codesOf(books: Array[IndexedSeq[(Int, Array[Double])]]) =
+        corp.select(col("vec_id"),
+            graft.ops.Similarity.pqCodesHof(col("embedding"),
+              books, ds).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(codesOf(ordered) === codesOf(plain))
+    } finally corp.unpersist()
+  }
+
   test("default dials: recall degrades only by IVF list coverage, not below it") {
     val exact = top5(Similarity.annBruteforce(spark, Dir))
     val pq = top5(Similarity.annIvfPq(spark, Dir))

@@ -10,6 +10,13 @@ set -u
 SF=${1:-/tmp/graft_sf100}
 OUT=${2:-/tmp/bench_sf100_parts}
 mkdir -p "$OUT"
+# GC default (r14 finding, SURVEY §8): G1's concurrent interference
+# degrades identical pass-2 runs +124% and loses 33-40% cold vs ZGC /
+# ParallelGC at this tier. ZGC is the sequential-capture default so
+# every future tier record stops paying the measured concurrent tax;
+# override with SPARK_GRAFT_JVM="" (or any flags) to A/B.
+export SPARK_GRAFT_JVM="${SPARK_GRAFT_JVM--XX:+UseZGC}"
+echo "=== JVM flags: '${SPARK_GRAFT_JVM}'"
 QUERIES="q1_pricing q5_volume cum_counts text_quality text_perplexity embed_kmeans dedup_minhash dedup_jaccard dedup_clusters dedup_semantic dedup_image bpe_encode text_c4_clean knn_graph graph_audit text_quality_classifier_heldout"
 for q in $QUERIES; do
   rounds=2
@@ -23,13 +30,16 @@ for q in $QUERIES; do
   grep -h '"metric"' "$OUT/$q.log" | tail -1
 done
 echo "=== merging"
-python3 - "$OUT" <<'EOF'
+python3 - "$OUT" "$SF" <<'EOF'
 import json, sys, glob, os, subprocess, time
 out = sys.argv[1]
+sf_dir = sys.argv[2]
 merged = {"metric": "total", "unit": "sec", "queries": {}, "cpu": {}, "gc": {},
           "runs": {}, "cpu_runs": {}, "gc_runs": {}, "warm": {}, "order": []}
 total = cpu_total = 0.0
 for f in sorted(glob.glob(f"{out}/*.json")):
+    if os.path.basename(f) == "BENCH_sf100.json":
+        continue  # a prior merge into the same OUT (it has 'order' too)
     d = json.load(open(f))
     for q in d.get("order", []):
         runs = d["runs"][q]
@@ -47,7 +57,8 @@ for f in sorted(glob.glob(f"{out}/*.json")):
         cpu_total += d["cpu_runs"][q][0]
 merged["value"] = round(total, 3)
 merged["cpu_total"] = round(cpu_total, 2)
-merged["sf"] = os.environ.get("SF", "/tmp/graft_sf100")
+merged["sf"] = sf_dir
+merged["jvm"] = os.environ.get("SPARK_GRAFT_JVM", "")
 rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                      capture_output=True, text=True).stdout.strip()
 merged["code_rev"] = rev
