@@ -43,6 +43,21 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # of the generic SQL-vs-parquet compare
 BOUNDED_IMAGE = {"dedup_image", "dedup_image_incremental"}
 
+# video keys past the pixel wall get the SAME bounded treatment
+# (r14 verdict item 3): the full VideoDhashCtes / per-pixel luma
+# oracle is O(total sampled pixels) — ~4.4e9 rows at 250k clips —
+# so above this documents-count threshold dedup_video[_incremental]
+# route to bounded_video_compare (slice hash re-derivation + exact
+# group-level keep rule + id cover, the dedup_image convention) and
+# mm_video_frames to bounded_video_frames_compare (full header-
+# arithmetic compare of every non-luma column + strided per-pixel
+# luma re-derivation through the committed oracle SQL itself, run
+# under a narrowed `documents` view — the key is row-local per
+# media_id, so narrowing the input IS the sample). Below it the
+# committed full oracles run unchanged (sf1 = 50k docs stays full).
+BOUNDED_VIDEO = {"dedup_video", "dedup_video_incremental"}
+VIDEO_FULL_MAX_DOCS = 60_000
+
 # keys whose sf10 output is too large for one EXCEPT ALL pass (the
 # 120M-row role_explode spilled >77 GB of DuckDB temp sorting both
 # canonical projections at once): the compare runs in N disjoint
@@ -50,7 +65,11 @@ BOUNDED_IMAGE = {"dedup_image", "dedup_image_incremental"}
 # BOTH sides identically, so per-slice multiset equality for every
 # slice is exactly global multiset equality — same check, bounded
 # spill (peak temp divides by N).
-SLICED = {"role_explode": ("l_orderkey", 16)}
+SLICED = {"role_explode": ("l_orderkey", 16),
+          # r15 (verdict item 5): closes the sf100 cum_counts
+          # exclusion — the 100M-row canonical EXCEPT spilled past
+          # host disk in one pass; 16 event_id slices bound the peak
+          "cum_counts": ("event_id", 16)}
 
 NUMERIC = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE",
            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
@@ -193,6 +212,278 @@ gp AS (SELECT a.dhash_hi, a.dhash_lo, min(b.mn) AS nbmin
         AND bit_count(xor(a.dhash_hi, b.dhash_hi)) +
             bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10
        GROUP BY 1, 2)"""
+
+
+def video_dhash_ctes():
+    """The VideoDhashCtes SQL, extracted from Video.scala at runtime so
+    the bounded oracle can never drift from the committed definition
+    (the dhash_ctes convention, one modality over)."""
+    src = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "src", "main", "scala", "graft", "ops",
+                            "Video.scala")).read()
+    m = re.search(
+        r'private val VideoDhashCtes: String =\s*"""(.*?)"""\.stripMargin',
+        src, re.S)
+    body = m.group(1)
+    return "\n".join(re.sub(r"^\s*\|", "", ln) for ln in body.split("\n"))
+
+
+def bounded_video_compare(con, name, sf_dir, out_dir):
+    """Bounded dedup_video / dedup_video_incremental oracle: the
+    bounded_image_compare battery on the video signature table —
+    (1) slice per-pixel hash re-derivation (one representative per
+    distinct engine hash + an evenly-strided sample), (2) the exact
+    keep rule for ALL clips at hash-group granularity from the
+    engine's (spot-verified) hash column, (3) full id-set cover."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        full = glob.glob(f"{out_dir}/dedup_video/*.parquet")
+        if not files or not full:
+            rec["err"] = "no spark output (needs dedup_video dump for hashes)"
+            return rec
+        grp_ctes = GRP_CTES.replace("img_eng", "vid_eng")
+        con.execute("CREATE OR REPLACE TEMP TABLE vid_s_raw AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        con.execute("CREATE OR REPLACE TEMP TABLE vid_eng AS "
+                    "SELECT media_id, dhash_hi, dhash_lo FROM "
+                    f"read_parquet('{full[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM vid_s_raw").fetchone()[0]
+
+        # (3) coverage: eng's id set == every DIB (even) id in documents
+        miss, extra = con.execute(
+            f"""SELECT
+              (SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+               WHERE doc_id % 2 = 0
+                 AND doc_id NOT IN (SELECT media_id FROM vid_eng)),
+              (SELECT count(*) FROM vid_eng
+               WHERE media_id NOT IN (
+                 SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
+                 WHERE doc_id % 2 = 0))""").fetchone()
+        if miss or extra:
+            rec["err"] = f"id coverage: {miss} missing, {extra} extra clips"
+            rec["hash_match"] = False
+            return rec
+
+        # (2) exact keep rule for ALL rows at hash-group granularity
+        if name == "dedup_video":
+            bad = con.execute(f"""
+              WITH {grp_ctes},
+              exp AS (
+                SELECT e.media_id, e.dhash_hi, e.dhash_lo,
+                  least(e.media_id, coalesce(least(
+                    coalesce(p.nbmin, own), coalesce(own, p.nbmin)),
+                    e.media_id)) AS keep_id
+                FROM (SELECT e.*, CASE WHEN e.media_id > g.mn THEN g.mn
+                                       WHEN g.c > 1 THEN g.mn2 END AS own
+                      FROM vid_eng e JOIN grp g
+                        ON e.dhash_hi = g.dhash_hi AND e.dhash_lo = g.dhash_lo) e
+                LEFT JOIN gp p
+                  ON e.dhash_hi = p.dhash_hi AND e.dhash_lo = p.dhash_lo)
+              SELECT (SELECT count(*) FROM (SELECT * FROM vid_s_raw EXCEPT ALL
+                                            SELECT * FROM exp)),
+                     (SELECT count(*) FROM (SELECT * FROM exp EXCEPT ALL
+                                            SELECT * FROM vid_s_raw)),
+                     (SELECT count(*) FROM exp)""").fetchone()
+            rec["oracle_rows"] = bad[2]
+        else:  # dedup_video_incremental: hist < 250, batch survivors
+            bad = con.execute(f"""
+              WITH {grp_ctes},
+              histg AS (SELECT DISTINCT dhash_hi, dhash_lo FROM vid_eng
+                        WHERE media_id < 250),
+              hit AS (SELECT DISTINCT b.dhash_hi, b.dhash_lo
+                      FROM grp b JOIN histg h
+                        ON bit_count(xor(b.dhash_hi, h.dhash_hi)) +
+                           bit_count(xor(b.dhash_lo, h.dhash_lo)) <= 10),
+              clean AS (SELECT e.* FROM vid_eng e
+                        WHERE e.media_id >= 250
+                          AND NOT EXISTS (SELECT 1 FROM hit h
+                                          WHERE h.dhash_hi = e.dhash_hi
+                                            AND h.dhash_lo = e.dhash_lo)),
+              cgrp AS (SELECT dhash_hi, dhash_lo, min(media_id) AS mn
+                       FROM clean GROUP BY 1, 2),
+              cdom AS (SELECT a.dhash_hi, a.dhash_lo, min(b.mn) AS nbmin
+                       FROM cgrp a JOIN cgrp b
+                         ON (a.dhash_hi != b.dhash_hi OR a.dhash_lo != b.dhash_lo)
+                        AND bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+                            bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 10
+                       GROUP BY 1, 2),
+              exp AS (SELECT c.media_id, c.dhash_hi, c.dhash_lo
+                      FROM clean c
+                      JOIN cgrp g ON c.dhash_hi = g.dhash_hi
+                                 AND c.dhash_lo = g.dhash_lo
+                      LEFT JOIN cdom d ON c.dhash_hi = d.dhash_hi
+                                      AND c.dhash_lo = d.dhash_lo
+                      WHERE c.media_id = g.mn
+                        AND (d.nbmin IS NULL OR d.nbmin > c.media_id))
+              SELECT (SELECT count(*) FROM (SELECT * FROM vid_s_raw EXCEPT ALL
+                                            SELECT * FROM exp)),
+                     (SELECT count(*) FROM (SELECT * FROM exp EXCEPT ALL
+                                            SELECT * FROM vid_s_raw)),
+                     (SELECT count(*) FROM exp)""").fetchone()
+            rec["oracle_rows"] = bad[2]
+        rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+        rec["schema_match"] = True
+        if bad[0] or bad[1]:
+            rec["err"] = (f"keep-rule diff: {bad[0]} spark-only, "
+                          f"{bad[1]} oracle-only rows")
+            rec["hash_match"] = False
+            return rec
+
+        # (1) slice hash re-derivation — dedup_video carries it for
+        # both keys (one shared vid_eng hash table)
+        if name == "dedup_video":
+            n_vid = con.execute("SELECT count(*) FROM vid_eng").fetchone()[0]
+            stride = 2 * max(1, n_vid // 1500)
+            ids = [r[0] for r in con.execute(
+                f"""SELECT mn FROM (SELECT min(media_id) AS mn FROM vid_eng
+                                    GROUP BY dhash_hi, dhash_lo)
+                    UNION SELECT media_id FROM vid_eng
+                    WHERE media_id % {stride} = 0""").fetchall()]
+            rec["notes"].append(
+                f"slice: {len(ids)} of {n_vid} clips (all hash-group reps "
+                f"+ every {stride}th id) re-derived per-pixel")
+            con2 = duckdb.connect()
+            con2.execute(
+                f"""CREATE VIEW documents AS
+                    SELECT * FROM read_parquet('{sf_dir}/documents.parquet')
+                    WHERE doc_id IN ({','.join(map(str, ids))})""")
+            derived = con2.execute(
+                f"WITH {video_dhash_ctes()} "
+                "SELECT media_id, dhash_hi, dhash_lo FROM vhash").fetchall()
+            con2.close()
+            con.execute("CREATE OR REPLACE TEMP TABLE vid_der "
+                        "(media_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT)")
+            con.executemany("INSERT INTO vid_der VALUES (?, ?, ?)", derived)
+            nbad, nder = con.execute(
+                """SELECT count(*) FILTER (e.dhash_hi != d.dhash_hi
+                                           OR e.dhash_lo != d.dhash_lo),
+                          count(*)
+                   FROM vid_der d JOIN vid_eng e USING (media_id)""").fetchone()
+            if nder != len(ids) or nbad:
+                rec["err"] = (f"slice hash re-derivation: {nbad} mismatched "
+                              f"of {nder} derived (slice {len(ids)})")
+                rec["hash_match"] = False
+                return rec
+        else:
+            rec["notes"].append("hash slice check carried by dedup_video "
+                                "(shared vid_eng hash table)")
+        rec["hash_match"] = bool(rec["rows_match"])
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("vid_s_raw", "vid_eng", "vid_der"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
+
+
+def bounded_video_frames_compare(con, name, sql, sf_dir, out_dir):
+    """Bounded mm_video_frames oracle: (a) FULL compare of every
+    header-arithmetic column (media_id, frame_idx, n_frames, width,
+    height — O(rows), no pixels) for all rows, (b) per-pixel
+    frame_luma re-derivation for an evenly-strided clip sample by
+    running the COMMITTED oracle SQL verbatim under a `documents`
+    view narrowed to the sample (the key is row-local per media_id,
+    so the narrowed input is exactly the sampled output)."""
+    t0 = time.time()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None,
+           "notes": ["bounded oracle (see tools/sweep_sf10.py docstring)"]}
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            rec["err"] = "no spark output"
+            return rec
+        con.execute("CREATE OR REPLACE TEMP TABLE vf_s_raw AS "
+                    f"SELECT * FROM read_parquet('{files[0]}')")
+        rec["spark_rows"] = con.execute(
+            "SELECT count(*) FROM vf_s_raw").fetchone()[0]
+        # (a) header surface, all rows, both directions
+        hdr = f"""
+          WITH vids AS (
+            SELECT doc_id AS media_id,
+                   72 + (doc_id * 5) % 56 AS w,
+                   64 + (doc_id * 11) % 48 AS h,
+                   2 + (doc_id * 3) % 12 AS nf
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE doc_id % 2 = 0),
+          exp AS (
+            SELECT media_id, CAST(unnest(range(0, nf, 4)) AS INT) AS frame_idx,
+                   CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height
+            FROM vids)"""
+        a, b, nexp = con.execute(f"""{hdr}
+          SELECT
+            (SELECT count(*) FROM (
+               SELECT media_id, frame_idx, n_frames, width, height
+               FROM vf_s_raw EXCEPT ALL SELECT * FROM exp)),
+            (SELECT count(*) FROM (SELECT * FROM exp EXCEPT ALL
+               SELECT media_id, frame_idx, n_frames, width, height
+               FROM vf_s_raw)),
+            (SELECT count(*) FROM exp)""").fetchone()
+        rec["oracle_rows"] = nexp
+        rec["rows_match"] = rec["spark_rows"] == nexp
+        rec["schema_match"] = True
+        if a or b:
+            rec["err"] = f"header diff: {a} spark-only, {b} oracle-only rows"
+            rec["hash_match"] = False
+            return rec
+        # (b) strided per-pixel luma re-derivation via the committed SQL
+        n_vid = con.execute(
+            "SELECT count(DISTINCT media_id) FROM vf_s_raw").fetchone()[0]
+        stride = 2 * max(1, n_vid // 1000)
+        ids = [r[0] for r in con.execute(
+            f"""SELECT DISTINCT media_id FROM vf_s_raw
+                WHERE media_id % {stride} = 0""").fetchall()]
+        rec["notes"].append(
+            f"luma slice: {len(ids)} of {n_vid} clips (every {stride}th id) "
+            "re-derived per-pixel through the committed oracle SQL")
+        con2 = duckdb.connect()
+        con2.execute(
+            f"""CREATE VIEW documents AS
+                SELECT * FROM read_parquet('{sf_dir}/documents.parquet')
+                WHERE doc_id IN ({','.join(map(str, ids))})""")
+        derived = con2.execute(sql).fetchall()
+        con2.close()
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE vf_der (media_id BIGINT, "
+            "frame_idx INT, n_frames INT, width INT, height INT, "
+            "frame_luma BIGINT)")
+        con.executemany("INSERT INTO vf_der VALUES (?, ?, ?, ?, ?, ?)",
+                        derived)
+        nbad, nder = con.execute("""
+            SELECT count(*) FILTER (s.frame_luma != d.frame_luma), count(*)
+            FROM vf_der d JOIN vf_s_raw s
+              ON s.media_id = d.media_id AND s.frame_idx = d.frame_idx
+            """).fetchone()
+        nslice = con.execute(
+            "SELECT count(*) FROM vf_der").fetchone()[0]
+        if nbad or nder != nslice:
+            rec["err"] = (f"luma slice: {nbad} mismatched of {nder} joined "
+                          f"({nslice} derived)")
+            rec["hash_match"] = False
+            return rec
+        rec["hash_match"] = bool(rec["rows_match"])
+    except Exception:
+        rec["err"] = traceback.format_exc()[-400:]
+        rec["hash_match"] = False
+    finally:
+        for t in ("vf_s_raw", "vf_der"):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        rec["secs"] = round(time.time() - t0, 1)
+    return rec
 
 
 def bounded_image_compare(con, name, sf_dir, out_dir):
@@ -866,6 +1157,10 @@ def main(sf_dir, out_dir, out_json, only=()):
     if only and os.path.exists(out_json):
         results = {k: v for k, v in json.load(open(out_json)).items()
                    if k != "_summary" and k in oracles}
+    n_docs = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    video_bounded = n_docs > VIDEO_FULL_MAX_DOCS
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -873,6 +1168,11 @@ def main(sf_dir, out_dir, out_json, only=()):
         try:
             if name in BOUNDED_IMAGE:
                 rec = bounded_image_compare(con, name, sf_dir, out_dir)
+            elif name in BOUNDED_VIDEO and video_bounded:
+                rec = bounded_video_compare(con, name, sf_dir, out_dir)
+            elif name == "mm_video_frames" and video_bounded:
+                rec = bounded_video_frames_compare(con, name, oracles[name],
+                                                   sf_dir, out_dir)
             elif name == "knn_graph":
                 rec = bounded_knn_compare(con, name, oracles[name],
                                           sf_dir, out_dir)
