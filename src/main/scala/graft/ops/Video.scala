@@ -570,8 +570,12 @@ object Video {
         |         media_id * 131 + unnest(range(0, nf, 4)) * 7919 AS fid
         |  FROM vids),
         |px AS (
+        |  -- HUGEINT mod-2^64: the generator's Long arithmetic wraps;
+        |  -- checked BIGINT errors past doc_id ~2.6e7 (ADVICE r14, the
+        |  -- VideoDhashCtes fix applied to this twin of the same mix)
         |  SELECT media_id, f, nf, w, h,
-        |         ((fid * 2654435761 + (x // 8) * 2246822519 + (y // 8) * 3266489917) >> 24) & 255 AS v
+        |         CAST((((fid::HUGEINT * 2654435761 + (x // 8) * 2246822519 + (y // 8) * 3266489917)
+        |                % 18446744073709551616) // 16777216) % 256 AS BIGINT) AS v
         |  FROM (SELECT media_id, f, fid, nf, w, h, x, unnest(range(0, h)) AS y
         |        FROM (SELECT media_id, f, fid, nf, w, h, unnest(range(0, w)) AS x
         |              FROM idx)))
