@@ -10,12 +10,16 @@ set -u
 SF=${1:-/tmp/graft_sf100}
 OUT=${2:-/tmp/bench_sf100_parts}
 mkdir -p "$OUT"
-# GC default (r14 finding, SURVEY §8): G1's concurrent interference
-# degrades identical pass-2 runs +124% and loses 33-40% cold vs ZGC /
-# ParallelGC at this tier. ZGC is the sequential-capture default so
-# every future tier record stops paying the measured concurrent tax;
-# override with SPARK_GRAFT_JVM="" (or any flags) to A/B.
-export SPARK_GRAFT_JVM="${SPARK_GRAFT_JVM--XX:+UseZGC}"
+# GC default (r14 finding refined by the r15 q1_pricing A/B, SURVEY
+# §8): G1's concurrent interference degrades identical pass-2 runs
+# +124% and loses 33-40% on LONG churn-heavy queries; single-gen ZGC
+# fixes those but pays 1.5-2.5x on SHORT scan-aggregation queries
+# (q1_pricing same-hour: G1 40.8/31.2 s, ZGC 95.8/46.4, Parallel
+# 36.5/30.4 — CPU 990/2444/859). ParallelGC wins the shorts outright,
+# sits within 10-26% of ZGC on the heavies (r14 c4 arms), and shows
+# zero pass-2 decay — the best single default for a sequential tier
+# capture. Override with SPARK_GRAFT_JVM="" (or any flags) to A/B.
+export SPARK_GRAFT_JVM="${SPARK_GRAFT_JVM--XX:+UseParallelGC}"
 echo "=== JVM flags: '${SPARK_GRAFT_JVM}'"
 QUERIES="q1_pricing q5_volume cum_counts text_quality text_perplexity embed_kmeans dedup_minhash dedup_jaccard dedup_clusters dedup_semantic dedup_image bpe_encode text_c4_clean knn_graph graph_audit text_quality_classifier_heldout"
 for q in $QUERIES; do
