@@ -169,7 +169,11 @@ object RunQ {
             windowEnd = math.max(windowEnd, maxId)
             println(s"""[runq] $name sqlmetric "$m": $v""")
           }
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal only (ADVICE r15): an OutOfMemoryError or
+          // LinkageError raised while reading the status store means
+          // the JVM is corrupt — aborting beats silently tainting the
+          // remaining queries' timings
           println(s"[runq] $name instrument read failed: " +
             s"${e.getClass.getName}: ${e.getMessage}")
         }
@@ -177,7 +181,7 @@ object RunQ {
         try stages.foreach { t =>
           org.apache.spark.sql.GraftSqlShim.flushListeners(spark)
           t.dump(name)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           println(s"[runq] $name stage dump failed: " +
             s"${e.getClass.getName}: ${e.getMessage}")
         }

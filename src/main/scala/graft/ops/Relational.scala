@@ -66,6 +66,18 @@ object Relational {
 
   /** C4: 6-way join (region→nation→customer→orders→lineitem→supplier
     * with the TPC-H local-supplier twist c_nationkey = s_nationkey).
+    *
+    * Join order is selective-filter-first (r15 verdict item 2 — the
+    * earlier left-deep l⋈o⋈c plan ran BOTH fact-fact shuffles at full
+    * width and only then applied the ASIA restriction): the ≤5 ASIA
+    * nationkeys broadcast into customer so the 1/5 selectivity lands
+    * row-locally before any exchange, orders⋈customer(ASIA) runs next
+    * (both sides smaller than lineitem; output ~1/5 of orders), and
+    * lineitem joins LAST against that shrunken side — its one
+    * unavoidable orderkey shuffle now builds against a 5×-smaller
+    * hash side and everything downstream (supplier probe, the n_name
+    * aggregation) carries 1/5 the rows. DataFrame join order is
+    * user-fixed (no CBO), so the order is the plan.
     */
   def q5Volume(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -75,11 +87,18 @@ object Relational {
     val l = t(s, dir, "lineitem")
     val sup = t(s, dir, "supplier")
     val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") - dec(col("l_discount"), 8, 4))
-    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val asiaNations = n
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cAsia = c
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    o.join(cAsia, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(rev).cast("double").as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))

@@ -390,12 +390,15 @@ object Similarity {
     var books: Array[IndexedSeq[(Int, Array[Double])]] =
       Array.tabulate(m)(mi => initRows.zipWithIndex.map { case (v, i) =>
         i -> v.slice(mi * ds, (mi + 1) * ds) }.toIndexedSeq)
-    // orderedFold = the oracle-able mean (vec_id-ordered sum,
-    // bit-reproducible; collect_list bounded by cell population —
-    // n·d list elements total, the lloydCentroids bound); false is
-    // the production update — a plain partial-aggregated avg,
-    // order-free, equal to within last-ulp noise (code-assignment
-    // equality is spec-pinned, the embed_kmeans convention)
+    // orderedFold=true IS the production default (and what annIvfPq
+    // runs): the vec_id-ordered sum is bit-reproducible and therefore
+    // DuckDB-oracle-able; collect_list is bounded by cell population
+    // (n·d list elements total, the lloydCentroids bound), costing
+    // ~1.6x CPU over a partial-aggregated mean at sf10. false is the
+    // order-free alternative — a plain partial-aggregated avg, equal
+    // to within last-ulp noise — kept for deployments that prefer the
+    // cheaper update (code-assignment equality is spec-pinned in
+    // IvfPqSpec, the embed_kmeans convention)
     val meanCol =
       if (orderedFold)
         aggregate(

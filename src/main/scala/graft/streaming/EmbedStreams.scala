@@ -41,8 +41,12 @@ object EmbedStreams {
     */
   def dedupStream(spark: SparkSession, embDir: String, outDir: String,
       indexDir: String, checkpointDir: String,
-      threshold: Double = 0.9): StreamingQuery = {
-    val schema = spark.read.parquet(embDir).schema
+      threshold: Double = 0.9,
+      embSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    // explicit schema lets the stream start on an EMPTY source dir
+    // (r15 verdict item 5; the E12 decontamGateStream contract)
+    val schema = embSchema.getOrElse(spark.read.parquet(embDir).schema)
     spark.readStream.schema(schema).parquet(embDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -42,8 +42,12 @@ object ImageStreams {
     */
   def dedupStream(spark: SparkSession, mediaDir: String, outDir: String,
       indexDir: String, checkpointDir: String,
-      maxHamming: Int = 10): StreamingQuery = {
-    val schema = spark.read.parquet(mediaDir).schema
+      maxHamming: Int = 10,
+      mediaSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    // explicit schema lets the stream start on an EMPTY source dir
+    // (r15 verdict item 5; the E12 decontamGateStream contract)
+    val schema = mediaSchema.getOrElse(spark.read.parquet(mediaDir).schema)
     spark.readStream.schema(schema).parquet(mediaDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

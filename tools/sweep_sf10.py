@@ -224,8 +224,29 @@ def video_dhash_ctes():
     m = re.search(
         r'private val VideoDhashCtes: String =\s*"""(.*?)"""\.stripMargin',
         src, re.S)
+    assert m is not None, (
+        "could not extract `private val VideoDhashCtes` from Video.scala "
+        "— renamed or reformatted? (ADVICE r15: fail loudly, not with an "
+        "AttributeError tail)")
     body = m.group(1)
     return "\n".join(re.sub(r"^\s*\|", "", ln) for ln in body.split("\n"))
+
+
+def video_vids_cte(sf_dir):
+    """The `vids` header CTE alone, sliced from the committed
+    VideoDhashCtes (ADVICE r15: bounded_video_frames_compare inlined
+    the generator's header formulas, so a dial change in Video.scala
+    would have drifted silently from this copy until the header
+    compare failed confusingly — derive from the single committed
+    definition instead, the video_dhash_ctes convention)."""
+    ctes = video_dhash_ctes()
+    m = re.search(r"(vids AS \(.*?\)),\s*vf AS", ctes, re.S)
+    assert m is not None, (
+        "could not slice the `vids AS (...)` CTE out of VideoDhashCtes "
+        "(Video.scala) — was the CTE renamed?")
+    return m.group(1).replace(
+        "FROM documents",
+        f"FROM read_parquet('{sf_dir}/documents.parquet')")
 
 
 def bounded_video_compare(con, name, sf_dir, out_dir):
@@ -409,13 +430,7 @@ def bounded_video_frames_compare(con, name, sql, sf_dir, out_dir):
             "SELECT count(*) FROM vf_s_raw").fetchone()[0]
         # (a) header surface, all rows, both directions
         hdr = f"""
-          WITH vids AS (
-            SELECT doc_id AS media_id,
-                   72 + (doc_id * 5) % 56 AS w,
-                   64 + (doc_id * 11) % 48 AS h,
-                   2 + (doc_id * 3) % 12 AS nf
-            FROM read_parquet('{sf_dir}/documents.parquet')
-            WHERE doc_id % 2 = 0),
+          WITH {video_vids_cte(sf_dir)},
           exp AS (
             SELECT media_id, CAST(unnest(range(0, nf, 4)) AS INT) AS frame_idx,
                    CAST(nf AS INT) AS n_frames, CAST(w AS INT) AS width,
