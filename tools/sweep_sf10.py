@@ -58,6 +58,16 @@ BOUNDED_IMAGE = {"dedup_image", "dedup_image_incremental"}
 BOUNDED_VIDEO = {"dedup_video", "dedup_video_incremental"}
 VIDEO_FULL_MAX_DOCS = 60_000
 
+# ann_ivfpq's monolithic oracle materializes three n·16mi·16code
+# scoring stages (s1/s2/s3: 512M rows at sf100's 2M vectors) each
+# under a (vec_id, mi) window — r16 measured its working set past
+# 100 GB RAM + 59 GB of spill disk TWICE. Above this vector count it
+# routes to staged_ivfpq_compare (the committed CTE bodies executed
+# verbatim as temp tables, with those three stages chunked on
+# vec_id — see its docstring). sf10 (200k vectors) stays on the
+# full one-shot oracle.
+IVFPQ_FULL_MAX_VECS = 250_000
+
 # keys whose sf10 output is too large for one EXCEPT ALL pass (the
 # 120M-row role_explode spilled >77 GB of DuckDB temp sorting both
 # canonical projections at once): the compare runs in N disjoint
@@ -1150,14 +1160,126 @@ def bounded_pagerank_compare(con, name, out_dir):
     return rec
 
 
+def _split_ctes(sql):
+    """Split a `WITH a AS [MATERIALIZED] (...), b AS (...) SELECT ...`
+    statement into ([(name, body), ...], final_select) by paren-depth
+    scan (single-quoted literals skipped). Used by the staged ivfpq
+    compare so the STAGED plan runs the committed oracle's own CTE
+    text verbatim — the video_dhash_ctes no-drift convention."""
+    s = sql.strip()
+    assert re.match(r"WITH\b", s, re.I), "oracle does not start with WITH"
+    i, ctes = 4, []
+    while True:
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
+                     r"(?:MATERIALIZED\s+)?\(", s[i:], re.I)
+        assert m, f"CTE parse failed at {s[i:i + 60]!r}"
+        name, j, depth = m.group(1), i + m.end(), 1
+        while depth:
+            c = s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "'":
+                j += 1
+                while s[j] != "'":
+                    j += 1
+            j += 1
+        ctes.append((name, s[i + m.end():j - 1]))
+        m2 = re.match(r"\s*,", s[j:])
+        if not m2:
+            return ctes, s[j:].strip()
+        i = j + m2.end()
+
+
+# the three scoring stages chunked by staged_ivfpq_compare, mapped to
+# the consumer CTE that folds each into its per-vector argmax
+IVFPQ_CHUNKED = {"a1": "s1", "a2": "s2", "codes": "s3"}
+
+
+def staged_ivfpq_compare(con, name, sql, out_dir, chunks=16):
+    """Staged ann_ivfpq oracle for corpora past IVFPQ_FULL_MAX_VECS.
+
+    The committed oracle is one WITH-chain whose three PQ-assignment
+    scoring stages (s1/s2/s3 = vsub ⋈ codebook: n·16 subvectors × 16
+    codes = 512M rows at sf100) are each MATERIALIZED under a
+    (vec_id, mi) ranking window — DuckDB's working set for the
+    monolithic plan exceeded 100 GB RAM + 59 GB spill disk (measured
+    twice, r16). This runs the SAME statement decomposed: every CTE
+    body (parsed verbatim from the committed SQL by _split_ctes — no
+    re-derivation, no drift) becomes a TEMP TABLE in dependency
+    order, except s1/s2/s3 which become per-chunk TEMP VIEWs filtered
+    `vec_id % chunks = i`; their consumers (a1/a2/codes — the
+    per-vector argmaxes) accumulate by INSERT. The chunk filter is on
+    the scoring window's own PARTITION BY key, so every partition is
+    complete within its chunk and the union over disjoint chunks is
+    exactly the unchunked result; peak working set divides by
+    `chunks`. The final SELECT then runs over the staged tables and
+    the standard compare() machinery checks it against the engine
+    parquet unchanged. Below the gate the one-shot oracle runs as
+    committed (sf0.01/sf0.1 via the driver, sf1/sf10 via this sweep).
+    """
+    t0 = time.time()
+    ctes, final = _split_ctes(sql)
+    bodies = dict(ctes)
+    order = [n for n, _ in ctes]
+    assert set(IVFPQ_CHUNKED) | set(IVFPQ_CHUNKED.values()) <= set(order), \
+        f"expected CTEs {sorted(IVFPQ_CHUNKED)} + scoring stages in {order}"
+    made = []
+    try:
+        for nm in order:
+            if nm in IVFPQ_CHUNKED.values():
+                continue  # consumed per-chunk by its argmax CTE below
+            if nm in IVFPQ_CHUNKED:
+                src = IVFPQ_CHUNKED[nm]
+                for i in range(chunks):
+                    con.execute(
+                        f"CREATE OR REPLACE TEMP VIEW {src} AS "
+                        f"SELECT * FROM ({bodies[src]}) "
+                        f"WHERE vec_id % {chunks} = {i}")
+                    if i == 0:
+                        con.execute(
+                            f"CREATE OR REPLACE TEMP TABLE {nm} AS {bodies[nm]}")
+                        made.append(nm)
+                    else:
+                        con.execute(f"INSERT INTO {nm} {bodies[nm]}")
+                con.execute(f"DROP VIEW IF EXISTS {src}")
+            else:
+                con.execute(
+                    f"CREATE OR REPLACE TEMP TABLE {nm} AS {bodies[nm]}")
+                made.append(nm)
+        con.execute(f"CREATE OR REPLACE TEMP TABLE ivfpq_staged AS {final}")
+        made.append("ivfpq_staged")
+        rec = compare(con, name, "SELECT * FROM ivfpq_staged", out_dir)
+        rec.setdefault("notes", []).append(
+            f"staged oracle: committed CTE bodies as temp tables, "
+            f"s1/s2/s3 scoring chunked vec_id%{chunks} (see "
+            f"staged_ivfpq_compare docstring)")
+        # compare() timed only the final 40-row check; report the
+        # whole staged derivation so the record reads honestly
+        rec["secs"] = round(time.time() - t0, 1)
+    finally:
+        for t in reversed(made):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+    return rec
+
+
 def fresh_con(sf_dir):
     """One connection PER KEY: a heavy oracle that dies mid-allocation
     (the r11 text_dsir sf10 OOM under transient host memory pressure)
     must not poison every later key's compare on a shared connection.
     Bounded memory + a spill dir make DuckDB go out-of-core instead of
-    aborting when the host is busy."""
+    aborting when the host is busy. GRAFT_DUCK_MEM overrides the 24GB
+    default for single-key re-runs that profit from more RAM (the r16
+    ann_ivfpq sf100 monolithic compare exhausted RAM+disk even at
+    100GB — that key now routes to staged_ivfpq_compare instead; the
+    knob stays for ad-hoc heavy re-runs)."""
     con = duckdb.connect()
-    con.execute("SET memory_limit='24GB'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '24GB')}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -1176,6 +1298,10 @@ def main(sf_dir, out_dir, out_json, only=()):
         f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
     video_bounded = n_docs > VIDEO_FULL_MAX_DOCS
+    n_vecs = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    ivfpq_staged = n_vecs > IVFPQ_FULL_MAX_VECS
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -1188,6 +1314,9 @@ def main(sf_dir, out_dir, out_json, only=()):
             elif name == "mm_video_frames" and video_bounded:
                 rec = bounded_video_frames_compare(con, name, oracles[name],
                                                    sf_dir, out_dir)
+            elif name == "ann_ivfpq" and ivfpq_staged:
+                rec = staged_ivfpq_compare(con, name, oracles[name],
+                                           out_dir)
             elif name == "knn_graph":
                 rec = bounded_knn_compare(con, name, oracles[name],
                                           sf_dir, out_dir)
