@@ -29,6 +29,14 @@ object Smoke {
       // warm: 2.6 s wide-initials-only vs 0.7 s with this — the cached
       // history index is tiny but was pinned at the initial width).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // let AQE convert a sort-merge join to broadcast-hash when the
+      // RUNTIME build side lands under 64 MB (the default 10 MB left
+      // q5_volume's 12.5 MB ASIA-orders side sorting 6M lineitem rows
+      // at sf1 - join stage 21.8 -> 3.0 CPU-s with the bump, r16).
+      // Runtime sizes are trustworthy where static estimates are not,
+      // so ONLY the adaptive threshold moves; the static 10 MB default
+      // stays (it guards against estimate-driven giant broadcasts).
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
