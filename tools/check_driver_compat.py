@@ -58,10 +58,24 @@ def main(sf_dir, out_dir, names):
             print(f"FAIL {name}: rows {len(sdf)} vs {len(ddf)}")
             bad += 1
             continue
-        dt_mismatch = [
-            (c, str(sdf[c].dtype), str(ddf[c].dtype))
-            for c in sdf.columns if sdf[c].dtype.kind != ddf[c].dtype.kind
-        ]
+        # driver-red dtype class = numeric on one side, object on the
+        # other (the r9 dedup_image failure). A date/datetime column
+        # that pyarrow reads as datetime64 and DuckDB's .df() hands
+        # back as date objects is REPRESENTATION skew the real driver
+        # accepts — CORRECTNESS_r10..r15 have the day-column keys
+        # hash-green every round — so mirror that acceptance (the same
+        # rule sweep_sf10.pandas_kind applies) instead of flagging a
+        # standing false alarm (r16: this tool red-flagged 9 such keys
+        # the driver passes).
+        dt_mismatch, benign_dt = [], []
+        for c in sdf.columns:
+            ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+            if ks == kd:
+                continue
+            if ("O" in (ks, kd)) and (ks in "iuf" or kd in "iuf"):
+                dt_mismatch.append((c, str(sdf[c].dtype), str(ddf[c].dtype)))
+            else:
+                benign_dt.append((c, str(sdf[c].dtype), str(ddf[c].dtype)))
         if dt_mismatch:
             print(f"FAIL {name}: dtype-kind mismatch {dt_mismatch}")
             bad += 1
@@ -69,9 +83,24 @@ def main(sf_dir, out_dir, names):
         neq = []
         for c in sdf.columns:
             a, b = sdf[c], ddf[c]
-            if a.dtype.kind == "f":
-                import numpy as np
-                ok = ((a.isna() & b.isna()) | (np.isclose(a, b, rtol=0, atol=0, equal_nan=True))).all()
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if "M" in (ka, kb) and ka != kb:
+                # benign date-representation pair: compare as datetimes
+                # (normalized to one unit width — to_datetime yields ns
+                # from date objects but keeps us from datetime64[us],
+                # and pandas .equals is dtype-width-sensitive)
+                a = pd.to_datetime(a).astype("datetime64[ns]")
+                b = pd.to_datetime(b).astype("datetime64[ns]")
+                ok = a.reset_index(drop=True).equals(b.reset_index(drop=True))
+            elif ka == "f" or kb == "f":
+                # the driver hashes canonical values; the sweep's canon
+                # is printf('%.10g') — compare at the same 10
+                # significant digits (exact float equality red-flagged
+                # q1_pricing's decimal-vs-double last-ulp skew that the
+                # real gate has passed since r1)
+                fmt = lambda s: s.map(
+                    lambda v: "NaN" if pd.isna(v) else "%.10g" % v)
+                ok = fmt(a).equals(fmt(b))
             else:
                 ok = a.astype(object).where(pd.notna(a), None).equals(
                     b.astype(object).where(pd.notna(b), None))
@@ -81,7 +110,9 @@ def main(sf_dir, out_dir, names):
             print(f"FAIL {name}: value mismatch in {neq} ({len(sdf)} rows)")
             bad += 1
         else:
-            print(f"ok   {name}: {len(sdf)} rows, dtypes {[str(sdf[c].dtype) for c in sdf.columns]}")
+            note = f" [benign repr skew: {benign_dt}]" if benign_dt else ""
+            print(f"ok   {name}: {len(sdf)} rows, dtypes "
+                  f"{[str(sdf[c].dtype) for c in sdf.columns]}{note}")
     return bad
 
 
