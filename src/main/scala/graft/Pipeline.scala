@@ -98,6 +98,14 @@ object Pipeline {
       .select(col("vec_id"), col("label"))
     val edges = graft.ops.Similarity.knnGraph(spark, sfDir)
       .transform(Lineage.cut) // ONE build feeds all five riders
+    // ... and ONE mutual-kNN derivation feeds both mutual-graph riders
+    // (r16, guide §1.2): clusters and pagerank previously each re-ran
+    // the filter + intersect over the full edge list — identical
+    // frames by construction (the public *On seams delegate through
+    // the same mutualEdges). Cut so the CC loop and the 10 power
+    // iterations both read materialized rows.
+    val mutual = graft.ops.Similarity.mutualEdges(edges, 0.3)
+      .transform(Lineage.cut)
     try {
       Map(
         "n_edges" -> edges.count(),
@@ -105,12 +113,15 @@ object Pipeline {
           .filter(col("outlier")).count(),
         "n_misclassified" -> graft.ops.Similarity.knnClassifyOn(edges, labels)
           .filter(!col("correct")).count(),
-        "n_clusters" -> graft.ops.Similarity.semanticClustersOn(nodes, edges)
+        "n_clusters" -> graft.ops.Similarity.semanticClustersOnMutual(nodes, mutual)
           .select(col("cluster")).distinct().count(),
         "n_hubs" -> graft.ops.Similarity.knnHubnessOn(nodes, edges)
           .filter(col("hub")).count(),
-        "n_ranked" -> graft.ops.Similarity.pageRankOn(nodes, edges).count())
-    } finally Lineage.free(edges)
+        "n_ranked" -> graft.ops.Similarity.pageRankOnMutual(nodes, mutual).count())
+    } finally {
+      Lineage.free(mutual)
+      Lineage.free(edges)
+    }
   }
 
   def main(args: Array[String]): Unit = {

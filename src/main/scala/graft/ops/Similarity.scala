@@ -1192,8 +1192,14 @@ object Similarity {
 
   /** Undirected mutual-kNN edges (a < b) at the cosine floor — the
     * shared front half of [[semanticClustersOn]] and [[pageRankOn]].
+    * `private[graft]` (r16): a multi-rider session ([[graft.Pipeline.graphAudit]])
+    * computes this ONCE and feeds both riders through their
+    * `*OnMutual` seams — the intersect is a distinct + exchange over
+    * the FULL filtered edge list on both sides, and the two riders
+    * previously re-derived it identically from the same edge frame
+    * (guide §1.2: don't compute things twice).
     */
-  private def mutualEdges(edges: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def mutualEdges(edges: DataFrame, threshold: Double): DataFrame = {
     val e = edges
       .filter(col("cos") >= threshold)
       .select(col("q_id").as("x"), col("vec_id").as("y"))
@@ -1207,8 +1213,17 @@ object Similarity {
     * seam ([[knnDensityOn]]).
     */
   def semanticClustersOn(nodes: DataFrame, edges: DataFrame,
-      threshold: Double = 0.3): DataFrame = {
-    val mutual = mutualEdges(edges, threshold)
+      threshold: Double = 0.3): DataFrame =
+    semanticClustersOnMutual(nodes, mutualEdges(edges, threshold))
+
+  /** [[semanticClustersOn]] past the mutual-edge derivation — the
+    * shared-MUTUAL seam for sessions that also run [[pageRankOnMutual]]
+    * over the same `mutual` frame (cut it first; both riders traverse
+    * it repeatedly). Identical result by construction: the public
+    * seam is a delegation.
+    */
+  private[graft] def semanticClustersOnMutual(nodes: DataFrame,
+      mutual: DataFrame): DataFrame = {
     val (labels, _) = Dedup.ccAlternatingStar(
       nodes.select(col("vec_id").as("id")), mutual)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
@@ -1257,8 +1272,14 @@ object Similarity {
     * ([[knnDensityOn]]).
     */
   def pageRankOn(nodeFrame: DataFrame, edges: DataFrame,
-      threshold: Double = 0.3): DataFrame = {
-    val mutual = mutualEdges(edges, threshold)
+      threshold: Double = 0.3): DataFrame =
+    pageRankOnMutual(nodeFrame, mutualEdges(edges, threshold))
+
+  /** [[pageRankOn]] past the mutual-edge derivation — the shared-MUTUAL
+    * seam ([[semanticClustersOnMutual]]).
+    */
+  private[graft] def pageRankOnMutual(nodeFrame: DataFrame,
+      mutual: DataFrame): DataFrame = {
     val sym = mutual.select(col("a"), col("b"))
       .unionByName(mutual.select(col("b").as("a"), col("a").as("b")))
       .transform(graft.Lineage.cut)

@@ -31,14 +31,96 @@ object GraftSqlShim {
     * buffers per partition, the same reason `Dataset.checkpoint` maps
     * `_.copy()`), then re-enter the SQL layer through a LogicalRDD.
     * Storage level matches `localCheckpoint`'s MEMORY_AND_DISK.
+    *
+    * The LogicalRDD is built through [[execution.LogicalRDD.fromDataset]]
+    * — the same seam `Dataset.checkpoint` uses — so the materialized
+    * frame KEEPS the executed plan's output partitioning (plain-hash
+    * form only, see below) and constraints (attribute ids rewritten to
+    * the new frame's output; `map` is per-partition, so the copied
+    * rows stay exactly where the plan left them). The earlier
+    * `internalCreateDataFrame` wrapper
+    * reported UnknownPartitioning, which made EnsureRequirements
+    * re-shuffle every cut frame at its next keyed consumer — in the
+    * iterative operators (PageRank's 10 rounds, the CC alternating-
+    * star loop, the BPE/unigram train loops, k-means) that was one
+    * avoidable full exchange of the loop state per round, paid on
+    * frames this shim had JUST materialized hash-partitioned on the
+    * very key the next round joins on (guide §2.4: remove shuffles
+    * outright — two operations keyed the same way share one exchange).
+    *
+    * The ESTIMATED statistics fromDataset would also carry are
+    * deliberately REBUILT AWAY (r16, measured): with real-looking
+    * sizeInBytes on a cut frame the STATIC planner starts making join
+    * strategy calls from propagated estimates — at sf0.1 it flipped
+    * knn_graph's engineered candidate join to a static broadcast-hash
+    * join (stage CPU 1.5 → 7.1 s, bench CPU 3.7 → 11.6 s) that the
+    * runtime-size-driven AQE path had correctly NOT chosen. Same
+    * doctrine as the 64m adaptive-threshold change: runtime sizes are
+    * trustworthy, static estimates are not — so a cut frame reports
+    * the default (effectively infinite) size and every join strategy
+    * decision over it stays with AQE's measured exchange sizes.
     */
   def persistCut(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap, Expression, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val ds = df.asInstanceOf[classic.Dataset[_]]
     val rdd = df.queryExecution.toRdd
       .map((r: InternalRow) => r.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager, like localCheckpoint(eager = true)
-    spark.internalCreateDataFrame(rdd, df.schema)
+    rdd.count() // eager, like localCheckpoint(eager = true) — and for
+                // an adaptive plan this finalizes every query stage,
+                // so the partitioning read below is the FINAL one
+    // fromDataset supplies the constraint machinery; partitioning and
+    // ordering are read from the final physical root OURSELVES because
+    // AdaptiveSparkPlanExec (a LeafExecNode wrapper) reports
+    // UnknownPartitioning/Nil — fromDataset sees through nothing and
+    // the preservation would silently never fire on AQE plans (i.e.
+    // on every production cut; measured: the LineageSpec pin fails on
+    // the unwrapped-less form)
+    val lr = execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
+    val physical = df.queryExecution.executedPlan match {
+      case a: execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // map the physical root's attribute ids onto the new frame's
+    // output (positional — same schema by construction); an attr the
+    // map misses keeps its id and, being absent from the output, makes
+    // the claimed property inert for `satisfies` rather than wrong
+    val attrs = AttributeMap(physical.output.zip(lr.output))
+    def rw(e: Expression): Expression =
+      e.transform { case a: Attribute => attrs.getOrElse(a, a) }
+    @scala.annotation.tailrec
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case pc: PartitioningCollection => firstLeaf(pc.partitionings.head)
+      case other => other
+    }
+    // Claim ONLY a plain HashPartitioning (and pass non-Expression
+    // partitionings — SinglePartition/Unknown — through). Measured
+    // r16: carrying CoalescedHashPartitioning (an AQE-coalesced read's
+    // shape) on a LogicalRDD breaks CacheManager's canonical-plan
+    // matching — `.cache()`d frames derived from such a cut silently
+    // stopped resolving to their InMemoryRelation (PlanSpec's
+    // heldout-perplexity pin caught it: every shared token frame
+    // re-computed instead of reading the cache). Exotic partitionings
+    // and output ordering are therefore dropped to Unknown/Nil — the
+    // aggregation-consumer exchange elision (LineageSpec pin) only
+    // needs the plain hash form, which is what a user-keyed
+    // `repartition(n, k)` root (never AQE-coalesced) produces.
+    val part = firstLeaf(physical.outputPartitioning) match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        rw(h).asInstanceOf[Partitioning]
+      case e: Expression =>
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+          rdd.getNumPartitions)
+      case o => o
+    }
+    val ordering: Seq[SortOrder] = Nil
+    // rebuild WITHOUT the estimated stats (None → computeStats falls
+    // back to defaultSizeInBytes, the pre-r16 static-planner behavior)
+    classic.Dataset.ofRows(spark,
+      execution.LogicalRDD(lr.output, lr.rdd, part, ordering,
+        lr.isStreaming, None)(spark, None, Some(lr.constraints)))
   }
 
   /** Drain the listener bus — stage-metric listeners (RunQ's shuffle

@@ -25,6 +25,30 @@ class LineageSpec extends SparkSpec {
     assert(cut.count() === 100)
   }
 
+  test("cut preserves the executed plan's hash partitioning; same-key consumer re-plans no exchange (r16)") {
+    val df = (1 to 1000).toDF("k").withColumn("v", col("k") % 7)
+      .repartition(8, col("k"))
+    val cut = Lineage.cut(df)
+    // the materialized frame REPORTS the partitioning it was produced
+    // with (LogicalRDD.fromDataset — the Dataset.checkpoint seam); the
+    // pre-r16 internalCreateDataFrame wrapper reported Unknown and made
+    // every loop round re-shuffle its just-materialized state
+    val part = cut.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.outputPartitioning
+    }.get
+    assert(part.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+      s"cut frame reports $part")
+    // ...so an aggregation keyed the same way shares the exchange the
+    // cut already paid (guide §2.4)
+    val agg = cut.groupBy("k").count()
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.count() === 1000)
+    Lineage.free(cut)
+  }
+
   test("default-mode blocks are persisted but NOT checkpointed") {
     val cut = Lineage.cut((1 to 10).toDF("n"))
     val rdds = cut.queryExecution.analyzed.collect {

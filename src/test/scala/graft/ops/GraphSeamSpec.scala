@@ -42,6 +42,27 @@ class GraphSeamSpec extends SparkSpec {
     }
   }
 
+  test("shared-mutual seams == their On forms (one mutual derivation, both riders; r16)") {
+    val nodes = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val edges = Similarity.knnGraph(spark, sf)
+      .transform(graft.Lineage.cut)
+    val mutual = Similarity.mutualEdges(edges, 0.3)
+      .transform(graft.Lineage.cut) // what graphAudit shares
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      assert(rows(Similarity.semanticClustersOnMutual(nodes, mutual)) ===
+        rows(Similarity.semanticClustersOn(nodes, edges)))
+      assert(rows(Similarity.pageRankOnMutual(nodes, mutual)) ===
+        rows(Similarity.pageRankOn(nodes, edges)))
+    } finally {
+      graft.Lineage.free(mutual)
+      graft.Lineage.free(edges)
+      Caches.sweep(spark)
+    }
+  }
+
   test("graphAudit: the chained one-build session returns consistent counts") {
     val audit = graft.Pipeline.graphAudit(spark, sf)
     val n = Tables.load(spark, sf, "embeddings").count()
